@@ -1,0 +1,64 @@
+"""Query catalog: named queries + DuckDB oracle SQL.
+
+This is the single registry behind ``__spark_entry__.queries()`` /
+``oracle_sql()``. Each entry maps to a SURVEY.md §2 inventory row (or
+a training-data-pipeline operator) and pairs a Spark callable
+``(spark, sf_dir) -> DataFrame`` with an equivalent ANSI-SQL oracle
+string DuckDB runs over the same parquet tables.
+
+Conventions (driver contract):
+  * every computed column aliased identically on both sides;
+  * doubles rounded (sum-order differences between engines otherwise
+    flip low bits);
+  * timestamps emitted as epoch-micros BIGINT where they appear in
+    output (identical truncation on both sides).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streaming_examples_spark.tables import load_table
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs rows-only check
+    survey_ref: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None, survey_ref: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = CatalogEntry(name, fn, oracle, survey_ref)
+        return fn
+
+    return deco
+
+
+def entries() -> dict[str, CatalogEntry]:
+    # import side-effect registration
+    from streaming_examples_spark import catalog_relational  # noqa: F401
+    from streaming_examples_spark import catalog_cdc  # noqa: F401
+    from streaming_examples_spark import catalog_datapipe  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in entries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in entries().items() if e.oracle is not None}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)

@@ -1,0 +1,2 @@
+"""Catalog entries: training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal)."""

@@ -1,0 +1,393 @@
+"""Catalog entries: relational analytics + window operators.
+
+Covers SURVEY.md §2.2 P1-P7, §2.3 J2-J4 (+ the join types Catalyst
+adds for free), §2.4 A2-A4, §2.5 W1-W2, §2.9 ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.catalog import register, t
+from streaming_examples_spark.operators.analytics import (
+    customers_without_orders,
+    group_sets_revenue,
+    order_priority_counts,
+    orders_with_returns,
+    part_supply_stats,
+    pricing_summary,
+    regional_revenue,
+    top_customers,
+)
+from streaming_examples_spark.operators.denormalize import (
+    denormalize_flat_stats,
+    denormalize_orders_lineitem,
+)
+from streaming_examples_spark.operators.windows import (
+    event_ranks,
+    fill_forward,
+    latest_per_key,
+    sessionize,
+)
+
+
+# --------------------------------------------------------------------------
+# flagship: north-star denormalization (poc.md:14-27)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "denorm_orders",
+    oracle=None,  # nested array<struct> output → rows-only check; flat twin below is hash-checked
+    survey_ref="§2.3 J1/J4 + §2.4 A1/A2 (ARRAY_AGG(ROW(...)) target)",
+)
+def q_denorm_orders(spark, sf_dir):
+    return denormalize_orders_lineitem(t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "denorm_order_stats",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+           count(l.l_orderkey) AS n_lines,
+           round(coalesce(sum(l.l_quantity), 0), 2) AS sum_qty,
+           round(coalesce(sum(l.l_extendedprice), 0), 2) AS sum_price
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+    survey_ref="§2.3 J4 LEFT JOIN + §2.4 A1 (flat hash-checkable twin)",
+)
+def q_denorm_order_stats(spark, sf_dir):
+    return denormalize_flat_stats(t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# projections / scalar functions (§2.2, §2.8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "projection_events",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           user_id,
+           upper(event_type) AS event_type_u,
+           round(value, 2) AS value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN value >= 100 THEN 'high' ELSE 'low' END AS value_band
+    FROM events
+    """,
+    survey_ref="§2.2 P1-P5 + §2.8 scalar fns + JSONB access (§1.3)",
+)
+def q_projection_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        F.upper("event_type").alias("event_type_u"),
+        F.round("value", 2).alias("value"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.when(F.col("value").isNull(), F.lit(None))
+        .when(F.col("value") >= 100, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("value_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# joins / aggregations (§2.3, §2.4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ref="§2.4 aggregation (TPC-H Q1 shape)",
+)
+def q_pricing_summary(spark, sf_dir):
+    return pricing_summary(t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name AS r_name, n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    survey_ref="§2.3 J2 broadcast enrichment (batch shape)",
+)
+def q_regional_revenue(spark, sf_dir):
+    return regional_revenue(
+        t(spark, sf_dir, "region"),
+        t(spark, sf_dir, "nation"),
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+    WITH revenue AS (
+      SELECT o.o_custkey AS o_custkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           c.c_mktsegment AS c_mktsegment, r.revenue AS revenue
+    FROM revenue r JOIN customer c ON r.o_custkey = c.c_custkey
+    ORDER BY r.revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    survey_ref="§2.9 top-k ordering (TakeOrderedAndProject)",
+)
+def q_top_customers(spark, sf_dir):
+    return top_customers(
+        t(spark, sf_dir, "customer"),
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "lineitem"),
+        n=20,
+    )
+
+
+@register(
+    "orders_with_returns",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderstatus
+    """,
+    survey_ref="§2.3 semi join (free in Catalyst)",
+)
+def q_orders_with_returns(spark, sf_dir):
+    return orders_with_returns(t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+    survey_ref="§2.3 anti join (free in Catalyst)",
+)
+def q_customers_without_orders(spark, sf_dir):
+    return customers_without_orders(t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders"))
+
+
+@register(
+    "part_supply_stats",
+    oracle="""
+    SELECT p.p_brand AS p_brand,
+           count(*) AS n_lines,
+           count(DISTINCT l.l_suppkey) AS n_suppliers,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    survey_ref="§2.4 distinct aggregation + broadcast dim join",
+)
+def q_part_supply_stats(spark, sf_dir):
+    return part_supply_stats(t(spark, sf_dir, "part"), t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    survey_ref="§2.3 EXISTS semi join with mixed condition (TPC-H Q4 shape)",
+)
+def q_order_priority_counts(spark, sf_dir):
+    return order_priority_counts(t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    survey_ref="§2.4 grouping sets (beyond reference; free in Catalyst)",
+)
+def q_rollup_revenue(spark, sf_dir):
+    return group_sets_revenue(t(spark, sf_dir, "orders"))
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    survey_ref="§2.9 set ops (beyond reference; free in Catalyst)",
+)
+def q_set_ops_customers(spark, sf_dir):
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.intersect(ords)
+
+
+# --------------------------------------------------------------------------
+# window functions / upsert semantics (§2.4 A3, §2.5, §2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "upsert_latest_events",
+    oracle="""
+    SELECT user_id, event_type, round(value, 2) AS value,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    survey_ref="§2.4 A3 last-value-per-key / §2.1 S3 upsert source semantics",
+)
+def q_upsert_latest_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    return latest_per_key(
+        ev,
+        key_cols=["user_id"],
+        order_col="ts_us",
+        value_cols=["event_type", "value", "ts_us"],
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "fill_forward_events",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_value
+    FROM events
+    """,
+    survey_ref="§2.5 W1 LAST_VALUE fill-forward (TOAST backfill, batch idiom)",
+)
+def q_fill_forward_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    # 'view' events play the TOAST sentinel role: value treated missing
+    masked = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value"))
+    out = fill_forward(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        target=masked,
+        out_name="_ff",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("_ff", 2).alias("filled_value")
+    )
+
+
+@register(
+    "event_ranks",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           row_number() OVER w AS seq,
+           round(value - coalesce(lag(value) OVER w, 0), 2) AS value_delta,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    survey_ref="§2.5 ranking/lag (beyond reference; required by A3)",
+)
+def q_event_ranks(spark, sf_dir):
+    return event_ranks(t(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    survey_ref="session windows (streaming §2.6 batch twin)",
+)
+def q_sessionize_events(spark, sf_dir):
+    out = sessionize(t(spark, sf_dir, "events"), gap_minutes=30.0)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "session_value",
+    )

@@ -1,0 +1,189 @@
+"""Relational analytics operators: projections, joins, aggregations.
+
+These cover SURVEY.md §2.2 (projections/filters/row construction),
+§2.3 (joins incl. broadcast enrichment — CommitLsnFixer.java:37-128's
+batch shape), §2.4 (aggregations) re-expressed over the testdata star
+schema, plus the join types the reference leaves to the planner
+(semi/anti) because Catalyst gives them for free.
+
+Scale notes per operator are inline. The shared principle: dims
+(region/nation/customer/supplier/part) broadcast below the 64 MB
+threshold; fact-fact joins shuffle on their key once and reuse that
+partitioning for the following aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Pure map-side partial agg + tiny shuffle (few groups): the scan
+    reads only the 7 referenced columns (check ReadSchema), the filter
+    pushes into parquet, and the whole pipeline is one
+    WholeStageCodegen span at any scale.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Revenue per region/nation — 4-way join.
+
+    lineitem⨝orders is the only fact-fact join (shuffle on orderkey);
+    customer/nation/region chain in as broadcasts, so the whole dim
+    side adds zero exchanges. Verified via .explain: one Exchange per
+    fact side, BroadcastHashJoin for dims.
+    """
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            region["r_name"].alias("r_name"), nation["n_name"].alias("n_name")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def top_customers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame, n: int = 20) -> DataFrame:
+    """Top-N customers by revenue (join + agg + global top-k).
+
+    The ORDER BY ... LIMIT n compiles to TakeOrderedAndProject — a
+    per-partition top-k then a driver-side merge of n·P rows, never a
+    global sort. That is the 100 TB-safe top-k.
+    """
+    revenue = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(orders["o_custkey"].alias("o_custkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        revenue.join(F.broadcast(customer), revenue["o_custkey"] == customer["c_custkey"])
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+            F.col("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(n)
+    )
+
+
+def orders_with_returns(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Semi-join: orders having at least one returned line (l_returnflag='R').
+
+    LEFT SEMI join — Catalyst keeps only the key column of the build
+    side and stops probing at first match; far cheaper than
+    join+distinct at scale.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join: customers with no in-progress ('P') order (LEFT ANTI).
+
+    The filter on the right side lands *before* the join build, so the
+    anti probe sees only the filtered keys — at scale that's the
+    difference between broadcasting a sliver and shuffling everything.
+    """
+    pending = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return (
+        customer.join(pending, customer["c_custkey"] == pending["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def part_supply_stats(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Per-brand/type supply stats — broadcast dim join + agg with
+    distinct aggregation (count distinct suppliers)."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem["l_partkey"] == part["p_partkey"])
+        .groupBy(part["p_brand"].alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: orders having at least one line shipped more
+    than 60 days after the order date, counted per priority — EXISTS
+    realized as a LEFT SEMI join with a mixed-side condition."""
+    cond = (orders["o_orderkey"] == lineitem["l_orderkey"]) & (
+        lineitem["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def group_sets_revenue(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation (status × priority hierarchy) — grouping sets
+    are a single shuffle with Expand; free from Catalyst."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -1,0 +1,92 @@
+"""Order denormalization — the reference's north-star query.
+
+Reference: transactional-cdc-processing/transactional-cdc-processing-poc.md:14-27
+
+    SELECT po.id, po.order_date, po.purchaser_id,
+           ARRAY_AGG(ROW(ol.id, ol.product_id, ol.quantity, ol.price))
+    FROM purchase_orders po
+    LEFT JOIN order_lines ol ON ol.order_id = po.id
+    GROUP BY po.id, po.order_date, po.purchaser_id;
+
+Spark-first shape: LEFT JOIN + ``collect_list(struct(...))``. The join
+and the aggregation share the same key (order id), so Catalyst reuses
+one hash partitioning: a single shuffle of each side on the key, then
+join + partial/final aggregate colocated — no second exchange. At
+100 TB both sides are fact-sized; sort-merge join with AQE skew
+splitting is the right physical plan and is what Catalyst picks.
+
+``collect_list`` is order-insensitive (the reference's golden tests
+also compare leniently — PurchaseOrderJoinerIT.java:575-582); we
+``array_sort`` by line number for deterministic output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def denormalize(
+    orders: DataFrame,
+    lines: DataFrame,
+    *,
+    order_key: str,
+    line_order_key: str,
+    order_cols: list[str],
+    line_cols: list[str],
+    lines_alias: str = "lines",
+) -> DataFrame:
+    """orders ⟕ lines → one row per order with ``lines`` array<struct>.
+
+    An order with zero lines still appears, with an empty array (LEFT
+    JOIN target semantics, poc.md:235-237).
+    """
+    joined = orders.join(
+        lines, orders[order_key] == lines[line_order_key], "left"
+    )
+    line_struct: Column = F.struct(*[lines[c].alias(c) for c in line_cols])
+    agg = (
+        joined.groupBy(*[orders[c].alias(c) for c in order_cols])
+        .agg(
+            F.array_sort(
+                # filter() drops the all-null struct produced by an
+                # unmatched LEFT JOIN row → empty array, not [null-struct]
+                F.filter(
+                    F.collect_list(
+                        F.when(lines[line_order_key].isNotNull(), line_struct)
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias(lines_alias)
+        )
+    )
+    return agg
+
+
+def denormalize_orders_lineitem(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """The north-star query bound to the testdata schema
+    (orders/lineitem play purchase_orders/order_lines — FIXTURES.md §4)."""
+    return denormalize(
+        orders,
+        lineitem,
+        order_key="o_orderkey",
+        line_order_key="l_orderkey",
+        order_cols=["o_orderkey", "o_orderdate", "o_custkey"],
+        line_cols=["l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+
+def denormalize_flat_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Hash-checkable flat companion of the nested doc: per-order line
+    count + quantity/price sums. Same join+agg plan, scalar output."""
+    joined = orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left")
+    return (
+        joined.groupBy(
+            orders["o_orderkey"].alias("o_orderkey"),
+            orders["o_custkey"].alias("o_custkey"),
+        )
+        .agg(
+            F.count(lineitem["l_orderkey"]).alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("sum_qty"),
+            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2).alias("sum_price"),
+        )
+    )

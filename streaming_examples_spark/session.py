@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for correctness-testing on local[N] while keeping every knob a
+1000-executor cluster would want: AQE (runtime re-planning, skew-join
+splitting, partition coalescing), broadcast-join threshold, Arrow for
+the Python boundary, and parquet pushdown left at its defaults so
+Catalyst prunes columns/partitions for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "streaming_examples_spark",
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or return) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster you would size this to ~2-3× total executor cores or let
+    AQE coalesce from a higher initial value, which is exactly what
+    ``spark.sql.adaptive.coalescePartitions`` does here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus in ("*", "") else max(int(cpus), 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # -- shuffle / adaptive execution ---------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- joins ---------------------------------------------------------
+        # dims (region/nation/customer/supplier/part at test SF) broadcast;
+        # at 100 TB the fact tables never do, which is what we want.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- python boundary ------------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- scan sizing -----------------------------------------------------
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # -- testdata parquet uses TIMESTAMP(NANOS); read as long, decode
+        #    in tables.load_table (Spark has no nanos timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- determinism -----------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
