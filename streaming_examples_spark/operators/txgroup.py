@@ -1,0 +1,176 @@
+"""Transaction grouping: commit-LSN stamping + completeness predicate.
+
+Replaces the reference's custom-watermark machinery (WatermarkInjector
+.java:39-173 + CommitLsnFixer.java:37-128, design transactional-cdc-
+processing-poc.md:180-266) with a set-oriented formulation:
+
+  * ``stamp_commit_lsn`` — the CommitLsnFixer: enrich each data event
+    with its transaction's commit LSN by joining the (small) tx
+    END-event stream on txId. In Spark this is a broadcast hash join,
+    not a buffering operator.
+  * ``complete_transactions`` — the WatermarkInjector's condition as a
+    predicate: a tx is processable when, for every table it declares,
+    the observed event count equals the declared ``data_collections``
+    count (TransactionEvent.countFor, TransactionEvent.java:41-49).
+    Computed with one groupBy — no per-channel watermark, which also
+    removes the reference's parallelism=1 limitation
+    (poc.md:264-266,318-319).
+
+Incomplete transactions (split across micro-batches — "mini-batching
+is insufficient", poc.md:343) are returned as carry-over for the next
+batch; streaming/cdc_stream.py persists them.
+
+Scale: tx metadata is tiny relative to data events → broadcast. The
+completeness groupBy shuffles one count row per (tx, table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from streaming_examples_spark.operators.ingest import with_lsn
+
+
+def normalize_events(events: DataFrame, table: str, key_field: str) -> DataFrame:
+    """Envelope → flat processing frame: (table, key, op, before,
+    after, tx_id, commit_lsn, event_lsn, ts_ms).
+
+    ``key`` uses delete-aware extraction: after.key, falling back to
+    before.key (DataChangeEvent.java:53-55, DataStreamV2Job.java:131).
+    """
+    e = with_lsn(events)
+    return e.select(
+        F.lit(table).alias("table"),
+        F.concat_ws(".", F.col("source.schema"), F.col("source.table")).alias(
+            "qualified_table"
+        ),
+        F.coalesce(F.col(f"after.{key_field}"), F.col(f"before.{key_field}")).alias("key"),
+        "op",
+        "before",
+        "after",
+        "tx_id",
+        "commit_lsn",
+        "event_lsn",
+        "ts_ms",
+    )
+
+
+def tx_end_events(tx_events: DataFrame) -> DataFrame:
+    """END metadata events with parsed ids: (tx_id, commit_lsn,
+    declared per-table counts). Only END carries a usable commit LSN
+    (TransactionEvent.java:33-39)."""
+    parts = F.split(F.col("id"), ":")
+    return tx_events.filter(F.col("status") == "END").select(
+        parts.getItem(0).cast("long").alias("tx_id"),
+        parts.getItem(1).cast("long").alias("tx_commit_lsn"),
+        "event_count",
+        "data_collections",
+    )
+
+
+def stamp_commit_lsn(norm_events: DataFrame, tx_events: DataFrame) -> DataFrame:
+    """Fill missing commit_lsn from the tx END stream (J2).
+
+    The reference buffers events until the END arrives (CommitLsnFixer
+    .java:75-127); in batch/micro-batch shape the whole END set is
+    present, so this is a broadcast join on tx_id. Events whose tx has
+    no END yet keep commit_lsn null and are carried over.
+    """
+    ends = tx_end_events(tx_events).select("tx_id", "tx_commit_lsn")
+    return (
+        norm_events.join(F.broadcast(ends), "tx_id", "left")
+        .withColumn("commit_lsn", F.coalesce("commit_lsn", "tx_commit_lsn"))
+        .drop("tx_commit_lsn")
+    )
+
+
+@dataclass
+class TxSplit:
+    """Events partitioned by transaction completeness."""
+
+    complete: DataFrame  # events of complete txs (commit_lsn stamped)
+    carryover: DataFrame  # events of incomplete txs — reprocess next batch
+    complete_txs: DataFrame  # (tx_id, commit_lsn) of complete txs
+
+
+def complete_tx_ids(norm_frames: list[DataFrame], tx_events: DataFrame) -> DataFrame:
+    """Transaction ids whose every declared table count matches the
+    observed count across all participating event streams (T0).
+
+    One aggregate per stream (map-side combined), a union of tiny
+    count frames, a full-outer join against the declared counts —
+    no per-channel watermark state.
+    """
+    counts = None
+    for frame in norm_frames:
+        c = frame.groupBy("tx_id", "qualified_table").agg(
+            F.count(F.lit(1)).alias("observed")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    observed = counts.groupBy("tx_id", "qualified_table").agg(
+        F.sum("observed").alias("observed")
+    )
+    declared = (
+        tx_end_events(tx_events)
+        .select("tx_id", F.explode("data_collections").alias("dc"))
+        .select(
+            "tx_id",
+            F.col("dc.data_collection").alias("qualified_table"),
+            F.col("dc.event_count").alias("declared"),
+        )
+    )
+    per_table = observed.join(declared, ["tx_id", "qualified_table"], "full_outer")
+    tx_ok = per_table.groupBy("tx_id").agg(
+        F.min(
+            (F.col("observed").isNotNull())
+            & (F.col("declared").isNotNull())
+            & (F.col("observed") == F.col("declared"))
+        ).alias("ok")
+    )
+    return tx_ok.filter(F.col("ok")).select("tx_id")
+
+
+def complete_transactions(norm_events: DataFrame, tx_events: DataFrame) -> TxSplit:
+    """Split events into complete-tx and carry-over sets (T0).
+
+    A tx is complete iff for each declared table the observed count
+    matches ``data_collections`` — evaluated per qualified table name
+    with one aggregate on each side, joined on (tx_id, table).
+    """
+    stamped = stamp_commit_lsn(norm_events, tx_events)
+
+    observed = stamped.groupBy("tx_id", "qualified_table").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    declared = (
+        tx_end_events(tx_events)
+        .select(
+            "tx_id",
+            F.explode("data_collections").alias("dc"),
+        )
+        .select(
+            "tx_id",
+            F.col("dc.data_collection").alias("qualified_table"),
+            F.col("dc.event_count").alias("declared"),
+        )
+    )
+    # full outer: a table declared but unseen (or seen but undeclared,
+    # e.g. duplicated delivery) both mark the tx incomplete/broken
+    per_table = observed.join(declared, ["tx_id", "qualified_table"], "full_outer")
+    tx_ok = per_table.groupBy("tx_id").agg(
+        F.min(
+            (F.col("observed").isNotNull())
+            & (F.col("declared").isNotNull())
+            & (F.col("observed") == F.col("declared"))
+        ).alias("ok")
+    )
+    complete_ids = tx_ok.filter(F.col("ok")).select("tx_id")
+
+    complete = stamped.join(F.broadcast(complete_ids), "tx_id", "left_semi")
+    carryover = stamped.join(F.broadcast(complete_ids), "tx_id", "left_anti")
+    complete_txs = (
+        complete.select("tx_id", "commit_lsn").distinct()
+    )
+    return TxSplit(complete=complete, carryover=carryover, complete_txs=complete_txs)

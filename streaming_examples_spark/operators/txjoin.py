@@ -1,0 +1,288 @@
+"""Tx-aware streaming join + aggregation — the flagship operator.
+
+Re-expresses the reference's custom operator pair
+(TxAwareTwoInputNonBroadcastJoinProcessOperator.java:38-445 +
+TxAwareAggregationFunction.java:33-100; semantics spec
+transactional-cdc-processing-poc.md:270-292) as a *set-oriented as-of
+reconstruction* instead of buffer-and-flush-on-watermark:
+
+  For every (order, transaction) pair the transaction touched, emit
+  exactly one denormalized document reflecting the database state as
+  of that transaction's commit LSN — or a tombstone if the order was
+  deleted — in commit-LSN order.
+
+Formulation (pure DataFrame ops, no driver loop, no per-tx iteration):
+
+  1. completeness split (txgroup.complete_tx_ids — T0); incomplete
+     txs carry over (poc.md:343: a batch may split a transaction)
+  2. ``touched`` = distinct (order_key, commit_lsn) over complete
+     events of both inputs — this *is* the emit-once guarantee: one
+     output row per touched pair, the write-amplification target the
+     reference asserts via drained-buffer checks
+     (TestContext.java:121-128, poc.md:311-312)
+  3. as-of join: touched × version history on order_key with
+     version.commit_lsn ≤ touched.commit_lsn, latest version per row
+     id via ``max_by(payload, (commit_lsn, event_lsn))`` — exactly
+     the "latest-left ≤ LSN / latest-right ≤ LSN" scans of the
+     reference operator (:268-350) but computed with one aggregate
+  4. deleted orders → tombstone rows; deleted lines drop out of the
+     array (OrderWithLines.java:76-79,90-100)
+
+Versions include the carried **state** (latest image per key from all
+previously processed txs — the reference's state GC keeps exactly
+this, TxAware...Operator.java:357-430), so an order untouched for
+months still denormalizes correctly when a new tx adds a line.
+
+Scale: the as-of join is an equi-join on order_key with an LSN range
+filter; per order the version history within a batch is small, and
+the state side is latest-per-key by construction. Both sides shuffle
+once on order_key and the partitioning is reused by the final
+aggregation. Interleaved transactions order correctly because the
+version ordering is (commit_lsn, event_lsn), never raw event order
+(txIds are not monotonic — poc.md:189-192).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from streaming_examples_spark.model.decoders import (
+    date_from_epoch_days,
+    decimal_from_string,
+)
+from streaming_examples_spark.model.envelope import OP_DELETE
+from streaming_examples_spark.operators.txgroup import (
+    complete_tx_ids,
+    normalize_events,
+    stamp_commit_lsn,
+)
+
+
+@dataclass
+class TxDenormResult:
+    emissions: DataFrame  # one row per (order, tx): doc or tombstone
+    order_state: DataFrame  # latest order image per id (carry to next batch)
+    line_state: DataFrame  # latest line image per line id
+    carryover_orders: DataFrame  # incomplete-tx order events
+    carryover_lines: DataFrame  # incomplete-tx line events
+
+
+def _order_versions(norm_orders: DataFrame) -> DataFrame:
+    return norm_orders.select(
+        F.col("key").alias("order_key"),
+        "op",
+        "after",
+        "commit_lsn",
+        "event_lsn",
+    )
+
+
+def _line_versions(norm_lines: DataFrame) -> DataFrame:
+    return norm_lines.select(
+        F.col("key").alias("order_key"),
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("line_id"),
+        "op",
+        "after",
+        "commit_lsn",
+        "event_lsn",
+    )
+
+
+def tx_denormalize(
+    order_events: DataFrame,
+    line_events: DataFrame,
+    tx_events: DataFrame,
+    *,
+    order_state: DataFrame | None = None,
+    line_state: DataFrame | None = None,
+    carryover_orders: DataFrame | None = None,
+    carryover_lines: DataFrame | None = None,
+    schema: str = "public",
+) -> TxDenormResult:
+    """Run the flagship pipeline over one batch of envelope events.
+
+    ``order_events``/``line_events`` are raw envelope DataFrames
+    (model.envelope schemas); ``*_state`` are the version frames a
+    previous batch returned. Emission frame columns:
+
+      order_key, commit_lsn, tx_id, deleted, id, order_date DATE,
+      purchaser, shipping_address,
+      lines ARRAY<STRUCT<id, product_id, quantity, price DECIMAL(10,2)>>
+    """
+    norm_o = normalize_events(order_events, "orders", "id")
+    norm_l = normalize_events(line_events, "order_lines", "order_id")
+    # incomplete-tx events from the previous batch rejoin the pool
+    # (already normalized; drop the stale null commit_lsn → restamp)
+    if carryover_orders is not None:
+        norm_o = norm_o.unionByName(carryover_orders)
+    if carryover_lines is not None:
+        norm_l = norm_l.unionByName(carryover_lines)
+    norm_o = stamp_commit_lsn(norm_o, tx_events)
+    norm_l = stamp_commit_lsn(norm_l, tx_events)
+
+    ok = complete_tx_ids([norm_o, norm_l], tx_events)
+    o_complete = norm_o.join(F.broadcast(ok), "tx_id", "left_semi")
+    l_complete = norm_l.join(F.broadcast(ok), "tx_id", "left_semi")
+    o_carry = norm_o.join(F.broadcast(ok), "tx_id", "left_anti")
+    l_carry = norm_l.join(F.broadcast(ok), "tx_id", "left_anti")
+
+    o_versions = _order_versions(o_complete)
+    l_versions = _line_versions(l_complete)
+    if order_state is not None:
+        o_versions = o_versions.unionByName(order_state)
+    if line_state is not None:
+        l_versions = l_versions.unionByName(line_state)
+
+    # -- 2. touched (order, tx) pairs: the emission contract ------------
+    touched = (
+        o_complete.select("key", "commit_lsn", "tx_id")
+        .unionByName(l_complete.select("key", "commit_lsn", "tx_id"))
+        .where(F.col("key").isNotNull() & F.col("commit_lsn").isNotNull())
+        .groupBy(F.col("key").alias("t_key"), F.col("commit_lsn").alias("t_lsn"))
+        .agg(F.max("tx_id").alias("tx_id"))
+    )
+
+    version = F.struct(F.col("commit_lsn").alias("v0"), F.col("event_lsn").alias("v1"))
+
+    # -- 3a. as-of latest order image per touched pair -------------------
+    order_asof = (
+        touched.join(
+            o_versions,
+            (o_versions["order_key"] == touched["t_key"])
+            & (o_versions["commit_lsn"] <= touched["t_lsn"]),
+            "left",
+        )
+        .groupBy("t_key", "t_lsn", "tx_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("op").alias("op"), F.col("after").alias("after")),
+                version,
+            ).alias("o"),
+        )
+    )
+
+    # -- 3b. as-of line set per touched pair -----------------------------
+    line_asof = (
+        touched.join(
+            l_versions,
+            (l_versions["order_key"] == touched["t_key"])
+            & (l_versions["commit_lsn"] <= touched["t_lsn"]),
+            "inner",
+        )
+        .groupBy("t_key", "t_lsn", "line_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("op").alias("op"), F.col("after").alias("after")),
+                version,
+            ).alias("l"),
+        )
+        .filter(
+            (F.col("l.op") != OP_DELETE)
+            # a line re-pointed to another order drops out of this one
+            & (F.col("l.after.order_id") == F.col("t_key"))
+        )
+        .groupBy("t_key", "t_lsn")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l.after.id").alias("id"),
+                        F.col("l.after.product_id").alias("product_id"),
+                        F.col("l.after.quantity").alias("quantity"),
+                        decimal_from_string(F.col("l.after.price")).alias("price"),
+                    )
+                )
+            ).alias("lines")
+        )
+    )
+
+    # -- 4. assemble docs / tombstones -----------------------------------
+    deleted = F.col("o.op") == OP_DELETE
+    emissions = (
+        order_asof.filter(F.col("o").isNotNull() & F.col("o.op").isNotNull())
+        .join(line_asof, ["t_key", "t_lsn"], "left")
+        .select(
+            F.col("t_key").alias("order_key"),
+            F.col("t_lsn").alias("commit_lsn"),
+            "tx_id",
+            deleted.alias("deleted"),
+            F.when(deleted, F.lit(None)).otherwise(F.col("o.after.id")).alias("id"),
+            F.when(deleted, F.lit(None))
+            .otherwise(date_from_epoch_days(F.col("o.after.order_date")))
+            .alias("order_date"),
+            F.when(deleted, F.lit(None)).otherwise(F.col("o.after.purchaser")).alias("purchaser"),
+            F.when(deleted, F.lit(None))
+            .otherwise(F.col("o.after.shipping_address"))
+            .alias("shipping_address"),
+            F.when(deleted, F.lit(None))
+            .otherwise(
+                F.coalesce(
+                    F.col("lines"),
+                    # typed empty array: an order with zero lines still
+                    # emits a doc (LEFT JOIN semantics, poc.md:235-237)
+                    F.expr(
+                        "CAST(array() AS array<struct<id:bigint,product_id:int,quantity:int,price:decimal(10,2)>>)"
+                    ),
+                )
+            )
+            .alias("lines"),
+        )
+    )
+
+    # -- 5. roll state forward (latest per key over state ∪ batch) -------
+    new_order_state = (
+        o_versions.groupBy("order_key")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("op").alias("op"),
+                    F.col("after").alias("after"),
+                    F.col("commit_lsn").alias("commit_lsn"),
+                    F.col("event_lsn").alias("event_lsn"),
+                ),
+                version,
+            ).alias("s")
+        )
+        .filter(F.col("s.op") != OP_DELETE)  # order delete clears state
+        .select(
+            "order_key",
+            F.col("s.op").alias("op"),
+            F.col("s.after").alias("after"),
+            F.col("s.commit_lsn").alias("commit_lsn"),
+            F.col("s.event_lsn").alias("event_lsn"),
+        )
+    )
+    new_line_state = (
+        l_versions.groupBy("line_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("order_key").alias("order_key"),
+                    F.col("op").alias("op"),
+                    F.col("after").alias("after"),
+                    F.col("commit_lsn").alias("commit_lsn"),
+                    F.col("event_lsn").alias("event_lsn"),
+                ),
+                version,
+            ).alias("s")
+        )
+        .filter(F.col("s.op") != OP_DELETE)
+        .select(
+            F.col("s.order_key").alias("order_key"),
+            "line_id",
+            F.col("s.op").alias("op"),
+            F.col("s.after").alias("after"),
+            F.col("s.commit_lsn").alias("commit_lsn"),
+            F.col("s.event_lsn").alias("event_lsn"),
+        )
+    )
+
+    return TxDenormResult(
+        emissions=emissions,
+        order_state=new_order_state,
+        line_state=new_line_state,
+        carryover_orders=o_carry,
+        carryover_lines=l_carry,
+    )

@@ -1,0 +1,194 @@
+"""Golden tests for the flagship tx-aware denormalization.
+
+Mirrors the reference's integration scenarios (PurchaseOrderJoinerIT
+.java:139-524, listed in FIXTURES.md §5): join+agg, update, line
+delete, interleaved transactions, multi-tx accumulation, order delete
+→ tombstone, and the exactly-one-emission-per-(order, tx) guarantee.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from streaming_examples_spark.model.fixtures import TxLog
+from streaming_examples_spark.operators.txjoin import tx_denormalize
+
+
+def run(spark, log: TxLog, **kw):
+    res = tx_denormalize(
+        log.order_events_df(spark), log.line_events_df(spark), log.tx_events_df(spark), **kw
+    )
+    emissions = sorted(
+        ([tuple(r) for r in res.emissions.collect()]),
+        key=lambda r: r[1],  # commit_lsn order (§2.9 emission ordering)
+    )
+    cols = res.emissions.columns
+    return [dict(zip(cols, r)) for r in emissions], res
+
+
+def lines_of(e):
+    return [(ln["id"], ln["product_id"], ln["quantity"], ln["price"]) for ln in e["lines"]]
+
+
+# -- scenario 1: insert order + 2 lines in one tx → one doc, 2 lines ----
+def test_join_order_with_lines(spark):
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, product_id=102, quantity=1, price="39.99"),
+        lambda t: t.insert_line(100002, 10001, product_id=106, quantity=5, price="129.99"),
+    )
+    out, _ = run(spark, log)
+    assert len(out) == 1  # exactly one emission for the tx
+    doc = out[0]
+    assert doc["id"] == 10001 and not doc["deleted"]
+    assert lines_of(doc) == [
+        (100001, 102, 1, Decimal("39.99")),
+        (100002, 106, 5, Decimal("129.99")),
+    ]
+
+
+# -- scenario 2: update order + add line in second tx → one updated doc --
+def test_update_emits_one_doc_per_tx(spark):
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001, addr="1 Main St"),
+        lambda t: t.insert_line(100001, 10001, price="19.99"),
+    )
+    log.tx(
+        lambda t: t.update_order(10001, shipping_address="2 Oak Ave"),
+        lambda t: t.insert_line(100002, 10001, price="40.00"),
+    )
+    out, _ = run(spark, log)
+    assert len(out) == 2
+    assert out[0]["shipping_address"] == "1 Main St" and len(out[0]["lines"]) == 1
+    assert out[1]["shipping_address"] == "2 Oak Ave" and len(out[1]["lines"]) == 2
+    assert out[1]["lines"][1]["price"] == Decimal("40.00")  # scale preserved
+
+
+# -- scenario 3: delete lines → doc shrinks --------------------------------
+def test_line_delete_edits_doc(spark):
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001),
+        lambda t: t.insert_line(100002, 10001),
+        lambda t: t.insert_line(100003, 10001),
+    )
+    log.tx(lambda t: t.delete_line(100001), lambda t: t.delete_line(100003))
+    out, _ = run(spark, log)
+    assert len(out) == 2
+    assert [ln["id"] for ln in out[1]["lines"]] == [100002]
+
+
+# -- scenario 4: interleaved txs — emission in commit order, not begin order
+def test_interleaved_transactions_commit_order(spark):
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    a = log.begin()
+    a.update_order(10001, shipping_address="A wins last")
+    b = log.begin()
+    b.insert_line(100002, 10001, product_id=7)
+    lsn_b = b.commit()  # B begun later, commits FIRST
+    lsn_a = a.commit()
+    assert lsn_b < lsn_a
+    out, _ = run(spark, log)
+    assert [e["commit_lsn"] for e in out] == sorted(e["commit_lsn"] for e in out)
+    doc_b = next(e for e in out if e["commit_lsn"] == lsn_b)
+    doc_a = next(e for e in out if e["commit_lsn"] == lsn_a)
+    # B's doc must NOT see A's (later-committed) update, despite A's
+    # event having an earlier event LSN
+    assert doc_b["shipping_address"] == "1 Main St"
+    assert len(doc_b["lines"]) == 2
+    assert doc_a["shipping_address"] == "A wins last"
+
+
+# -- scenario 5: accumulation across many txs ------------------------------
+def test_accumulate_lines_across_transactions(spark):
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001))
+    next_line = [100001]
+    for tx_i in range(5):
+        def add(t, n=tx_i):
+            for _ in range(n + 1):
+                t.insert_line(next_line[0], 10001)
+                next_line[0] += 1
+        log.tx(add)
+    out, _ = run(spark, log)
+    assert len(out) == 6  # 1 insert + 5 accumulating txs
+    assert [len(e["lines"]) for e in out] == [0, 1, 3, 6, 10, 15]
+
+
+# -- scenario 6: delete lines + order in one tx → tombstone ---------------
+def test_order_delete_emits_tombstone(spark):
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001),
+        lambda t: t.insert_line(100002, 10001),
+    )
+    log.tx(
+        lambda t: t.delete_line(100001),
+        lambda t: t.delete_line(100002),
+        lambda t: t.delete_order(10001),
+    )
+    out, res = run(spark, log)
+    assert len(out) == 2  # one doc + one tombstone, nothing extra
+    tomb = out[1]
+    assert tomb["deleted"] is True
+    assert tomb["order_key"] == 10001  # key survives for the sink tombstone
+    assert tomb["id"] is None and tomb["lines"] is None
+    # state cleared (TxAwareAggregationFunction.java:91-94)
+    assert res.order_state.count() == 0
+    assert res.line_state.count() == 0
+
+
+# -- order with zero lines still emits (LEFT JOIN semantics) --------------
+def test_order_without_lines_emits_empty_array(spark):
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001))
+    out, _ = run(spark, log)
+    assert len(out) == 1
+    assert out[0]["lines"] == []
+
+
+# -- incomplete tx carries over; completes with state ----------------------
+def test_tx_split_across_batches(spark):
+    log1 = TxLog()
+    log1.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    # tx 2 writes a line event... but batch 1 only sees part of it:
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = log1._lsn, log1._next_tx
+    log2.tx(lambda t: t.insert_line(100002, 10001), lambda t: t.insert_line(100003, 10001))
+    full_lines = log2.line_events_df(spark)
+    first_half = full_lines.limit(1)
+
+    # batch 1: incomplete tx → no emission for it, events carried over
+    res1 = tx_denormalize(
+        log1.order_events_df(spark),
+        log1.line_events_df(spark).unionByName(first_half),
+        log1.tx_events_df(spark).unionByName(log2.tx_events_df(spark)),
+    )
+    assert res1.emissions.count() == 1  # only tx 1 emitted
+    assert res1.carryover_lines.count() == 1
+
+    # batch 2: remaining event + carryover + rolled state → emits tx 2
+    from streaming_examples_spark.model.fixtures import ORDER_ROW_SCHEMA
+    from streaming_examples_spark.model.envelope import data_change_event_schema
+
+    empty_orders = spark.createDataFrame([], data_change_event_schema(ORDER_ROW_SCHEMA))
+    second_half = full_lines.subtract(first_half)
+    res2 = tx_denormalize(
+        empty_orders,
+        second_half,
+        log2.tx_events_df(spark),
+        order_state=res1.order_state,
+        line_state=res1.line_state,
+        carryover_orders=res1.carryover_orders,
+        carryover_lines=res1.carryover_lines,
+    )
+    docs = res2.emissions.collect()
+    assert len(docs) == 1
+    assert sorted(ln["id"] for ln in docs[0]["lines"]) == [100001, 100002, 100003]
