@@ -1,0 +1,147 @@
+"""Streaming-layer tests: foreachBatch tx pipeline across micro-batches,
+stateful fill-forward, and the UDTF (PTF) surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.model.fixtures import TxLog
+from streaming_examples_spark.model.envelope import TOAST_SENTINEL
+from streaming_examples_spark.streaming.cdc_stream import TxDenormBatchProcessor
+
+
+def test_batch_processor_across_micro_batches(spark, tmp_path):
+    """Replay an event log split into 2 micro-batches; state + carryover
+    persist through the state dir (the foreachBatch body)."""
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="19.99"),
+    )
+    log.tx(
+        lambda t: t.update_order(10001, shipping_address="2 Oak Ave"),
+        lambda t: t.insert_line(100002, 10001, price="40.00"),
+    )
+    orders, lines, txs = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    # split mid-transaction: batch 1 = tx1 + half of tx2
+    cut = 1045  # LSN between tx2's two data events (1040 update, 1050 insert)
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+
+    out1 = proc.process(
+        orders.filter(F.col("source.lsn") <= cut),
+        lines.filter(F.col("source.lsn") <= cut),
+        txs,
+        batch_id=0,
+    )
+    assert out1.count() == 1  # tx1 only; tx2 incomplete
+
+    out2 = proc.process(
+        orders.filter(F.col("source.lsn") > cut),
+        lines.filter(F.col("source.lsn") > cut),
+        txs,
+        batch_id=1,
+    )
+    docs = out2.collect()
+    assert len(docs) == 1  # tx2 completes exactly once
+    assert docs[0]["shipping_address"] == "2 Oak Ave"
+    assert [str(l["price"]) for l in docs[0]["lines"]] == ["19.99", "40.00"]
+
+
+def test_fill_forward_stream_batch_semantics(spark):
+    """applyInPandasWithState path driven in batch mode (Spark executes
+    the same stateful function; each group sees its rows once)."""
+    from streaming_examples_spark.streaming.fill_forward import fill_forward_stream
+
+    rows = [
+        (1001, 10, "c", "a real biography"),
+        (1001, 20, "u", TOAST_SENTINEL),
+        (1001, 30, "u", "updated biography"),
+        (1001, 40, "u", TOAST_SENTINEL),
+        (1002, 15, "c", TOAST_SENTINEL),  # no prior value → stays null
+        (1002, 25, "d", "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, event_lsn long, op string, value string")
+    out = fill_forward_stream(df, key_col="id", value_col="value").collect()
+    got = {(r["id"], r["event_lsn"]): r["value"] for r in out}
+    assert got[(1001, 20)] == "a real biography"
+    assert got[(1001, 40)] == "updated biography"
+    assert got[(1002, 15)] is None
+    assert got[(1002, 25)] is None
+
+
+def test_fill_forward_true_streaming_state_across_batches(spark, tmp_path):
+    """True streaming run: two file micro-batches; per-key state must
+    carry the last real value across the batch boundary."""
+    import json
+    import os
+
+    from streaming_examples_spark.streaming.fill_forward import fill_forward_stream
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    b1 = [
+        {"id": 1001, "event_lsn": 10, "op": "c", "value": "bio v1"},
+        {"id": 1001, "event_lsn": 20, "op": "u", "value": TOAST_SENTINEL},
+    ]
+    with open(src / "batch1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+
+    stream = (
+        spark.readStream.schema("id long, event_lsn long, op string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = fill_forward_stream(stream, key_col="id", value_col="value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ff_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 arrives: sentinel must backfill from batch-1 state
+        b2 = [{"id": 1001, "event_lsn": 30, "op": "u", "value": TOAST_SENTINEL}]
+        with open(src / "batch2.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in b2))
+        q.processAllAvailable()
+        got = {
+            (r["id"], r["event_lsn"]): r["value"]
+            for r in spark.sql("SELECT * FROM ff_out").collect()
+        }
+        assert got[(1001, 20)] == "bio v1"
+        assert got[(1001, 30)] == "bio v1"  # state survived the batch boundary
+    finally:
+        q.stop()
+
+
+def test_toast_backfill_udtf(spark):
+    from streaming_examples_spark.streaming.fill_forward import (
+        register_toast_backfill_udtf,
+    )
+
+    register_toast_backfill_udtf(spark)
+    spark.createDataFrame(
+        [
+            (1001, 10, "c", "bio v1"),
+            (1001, 20, "u", TOAST_SENTINEL),
+            (1002, 15, "c", "other"),
+        ],
+        "id long, lsn long, op string, value string",
+    ).createOrReplaceTempView("toast_events")
+    out = spark.sql(
+        """
+        SELECT * FROM toast_backfill(
+            TABLE(SELECT id, lsn, op, value FROM toast_events)
+            PARTITION BY id ORDER BY lsn)
+        """
+    ).collect()
+    got = {(r["id"], r["lsn"]): r["value"] for r in out}
+    assert got[(1001, 20)] == "bio v1"
+    assert got[(1002, 15)] == "other"
