@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query executes to a noop sink (full computation, no driver
+collect) so the numbers measure engine work, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streaming_examples_spark import get_spark
+from streaming_examples_spark.catalog import entries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: flagship + one per operator family
+HEADLINE = [
+    "denorm_orders",          # flagship join+agg (north-star query)
+    "pricing_summary",        # scan-heavy aggregation
+    "regional_revenue",       # multi-join (broadcast dims)
+    "top_customers",          # join + agg + top-k
+    "upsert_latest_events",   # upsert materialization (max_by)
+    "fill_forward_events",    # window fill-forward
+    "sessionize_events",      # gaps-and-islands sessionization
+    "dedup_minhash_lsh",      # MinHash LSH near-dup
+    "dedup_exact",            # exact dedup
+    "ann_topk",               # brute-force cosine top-k
+    "text_quality",           # text quality metrics
+    "multimodal_decode",      # mapInPandas decode path
+]
+
+
+def main() -> int:
+    spark = get_spark("bench")
+    cat = entries()
+    # warm the JVM + parquet footer caches with a trivial action
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = cat[name].fn
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

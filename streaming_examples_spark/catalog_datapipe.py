@@ -1,2 +1,314 @@
 """Catalog entries: training-data pipeline operators (dedup,
-similarity search, text analysis, multimodal)."""
+similarity search, text analysis, multimodal).
+
+Oracle strategy: wherever the algorithm is deterministic and
+engine-portable (md5-based MinHash, cosine over DOUBLE[], split/
+regexp text metrics) the DuckDB oracle runs the *same algorithm*,
+generated from the same Python constants. Approximate operators whose
+Spark-side hashing has no DuckDB counterpart (SimHash bit packing,
+hyperplane LSH ANN) are registered rows-only and verified by pytest
+against brute-force ground truth instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.catalog import register, t
+from streaming_examples_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    perm_constants,
+)
+from streaming_examples_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    normalized_dedup,
+    simhash_near_pairs,
+)
+from streaming_examples_spark.operators.multimodal import (
+    decode_and_featurize,
+    payload_meta,
+    with_binary_payload,
+)
+from streaming_examples_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from streaming_examples_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (kept in lockstep with the Spark operators)
+# --------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS sh
+      FROM t WHERE len(w) >= 3),
+sb AS (SELECT doc_id, sh,
+              [(('0x' || substr(md5(x), 1, 15))::BIGINT % {MERSENNE_P}) FOR x IN sh] AS hs
+       FROM s)
+"""
+
+
+def _band_key_sql(b: int) -> str:
+    parts = []
+    for r in range(LSH_ROWS):
+        a, c = perm_constants(b * LSH_ROWS + r)
+        parts.append(f"list_min([({a} * h + {c}) % {MERSENNE_P} FOR h IN hs])")
+    return " || '|' || ".join(parts)
+
+
+def _minhash_lsh_oracle(threshold: float) -> str:
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sb"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    buckets AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1 AS d1, c.d2 AS d2,
+           round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                 / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+    FROM cand c JOIN s s1 ON s1.doc_id = c.d1 JOIN s s2 ON s2.doc_id = c.d2
+    WHERE round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents GROUP BY text
+    """,
+    survey_ref="training-data: exact dedup (hash groupBy)",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
+    """,
+    survey_ref="training-data: dedup after canonical normalization",
+)
+def q_dedup_normalized(spark, sf_dir):
+    return normalized_dedup(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_lsh_oracle(0.9),
+    survey_ref="training-data: MinHash+LSH near-dup (banded, exact-verify)",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-packing has no DuckDB twin; pytest verifies vs brute force
+    survey_ref="training-data: SimHash near-dup (Hamming ≤ 8, block-join)",
+)
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
+    survey_ref="training-data: embedding-cosine near-dup",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(cv, qv) AS cos
+      FROM c, q WHERE neighbor_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+    FROM ranked WHERE rank <= 10
+    """,
+    survey_ref="training-data: exact top-k cosine (broadcast brute force)",
+)
+def q_ann_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "ann_lsh",
+    oracle=None,  # approximate; pytest measures recall vs brute force
+    survey_ref="training-data: LSH-bucketed ANN (scale path)",
+)
+def q_ann_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens,
+           round(length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+    survey_ref="training-data: token counting (whitespace + BPE-ish)",
+)
+def q_text_tokens(spark, sf_dir):
+    return token_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(words) AS n_words,
+           round(len(list_filter(words, x -> list_contains({list(STOPWORDS)!r}, x)))::DOUBLE
+                 / len(words), 4) AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                 / length(text), 4) AS punct_ratio,
+           round(len(list_distinct(words))::DOUBLE / len(words), 4) AS unique_ratio,
+           (len(words) >= 10
+            AND (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                / length(text) < 0.2
+            AND len(list_distinct(words))::DOUBLE / len(words) > 0.1) AS passes_quality
+    FROM w
+    """,
+    survey_ref="training-data: quality scoring (length/punct/stopword/repetition)",
+)
+def q_text_quality(spark, sf_dir):
+    return quality_scores(t(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ",\n           ".join(
+        f"len(list_filter(words, x -> list_contains({list(m)!r}, x))) AS s_{lang}"
+        for lang, m in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+    scored AS (SELECT doc_id,
+           {score_cols}
+    FROM w),
+    g AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id, {case} AS pred_lang, best AS marker_hits FROM g
+    """
+
+
+@register(
+    "lang_id",
+    oracle=_lang_id_oracle(),
+    survey_ref="training-data: language ID (marker-word heuristic)",
+)
+def q_lang_id(spark, sf_dir):
+    return lang_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(w) >= 3
+                      THEN list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)])
+                      ELSE [] END AS sh
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN len(sh) > 0 THEN list_min([md5('fp_' || x) FOR x IN sh]) END AS fp,
+           len(sh) AS n_shingles
+    FROM s
+    """,
+    survey_ref="training-data: document fingerprint (md5-MinHash)",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return fingerprint(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(lower(hex(encode(text))), 1, 16) AS prefix_hex
+    FROM documents
+    """,
+    survey_ref="training-data: binary payload metadata (pre-decode filter)",
+)
+def q_multimodal_meta(spark, sf_dir):
+    return payload_meta(with_binary_payload(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_decode",
+    oracle=None,  # mapInPandas stub decoder; plumbing verified by pytest
+    survey_ref="training-data: decode/feature-extract via mapInPandas (STUB decode)",
+)
+def q_multimodal_decode(spark, sf_dir):
+    return decode_and_featurize(with_binary_payload(t(spark, sf_dir, "documents")))

@@ -1,0 +1,261 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five strategies over the ``documents`` table, each with a distinct
+scale/recall profile:
+
+  * ``exact_dedup``            — byte-identical text (hash groupBy)
+  * ``normalized_dedup``       — canonical signature (sorted distinct
+                                 words): catches reordered/whitespace
+                                 variants
+  * ``minhash_lsh_pairs``      — MinHash+LSH banding → candidate
+                                 buckets → exact-Jaccard verify; THE
+                                 scale path (equi-join on band keys,
+                                 never a cross product)
+  * ``simhash64``              — 64-bit SimHash per doc + near-dup
+                                 pairs by Hamming distance (banded)
+  * ``embedding_near_dup``     — cosine ≥ τ pairs over embeddings,
+                                 blocked to keep the pair space bounded
+
+Scale notes: every strategy is shuffle-on-key; none materializes the
+n² pair space. MinHash bucket-join candidate volume is governed by
+the banding layout (functions/hashing.py); skewed buckets (a viral
+boilerplate shingle) are exactly what AQE skew-join splitting handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from streaming_examples_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    jaccard,
+    shingle_base_hashes,
+    word_shingles,
+)
+from streaming_examples_spark.functions.vectors import as_double, cosine
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one surviving id per distinct text. Group on a
+    256-bit digest, not the text itself — at 100 TB the shuffle moves
+    32-byte keys instead of documents."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("keep_id", "n_docs")
+    )
+
+
+def normalized_signature(text: Column) -> Column:
+    """Canonical text signature: sorted distinct lowercase tokens."""
+    return F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(text), " "))), " "
+    )
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Dedup after normalization — catches token-reordered copies."""
+    return (
+        docs.groupBy(F.sha2(normalized_signature(F.col(text_col)), 256).alias("sig"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .select("keep_id", "n_docs")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact verification.
+
+    shingle → per-band minhash signature → bucket equi-join on
+    (band_idx, band_key) → distinct candidate pairs → exact Jaccard
+    filter ≥ threshold. Returns (d1, d2, jaccard) with d1 < d2.
+
+    Deterministic (md5-based minhashes): the DuckDB oracle runs the
+    identical algorithm and must match bit-for-bit.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    # the shingle frame feeds three branches (bucketing + both sides of
+    # the verify join); persist so tokenization runs once — at corpus
+    # scale this is the frame you would checkpoint to storage
+    sh = sh.persist()
+    # base hashes computed once per doc; the Generate (explode) below
+    # is an optimizer barrier, so per-band expressions reference the
+    # materialized `hs` attribute instead of re-inlining the md5 pass
+    # (CollapseProject would otherwise duplicate it per permutation —
+    # measured 15× slower)
+    hashed = sh.select("doc_id", shingle_base_hashes(F.col("sh")).alias("hs"))
+    exploded = hashed.select(
+        "doc_id", "hs", F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band_idx")
+    )
+    from streaming_examples_spark.functions.hashing import MERSENNE_P, perm_constants
+
+    a_arr = F.array(*[F.lit(perm_constants(i)[0]) for i in range(bands * rows)])
+    b_arr = F.array(*[F.lit(perm_constants(i)[1]) for i in range(bands * rows)])
+
+    def perm_min(r: int):
+        idx = F.col("band_idx") * rows + F.lit(r) + 1  # element_at is 1-based
+        a, b = F.element_at(a_arr, idx), F.element_at(b_arr, idx)
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (a * h + b) % F.lit(MERSENNE_P))
+        )
+
+    buckets = exploded.select(
+        "doc_id",
+        "band_idx",
+        F.concat_ws("|", *[perm_min(r) for r in range(rows)]).alias("band_key"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sh1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    sh2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    return (
+        cand.join(sh1, "d1")
+        .join(sh2, "d2")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh1"), F.col("sh2")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed BIGINT
+
+
+def simhash64(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document (15 md5 hex chars keep the feature
+    hash inside a signed BIGINT).
+
+    Features are 3-word shingles (unigrams are not discriminative on
+    low-vocabulary corpora — every doc shares most of the vocabulary;
+    shingles make near-dup hamming ≈ 0 vs background ≈ 20+). Per
+    feature: md5 → 60-bit hash; per bit position, sum ±1 across
+    features; the sign vector packs into a BIGINT. All JVM-side
+    expressions (conv/bitwise), no UDF.
+    """
+    features = word_shingles(F.lower(F.col(text_col)), 3)
+    token_hash = lambda t: F.conv(F.substring(F.md5(t), 18, 15), 16, 10).cast("long")  # noqa: E731
+    hashes = F.transform(features, token_hash)
+
+    # for each bit j: popcount-style vote; build the bit terms and sum
+    def vote_fn(j: int):
+        def step(acc, h):
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return step
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote_fn(j)) for j in range(SIMHASH_BITS)]
+    sim = None
+    for j, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, *, max_hamming: int = 8, n_blocks: int = 6, **kw
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Block-and-verify: split the hash into ``n_blocks`` blocks; by
+    pigeonhole any pair within distance < n_blocks shares at least one
+    exact block → candidates come from an equi-join on (block_idx,
+    block_value), then exact popcount verifies. For max_hamming ≥
+    n_blocks this is a heuristic recall tradeoff (as in practice);
+    for < n_blocks it is exact.
+    """
+    sh = simhash64(docs, **kw)
+    width = SIMHASH_BITS // n_blocks
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    With ``block_col`` the pair space is restricted to equal blocking
+    keys (label, cluster id, LSH bucket …) — the scale pattern; without
+    it this is the small-corpus brute force.
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+        joined = a.join(b, cond)
+    else:
+        joined = a.join(b, cond)
+    return (
+        joined.withColumn("cos", F.round(cosine(F.col("a.v"), F.col("b.v")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"), "cos")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+  * ``brute_force_topk`` — exact top-k cosine neighbors for a query
+    set: broadcast the (small) query side against the corpus, rank
+    per query. The corpus is scanned once, never shuffled; ranking
+    shuffles only (n_queries × corpus_partition) partial top-ks.
+  * ``lsh_ann_topk``     — approximate: random-hyperplane LSH signs
+    bucket the corpus; queries probe only their own bucket (and
+    optionally multi-probe neighbors). The 100 TB path: turns the
+    cross product into an equi-join on bucket keys.
+
+Hyperplanes are derived deterministically from md5 of (plane, dim) —
+reproducible across runs and engines, no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from streaming_examples_spark.functions.vectors import as_double, cosine
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (cosine).
+
+    Returns (query_id, neighbor_id, rank, cos). Deterministic
+    tie-break on neighbor id.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random coefficient in [-1, 1) from md5 —
+    same value every run, no RNG dependency."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[:8], 16)
+    return (h / float(1 << 31)) - 1.0
+
+
+def _plane_array(salt: int, dim: int) -> Column:
+    """Hyperplane as a literal array<double> — the dot product then
+    runs as a zip_with/aggregate fold (a runtime loop), keeping the
+    generated code tiny instead of unrolling dim×planes scalar ops
+    past the JVM's 64 KB method limit."""
+    return F.array(*[F.lit(_hyperplane(salt, d)) for d in range(dim)])
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, salt_base: int = 0) -> Column:
+    """Random-hyperplane signature: bit p = sign(v · h_p). Returns a
+    bucket id in [0, 2^n_planes)."""
+    from streaming_examples_spark.functions.vectors import dot as vdot
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        d = vdot(vec, _plane_array(salt_base + p, dim))
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent LSH tables; a
+    query's candidates = union of its buckets across tables; exact
+    cosine rank within candidates.
+
+    Recall/cost dial: more planes → smaller buckets (fewer candidates,
+    lower recall); more tables → higher recall. At corpus scale the
+    bucket join replaces the brute-force cross product.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    def buckets_for(col: Column) -> Column:
+        # plane salt t*1000+p → independent hyperplane sets per table
+        return F.array(
+            *[lsh_bucket(col, dim, n_planes, salt_base=t * 1000) for t in range(n_tables)]
+        )
+
+    c_b = corpus.select(
+        "neighbor_id", "cv", F.posexplode(buckets_for(F.col("cv"))).alias("tbl", "bkt")
+    )
+    q_b = qs.select(
+        "query_id", "qv", F.posexplode(buckets_for(F.col("qv"))).alias("tbl", "bkt")
+    )
+    cand = (
+        c_b.join(q_b, ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos", cosine(F.col("cv"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+quality scoring, language identification, document fingerprinting.
+
+All pure Catalyst expressions (split/regexp/aggregate) — JVM-side and
+codegen'd; the per-doc cost is O(len) with no Python boundary, so the
+operators scale linearly with corpus bytes.
+
+The language-ID word lists are module constants; the DuckDB oracle
+SQL is *generated from the same constants* (catalog_datapipe.py), so
+both engines score identically by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from streaming_examples_spark.functions.hashing import minhash, word_shingles
+
+#: tiny high-frequency marker words per language (demonstration
+#: heuristic — swap for char-trigram profiles in production)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "y", "los", "una"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est"),
+    "zh": ("的", "了", "是", "我", "不", "在", "他"),
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ("for", "on", "with", "as", "at", "by", "it")
+
+
+def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts and length stats per doc."""
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    # BPE-ish: letter runs, digit runs, and single symbols as tokens
+    # (RE2-compatible — no lookarounds — so the oracle matches exactly)
+    bpe_ish = F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"), 0)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).alias("n_chars"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_unique_tokens"),
+        F.size(bpe_ish).alias("n_bpe_tokens"),
+        F.round(F.length(F.regexp_replace(text, r"\s", "")) / F.size(words), 4).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, punctuation density, stopword
+    ratio, repetition (unique/total tokens) — the classic pre-training
+    quality filters."""
+    text = F.col(text_col)
+    words = F.split(F.lower(text), " ")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct(words)) / n_words, 4).alias("unique_ratio"),
+        # composite gate: long enough, not punctuation soup, not repetitive
+        (
+            (n_words >= 10)
+            & (n_punct / n_chars < 0.2)
+            & (F.size(F.array_distinct(words)) / n_words > 0.1)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    words = F.split(F.lower(text), " ")
+    out = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        out.append((lang, F.size(F.filter(words, lambda w: F.array_contains(arr, w)))))
+    return out
+
+
+def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker counts,
+    alphabetical-first tie-break, 'und' (undetermined) when all zero."""
+    scores = lang_scores(F.col(text_col))
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so that on ties the alphabetically-first language wins
+    for lang, score in reversed(scores):
+        pred = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        best_score.alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shingle fingerprint: md5-MinHash over 3-word shingles (a
+    compact rolling-hash-style document signature, engine-portable)."""
+    sh = word_shingles(F.col(text_col), 3)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(sh) > 0, minhash(sh, "fp_")).otherwise(F.lit(None)).alias("fp"),
+        F.size(sh).alias("n_shingles"),
+    )

@@ -1,0 +1,155 @@
+"""Training-data pipeline operator tests: dedup recall/precision on
+planted near-dups, ANN recall vs brute force, text metrics, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    normalized_dedup,
+    simhash_near_pairs,
+)
+from streaming_examples_spark.operators.multimodal import (
+    decode_and_featurize,
+    payload_meta,
+    with_binary_payload,
+)
+from streaming_examples_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from streaming_examples_spark.operators.text import lang_id, quality_scores, token_stats
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Corpus with planted near-duplicates: pairs (i, i+1000) differ by
+    one word; everything else is disjoint-ish."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(400)]
+    base = [
+        " ".join(rng.choice(vocab) for _ in range(100)) + f" uniq{i}" for i in range(20)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # near-dup: one word substituted in a 100-word doc (j ≈ 0.97)
+    rows += [
+        (1000 + i, t.replace(t.split()[50], "CHANGED", 1))
+        for i, t in enumerate(base[:10])
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_pairs(spark, near_dup_docs):
+    pairs = minhash_lsh_pairs(near_dup_docs, threshold=0.5).collect()
+    found = {(r["d1"], r["d2"]) for r in pairs}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= found  # full recall on planted pairs
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_finds_planted_pairs(spark, near_dup_docs):
+    pairs = simhash_near_pairs(near_dup_docs, max_hamming=10)
+    found = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert len(planted & found) >= 8  # approximate: ≥80% recall
+
+
+def test_exact_and_normalized_dedup(spark):
+    rows = [
+        (1, "b a c"),
+        (2, "b a c"),       # exact dup of 1
+        (3, "c a b"),       # reordered → normalized dup of 1
+        (4, "totally different words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r["keep_id"]: r["n_docs"] for r in exact_dedup(docs).collect()}
+    assert exact[1] == 2 and exact[3] == 1 and exact[4] == 1
+    norm = {r["keep_id"]: r["n_docs"] for r in normalized_dedup(docs).collect()}
+    assert norm[1] == 3 and norm[4] == 1
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = lsh_ann_topk(emb, queries, k=10)
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    # 8 tables × 4 planes on structureless random vectors: ~75% expected
+    # recall (real clustered embeddings do far better per probe)
+    assert hits >= 0.5 * exact.count()
+    # every ANN result must be a genuine corpus vector with correct cos
+    assert approx.filter(F.col("cos").isNull()).count() == 0
+
+
+def test_embedding_near_dup_blocked(spark, tables):
+    emb = tables["embeddings"]
+    blocked = embedding_near_dup(emb, threshold=0.3, block_col="label")
+    unblocked = embedding_near_dup(emb, threshold=0.3)
+    # blocking restricts the pair space: every blocked pair also appears
+    # unblocked, and there are fewer of them
+    assert blocked.count() <= unblocked.count()
+    assert blocked.join(unblocked, ["d1", "d2"], "left_anti").count() == 0
+
+
+def test_token_stats_basics(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world abc123 end"), (2, "a b a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["n_bpe_tokens"] == 5  # abc123 splits into abc + 123
+    assert got[2]["n_unique_tokens"] == 2
+
+
+def test_quality_gate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten eleven"),
+            (2, "!!! ??? ... !!!"),  # punctuation soup
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert got[1]["passes_quality"] is True
+    assert got[2]["passes_quality"] is False  # punct ratio
+    assert got[3]["unique_ratio"] < 0.1 or not got[3]["passes_quality"]
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el perro y la casa de los gatos"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_multimodal_plumbing(spark, tables):
+    docs = with_binary_payload(tables["documents"].limit(50))
+    meta = payload_meta(docs)
+    m = meta.first()
+    assert m["n_bytes"] > 0 and len(m["prefix_hex"]) == 16
+    feats = decode_and_featurize(docs)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+    # determinism: same input → same features
+    again = {r["doc_id"]: r["feature"] for r in decode_and_featurize(docs).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["feature"]
