@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: headline set: flagship + one per operator family
 HEADLINE = [
     "denorm_orders",          # flagship join+agg (north-star query)
+    "tx_denorm_orders",       # flagship tx-aware pipeline (completeness + as-of)
     "pricing_summary",        # scan-heavy aggregation
     "regional_revenue",       # multi-join (broadcast dims)
     "top_customers",          # join + agg + top-k

