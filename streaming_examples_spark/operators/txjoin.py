@@ -65,8 +65,9 @@ class TxDenormResult:
     emissions: DataFrame  # one row per (order, tx): doc or tombstone
     order_state: DataFrame  # latest order image per id (carry to next batch)
     line_state: DataFrame  # latest line image per line id
-    carryover_orders: DataFrame  # incomplete-tx order events
-    carryover_lines: DataFrame  # incomplete-tx line events
+    carryover_orders: DataFrame  # incomplete/held-tx order events
+    carryover_lines: DataFrame  # incomplete/held-tx line events
+    emitted_txs: DataFrame  # (tx_id) of txs emitted this batch
 
 
 def _order_versions(norm_orders: DataFrame) -> DataFrame:
@@ -128,10 +129,30 @@ def tx_denormalize(
     norm_l = stamp_commit_lsn(norm_l, tx_events)
 
     ok = complete_tx_ids([norm_o, norm_l], tx_events)
-    o_complete = norm_o.join(F.broadcast(ok), "tx_id", "left_semi")
-    l_complete = norm_l.join(F.broadcast(ok), "tx_id", "left_semi")
-    o_carry = norm_o.join(F.broadcast(ok), "tx_id", "left_anti")
-    l_carry = norm_l.join(F.broadcast(ok), "tx_id", "left_anti")
+
+    # -- emission barrier (the reference's min-watermark, T0/T2): a
+    # complete tx may only emit if no known incomplete tx has a lower
+    # commit LSN — otherwise commit-order across micro-batches breaks
+    # (txs complete independently; WAL order does not align with batch
+    # boundaries). Complete-but-held txs carry over whole.
+    from streaming_examples_spark.operators.txgroup import tx_end_events
+
+    ends = tx_end_events(tx_events).select("tx_id", "tx_commit_lsn")
+    incomplete_ends = ends.join(ok, "tx_id", "left_anti")
+    barrier = incomplete_ends.agg(
+        F.coalesce(F.min("tx_commit_lsn"), F.lit(2**63 - 1)).alias("barrier")
+    )
+    emit_txs = (
+        ends.join(ok, "tx_id", "left_semi")
+        .crossJoin(F.broadcast(barrier))
+        .filter(F.col("tx_commit_lsn") < F.col("barrier"))
+        .select("tx_id")
+    )
+
+    o_complete = norm_o.join(F.broadcast(emit_txs), "tx_id", "left_semi")
+    l_complete = norm_l.join(F.broadcast(emit_txs), "tx_id", "left_semi")
+    o_carry = norm_o.join(F.broadcast(emit_txs), "tx_id", "left_anti")
+    l_carry = norm_l.join(F.broadcast(emit_txs), "tx_id", "left_anti")
 
     o_versions = _order_versions(o_complete)
     l_versions = _line_versions(l_complete)
@@ -290,4 +311,5 @@ def tx_denormalize(
         line_state=new_line_state,
         carryover_orders=o_carry,
         carryover_lines=l_carry,
+        emitted_txs=emit_txs,
     )

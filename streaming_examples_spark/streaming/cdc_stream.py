@@ -32,7 +32,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streaming_examples_spark.operators.txjoin import TxDenormResult, tx_denormalize
 
-_STATE_TABLES = ("order_state", "line_state", "carry_orders", "carry_lines")
+_STATE_TABLES = (
+    "order_state",
+    "line_state",
+    "carry_orders",
+    "carry_lines",
+    "carry_txs",
+    "applied_txs",
+)
 
 
 class TxDenormBatchProcessor:
@@ -40,9 +47,12 @@ class TxDenormBatchProcessor:
     a partitioned event log batch-by-batch (tests do exactly that)."""
 
     def __init__(self, spark: SparkSession, state_dir: str, output_dir: str | None = None):
+        from streaming_examples_spark.streaming.monitoring import PipelineMetrics
+
         self.spark = spark
         self.state_dir = state_dir
         self.output_dir = output_dir
+        self.metrics = PipelineMetrics()
         os.makedirs(state_dir, exist_ok=True)
 
     def _load(self, name: str) -> DataFrame | None:
@@ -76,24 +86,83 @@ class TxDenormBatchProcessor:
     ) -> DataFrame:
         """Apply one micro-batch; returns (and optionally writes) the
         emissions in commit-LSN order."""
+        # tx metadata persists across batches (the reference keeps it in
+        # broadcast state, CommitLsnFixer.java:75-89): a tx's END may
+        # arrive batches before/after its data events. GC below drops
+        # metadata of emitted txs (the :130-151 pruning heuristic, but
+        # exact: we know which txs completed).
+        carry_txs = self._load("carry_txs")
+        tx_all = (
+            tx_events.unionByName(carry_txs) if carry_txs is not None else tx_events
+        ).dropDuplicates(["status", "id"])
+
+        # at-least-once replay protection: a tx already applied must
+        # never re-block the barrier nor re-emit — drop its metadata
+        # AND its data events (the (txId, lsn) dedup of SURVEY §7.4).
+        applied = self._load("applied_txs")
+        if applied is not None:
+            applied_b = F.broadcast(applied)
+            tx_all = tx_all.join(
+                applied_b,
+                F.split(tx_all["id"], ":").getItem(0).cast("long") == applied["tx_id"],
+                "left_anti",
+            )
+            order_events = order_events.join(
+                applied_b,
+                order_events["source.txId"] == applied["tx_id"],
+                "left_anti",
+            )
+            line_events = line_events.join(
+                applied_b,
+                line_events["source.txId"] == applied["tx_id"],
+                "left_anti",
+            )
+
         res: TxDenormResult = tx_denormalize(
             order_events,
             line_events,
-            tx_events,
+            tx_all,
             order_state=self._load("order_state"),
             line_state=self._load("line_state"),
             carryover_orders=self._load("carry_orders"),
             carryover_lines=self._load("carry_lines"),
         )
+        emitted = res.emitted_txs.select(
+            F.col("tx_id").cast("string").alias("_emitted_tx")
+        )
+        tx_keep = tx_all.join(
+            emitted,
+            F.split(tx_all["id"], ":").getItem(0) == emitted["_emitted_tx"],
+            "left_anti",
+        )
         emissions = res.emissions.orderBy("commit_lsn").cache()
         emissions.count()  # materialize before state swap
+        # monitoring (§6 metric catalog): events seen, source lag, backlog
+        n_events = order_events.count() + line_events.count()
+        self.metrics.total_events_seen += n_events
+        max_ts = (
+            order_events.select(F.max("ts_ms")).first()[0]
+            if n_events
+            else None
+        )
+        self.metrics.observe_event_time(max_ts)
         self._store_all(
             {
                 "order_state": res.order_state,
                 "line_state": res.line_state,
                 "carry_orders": res.carryover_orders,
                 "carry_lines": res.carryover_lines,
+                "carry_txs": tx_keep,
+                "applied_txs": (
+                    applied.unionByName(res.emitted_txs).distinct()
+                    if applied is not None
+                    else res.emitted_txs
+                ),
             }
+        )
+        self.metrics.observe_backlog(
+            self.spark.read.parquet(os.path.join(self.state_dir, "carry_orders")).count()
+            + self.spark.read.parquet(os.path.join(self.state_dir, "carry_lines")).count()
         )
         if self.output_dir:
             (

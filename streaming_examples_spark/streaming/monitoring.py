@@ -1,0 +1,70 @@
+"""Monitoring surface — SURVEY.md §6's metric catalog re-expressed
+over ``StreamingQuery.lastProgress``.
+
+The reference monitors its CDC pipelines with a Prometheus/JMX stack
+(postgres-replication-slots/): lag behind source, total events seen,
+rows scanned, backlog. Structured Streaming exposes the equivalents
+natively per micro-batch; this module maps them onto the reference's
+metric names so a dashboard built for one reads the other.
+
+  reference metric (jmx_exporter_config.yml)   here
+  ----------------------------------------------------------------
+  debezium_metrics_TotalNumberOfEventsSeen  →  total_events_seen
+  debezium_metrics_MilliSecondsBehindSource →  ms_behind_source
+  debezium_metrics_RowsScanned              →  rows_scanned (per source)
+  pg_replication_slots_..._wal_lsn_diff     →  backlog_rows (carryover)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineMetrics:
+    """Accumulates per-batch progress into the reference-named counters."""
+
+    total_events_seen: int = 0
+    rows_scanned: dict[str, int] = field(default_factory=dict)
+    ms_behind_source: float | None = None
+    backlog_rows: int = 0
+    last_batch_id: int = -1
+    batches: int = 0
+
+    def observe_progress(self, progress: dict) -> None:
+        """Feed one ``StreamingQuery.lastProgress`` dict."""
+        if progress is None:
+            return
+        batch_id = progress.get("batchId", -1)
+        if batch_id == self.last_batch_id:
+            return
+        self.last_batch_id = batch_id
+        self.batches += 1
+        n = progress.get("numInputRows", 0) or 0
+        self.total_events_seen += n
+        for src in progress.get("sources", []) or []:
+            desc = src.get("description", "unknown")
+            self.rows_scanned[desc] = self.rows_scanned.get(desc, 0) + (
+                src.get("numInputRows", 0) or 0
+            )
+
+    def observe_event_time(self, max_event_ts_ms: int | None) -> None:
+        """Lag = wall clock − newest processed source timestamp (the
+        MilliSecondsBehindSource analog; event ts_ms is Debezium's
+        source clock)."""
+        if max_event_ts_ms is not None:
+            self.ms_behind_source = max(0.0, time.time() * 1000 - max_event_ts_ms)
+
+    def observe_backlog(self, carryover_rows: int) -> None:
+        """Carry-over (incomplete-tx) rows = retained-WAL analog."""
+        self.backlog_rows = carryover_rows
+
+    def snapshot(self) -> dict:
+        return {
+            "total_events_seen": self.total_events_seen,
+            "ms_behind_source": self.ms_behind_source,
+            "rows_scanned": dict(self.rows_scanned),
+            "backlog_rows": self.backlog_rows,
+            "batches": self.batches,
+        }

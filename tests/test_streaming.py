@@ -52,6 +52,53 @@ def test_batch_processor_across_micro_batches(spark, tmp_path):
     assert [str(l["price"]) for l in docs[0]["lines"]] == ["19.99", "40.00"]
 
 
+def test_exactly_once_under_redelivery(spark, tmp_path):
+    """At-least-once replay: re-sending a fully-processed batch must
+    emit nothing (applied-tx dedup, SURVEY §7.4 replay safety)."""
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    assert proc.process(o, l, x, 0).count() == 1
+    assert proc.process(o, l, x, 1).count() == 0  # full redelivery → no dup
+    # partial redelivery mixed with nothing new → still no dup
+    assert proc.process(o.limit(1), l, x, 2).count() == 0
+    assert proc.metrics.snapshot()["total_events_seen"] >= 2
+
+
+def test_commit_order_barrier_across_batches(spark, tmp_path):
+    """A later-committed tx that completes FIRST must be held until the
+    earlier tx completes (min-watermark equivalent)."""
+    log = TxLog()
+    a = log.begin()
+    a.insert_order(10001)
+    a.insert_line(100001, 10001)
+    b = log.begin()
+    b.insert_order(10002)
+    lsn_a = a.commit()
+    lsn_b = b.commit()  # b commits AFTER a
+    assert lsn_a < lsn_b
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    # batch 1: tx b complete, tx a missing its line event → b HELD
+    out1 = proc.process(
+        o, l.limit(0), x, 0
+    )
+    assert out1.count() == 0
+    assert proc.metrics.snapshot()["backlog_rows"] > 0
+    # batch 2: a's line arrives → both emit, in commit order
+    out2 = proc.process(o.limit(0), l, x, 1).collect()
+    assert [r["commit_lsn"] for r in out2] == [lsn_a, lsn_b]
+
+
 def test_fill_forward_stream_batch_semantics(spark):
     """applyInPandasWithState path driven in batch mode (Spark executes
     the same stateful function; each group sees its rows once)."""
