@@ -192,6 +192,52 @@ def q_cdc_dedup(spark, sf_dir):
     return dedup_cdc(redelivered).agg(F.count(F.lit(1)).alias("n_after_dedup"))
 
 
+@register(
+    "cdc_upsert_to_changelog",
+    oracle=f"""
+    WITH snap AS (
+      SELECT user_id, event_id, value, {_OP_SQL} AS op FROM events
+    ), seq AS (
+      SELECT user_id, event_id,
+             CASE WHEN op = 'd' THEN NULL ELSE value END AS cur,
+             lag(CASE WHEN op = 'd' THEN NULL ELSE value END)
+               OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM snap
+    )
+    SELECT user_id, event_id AS version, '+I' AS row_kind, round(cur, 2) AS value
+    FROM seq WHERE prev IS NULL AND cur IS NOT NULL
+    UNION ALL
+    SELECT user_id, event_id, '-U', round(prev, 2) FROM seq
+    WHERE prev IS NOT NULL AND cur IS NOT NULL
+    UNION ALL
+    SELECT user_id, event_id, '+U', round(cur, 2) FROM seq
+    WHERE prev IS NOT NULL AND cur IS NOT NULL
+    UNION ALL
+    SELECT user_id, event_id, '-D', round(prev, 2) FROM seq
+    WHERE prev IS NOT NULL AND cur IS NULL
+    """,
+    survey_ref="§2.1 upsert→changelog conversion (KafkaUpsertToChangelogJob)",
+)
+def q_cdc_upsert_to_changelog(spark, sf_dir):
+    from streaming_examples_spark.operators.ingest import upsert_to_changelog
+
+    ev = t(spark, sf_dir, "events")
+    snapshots = ev.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        F.when(_OP_EXPR == "d", F.lit(None))
+        .otherwise(F.struct(F.col("value").alias("value")))
+        .alias("row"),
+    )
+    cl = upsert_to_changelog(snapshots, ["user_id"], "version")
+    return cl.select(
+        "user_id",
+        "version",
+        "row_kind",
+        F.round(F.col("row.value"), 2).alias("value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship on testdata: orders/lineitem as a transaction log
 # --------------------------------------------------------------------------

@@ -341,6 +341,28 @@ def q_fill_forward_events(spark, sf_dir):
 
 
 @register(
+    "fill_forward_range",
+    oracle="""
+    SELECT event_id, user_id,
+           round(last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS filled_value
+    FROM events
+    """,
+    survey_ref="§2.5 W1 exact frame: RANGE BETWEEN INTERVAL 30 DAY PRECEDING",
+)
+def q_fill_forward_range(spark, sf_dir):
+    from streaming_examples_spark.operators.windows import fill_forward_range
+
+    ev = t(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value"))
+    out = fill_forward_range(
+        ev, ["user_id"], "ts", masked, "_ff", days=30
+    )
+    return out.select("event_id", "user_id", F.round("_ff", 2).alias("filled_value"))
+
+
+@register(
     "event_ranks",
     oracle="""
     SELECT user_id, event_id, event_type,

@@ -70,6 +70,31 @@ def fill_forward(
     return df.withColumn(out_name, F.last(target, ignorenulls=True).over(w))
 
 
+def fill_forward_range(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    target: Column,
+    out_name: str,
+    *,
+    days: int = 30,
+) -> DataFrame:
+    """The reference's exact W1 frame: ``LAST_VALUE(...) OVER
+    (PARTITION BY id ORDER BY ts RANGE BETWEEN INTERVAL '30' DAY
+    PRECEDING AND CURRENT ROW)`` (SqlOverAggJob.java:120-126) — the
+    fill-forward expires after ``days`` of silence.
+
+    ``rangeBetween`` needs a numeric ordering column → order on the
+    epoch-seconds cast of the timestamp.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).cast("double"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return df.withColumn(out_name, F.last(target, ignorenulls=True).over(w))
+
+
 def event_ranks(events: DataFrame) -> DataFrame:
     """Ranking + lag analytics per user: sequence number, previous
     value delta, running total. One window spec → one shuffle+sort."""

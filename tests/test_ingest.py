@@ -85,6 +85,23 @@ def test_dedup_cdc(spark, order_log):
     assert out.count() == order_log.count()
 
 
+def test_lookup_patch_reselect(spark):
+    """S13 re-select: sentinel values patched from a lookup frame."""
+    from streaming_examples_spark.model.envelope import TOAST_SENTINEL
+    from streaming_examples_spark.sources.jdbc import lookup_patch
+
+    batch = spark.createDataFrame(
+        [(1, TOAST_SENTINEL), (2, "real"), (3, TOAST_SENTINEL)],
+        "id long, biography string",
+    )
+    lookup = spark.createDataFrame([(1, "from db")], "id long, biography string")
+    got = {r["id"]: r["biography"] for r in
+           lookup_patch(batch, lookup, key_cols=["id"], patch_col="biography").collect()}
+    assert got[1] == "from db"
+    assert got[2] == "real"
+    assert got[3] == TOAST_SENTINEL  # no lookup row → sentinel stays
+
+
 def test_with_lsn_parses_transaction_id(spark, order_log):
     out = with_lsn(order_log).orderBy("event_lsn").collect()
     assert all(r["commit_lsn"] is not None for r in out)
