@@ -26,12 +26,15 @@ from streaming_examples_spark.operators.ingest import (
 # envelope synthesis: events → user-profile changelog
 # --------------------------------------------------------------------------
 
-#: event_type → CDC op (signup creates the profile row, error deletes it)
-_OP_EXPR = (
-    F.when(F.col("event_type") == "signup", "c")
-    .when(F.col("event_type") == "error", "d")
-    .otherwise("u")
-)
+#: event_type → CDC op (signup creates the profile row, error deletes
+#: it). A function, not a module-level Column: building expressions at
+#: import time requires an active SparkSession the caller may not have.
+def _op_expr():
+    return (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
 
 _OP_SQL = (
     "CASE WHEN event_type = 'signup' THEN 'c' "
@@ -51,7 +54,7 @@ def synth_user_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("id"), v.alias("value")
     )
     prev = F.lag(F.col("value")).over(w)
-    op = _OP_EXPR
+    op = _op_expr()
     return ev.select(
         F.when(op != "c", row(prev)).otherwise(F.lit(None)).alias("before"),
         F.when(op != "d", row(F.col("value"))).otherwise(F.lit(None)).alias("after"),
@@ -225,7 +228,7 @@ def q_cdc_upsert_to_changelog(spark, sf_dir):
     snapshots = ev.select(
         "user_id",
         F.col("event_id").alias("version"),
-        F.when(_OP_EXPR == "d", F.lit(None))
+        F.when(_op_expr() == "d", F.lit(None))
         .otherwise(F.struct(F.col("value").alias("value")))
         .alias("row"),
     )
