@@ -380,6 +380,38 @@ def q_event_ranks(spark, sf_dir):
 
 
 @register(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT CAST(epoch_us(time_bucket(INTERVAL 60 MINUTE, ts)) AS BIGINT) AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ref="streaming windowed agg (withWatermark + window) — batch twin",
+)
+def q_tumbling_window_counts(spark, sf_dir):
+    from streaming_examples_spark.streaming.windows import tumbling_counts
+
+    ev = t(spark, sf_dir, "events")
+    return tumbling_counts(ev, window_minutes=60, key_col="event_type")
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketches differ across engines; pytest bounds the error
+    survey_ref="approx distinct (HLL++) — absent in reference, standard OLAP op",
+)
+def q_approx_distinct_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH marked AS (

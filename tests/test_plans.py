@@ -83,3 +83,53 @@ def test_projection_prunes_unused_columns(tables):
     df = tables["lineitem"].select("l_orderkey", "l_quantity")
     schemas = read_schemas(df)
     assert schemas and len(schemas[0].split(",")) == 2
+
+
+def test_partitioned_write_prunes(spark, tables, tmp_path):
+    from streaming_examples_spark.sources.writer import write_date_partitioned
+
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(tables["events"].limit(500), path, ts_col="ts")
+    reread = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-05")
+    plan = formatted_plan(reread)
+    # the date filter must land in PartitionFilters (directory pruning),
+    # not a post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bucketed_join_elides_shuffle(spark, tables, tmp_path):
+    from streaming_examples_spark.sources.writer import write_bucketed_table
+
+    write_bucketed_table(
+        tables["orders"].limit(1000), "orders_b", bucket_col="o_orderkey", n_buckets=4
+    )
+    write_bucketed_table(
+        tables["lineitem"].limit(4000), "lineitem_b", bucket_col="l_orderkey", n_buckets=4
+    )
+    a = spark.table("orders_b")
+    b = spark.table("lineitem_b")
+    joined = a.join(b, a["o_orderkey"] == b["l_orderkey"]).hint("merge")
+    # both sides bucketed on the join key with equal bucket counts:
+    # the sort-merge join needs NO shuffle exchange
+    assert exchange_count(joined) == 0
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_approx_distinct_error_bound(tables):
+    ev = tables["events"]
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n)  # HLL++ default rsd
