@@ -181,6 +181,49 @@ def q_ann_topk(spark, sf_dir):
 
 
 @register(
+    "ann_ivf",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centv
+               FROM embeddings WHERE vec_id < 16),
+    e AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    assign AS (
+      SELECT neighbor_id, cv, cid FROM (
+        SELECT e.neighbor_id, e.cv, c.cid,
+               row_number() OVER (PARTITION BY e.neighbor_id
+                 ORDER BY list_cosine_similarity(e.cv, c.centv) DESC, c.cid) AS rn
+        FROM e, c)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.centv) DESC, c.cid) AS rn
+        FROM q, c)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, p.qv, a.neighbor_id, a.cv
+      FROM probe p JOIN assign a ON a.cid = p.cid
+      WHERE a.neighbor_id != p.query_id)
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos FROM (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(cv, qv) AS cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(cv, qv) DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= 10
+    """,
+    survey_ref="training-data: IVF-style ANN (cell assign + n_probe) — oracle-checked",
+)
+def q_ann_ivf(spark, sf_dir):
+    from streaming_examples_spark.operators.similarity import ivf_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
     "ann_lsh",
     oracle=None,  # approximate; pytest measures recall vs brute force
     survey_ref="training-data: LSH-bucketed ANN (scale path)",
@@ -264,6 +307,54 @@ def _lang_id_oracle() -> str:
 )
 def q_lang_id(spark, sf_dir):
     return lang_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS clean_text
+      FROM documents)
+    SELECT doc_id, clean_text,
+           length(clean_text) AS clean_chars,
+           length(text) - length(clean_text) AS chars_removed
+    FROM n
+    """,
+    survey_ref="training-data: text normalization (pre-dedup cleaning)",
+)
+def q_text_normalize(spark, sf_dir):
+    from streaming_examples_spark.operators.text import normalize_text
+
+    return normalize_text(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "profile_documents",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_texts,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    """,
+    survey_ref="training-data: dataset profiling (null/distinct/range stats)",
+)
+def q_profile_documents(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
 
 
 @register(

@@ -51,6 +51,68 @@ def brute_force_topk(
     )
 
 
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells around
+    ``n_centroids`` seed centroids; a query scans only its ``n_probe``
+    nearest cells.
+
+    Centroids are the first ``n_centroids`` corpus vectors (a
+    deterministic seeding — production would k-means-refine them; the
+    cell-assign / probe machinery is identical). Fully deterministic →
+    DuckDB oracle runs the same algorithm.
+
+    Scale shape: assignment is a broadcast of k centroids against the
+    corpus (one scan, no shuffle of the corpus); the probe is an
+    equi-join on cell id. Cost ≈ corpus/k · n_probe per query instead
+    of the full corpus.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cents = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("centv"))
+    )
+    # cell assignment: nearest centroid (deterministic tie-break on cid)
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    cells = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("cv"), F.col("centv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "cid")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
+    probes = (
+        qs.join(F.broadcast(cents))
+        .withColumn("qcos", cosine(F.col("qv"), F.col("centv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        probes.join(cells, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random coefficient in [-1, 1) from md5 —
     same value every run, no RNG dependency."""

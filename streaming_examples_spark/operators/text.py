@@ -100,6 +100,24 @@ def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def normalize_text(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical cleaning pass: lowercase, strip punctuation, collapse
+    whitespace, trim — the normalization stage that precedes dedup /
+    tokenization in a training pipeline."""
+    text = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^\w\s]", " "), r"\s+", " "
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_chars"),
+        (F.length(text) - F.length(cleaned)).alias("chars_removed"),
+    )
+
+
 def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Shingle fingerprint: md5-MinHash over 3-word shingles (a
     compact rolling-hash-style document signature, engine-portable)."""

@@ -86,6 +86,19 @@ def test_ann_lsh_recall_vs_brute_force(spark, tables):
     assert approx.filter(F.col("cos").isNull()).count() == 0
 
 
+def test_ivf_recall_vs_brute_force(spark, tables):
+    from streaming_examples_spark.operators.similarity import ivf_ann_topk
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10)
+    ivf = ivf_ann_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    # structureless random vectors scatter neighbors across cells;
+    # n_probe=4/16 scans 25% of the corpus → recall well above that
+    assert hits >= 0.3 * exact.count()
+
+
 def test_embedding_near_dup_blocked(spark, tables):
     emb = tables["embeddings"]
     blocked = embedding_near_dup(emb, threshold=0.3, block_col="label")
