@@ -380,6 +380,99 @@ def q_event_ranks(spark, sf_dir):
 
 
 @register(
+    "asof_click_before_purchase",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.purchase_value,
+           round(c.value, 2) AS click_value_asof
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    survey_ref="as-of join (operator Spark lacks; the tx pipeline's core scan generalized)",
+)
+def q_asof_click_before_purchase(spark, sf_dir):
+    from streaming_examples_spark.operators.asof import asof_join
+    from streaming_examples_spark.operators.windows import latest_per_key
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    # dedup clicks per (user, ts) so as-of ties are deterministic
+    clicks = latest_per_key(
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id"),
+        key_cols=["user_id", "ts"],
+        order_col="event_id",
+        value_cols=["value"],
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["value"],
+        suffix="_asof",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.round("value_asof", 2).alias("click_value_asof"),
+    )
+
+
+@register(
+    "range_join_purchase_error",
+    oracle="""
+    SELECT p.event_id AS p_event, e.event_id AS e_event, p.user_id,
+           round(abs(epoch(p.ts) - epoch(e.ts)), 3) AS dt_sec
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND abs(epoch(p.ts) - epoch(e.ts)) <= 3600.0
+    """,
+    survey_ref="range/interval join (bucketized — plan Spark won't synthesize itself)",
+)
+def q_range_join_purchase_error(spark, sf_dir):
+    from streaming_examples_spark.operators.asof import range_join_buckets
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"), "user_id", F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_event"),
+        F.col("user_id").alias("user_id_r"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = range_join_buckets(
+        p,
+        e.withColumnRenamed("user_id_r", "user_id"),
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="e_ts",
+        range_seconds=3600.0,
+    )
+    return joined.select(
+        "p_event",
+        "e_event",
+        "user_id",
+        F.round(
+            F.abs(F.col("p_ts").cast("double") - F.col("e_ts").cast("double")), 3
+        ).alias("dt_sec"),
+    )
+
+
+@register(
     "tumbling_window_counts",
     oracle="""
     SELECT CAST(epoch_us(time_bucket(INTERVAL 60 MINUTE, ts)) AS BIGINT) AS window_start_us,
