@@ -22,6 +22,7 @@ from streaming_examples_spark.functions.hashing import (
     perm_constants,
 )
 from streaming_examples_spark.operators.dedup import (
+    dedup_groups,
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_pairs,
@@ -40,6 +41,7 @@ from streaming_examples_spark.operators.text import (
     fingerprint,
     lang_id,
     quality_scores,
+    tfidf_top_terms,
     token_stats,
 )
 
@@ -66,26 +68,66 @@ def _band_key_sql(b: int) -> str:
     return " || '|' || ".join(parts)
 
 
-def _minhash_lsh_oracle(threshold: float) -> str:
+def _minhash_pairs_ctes(threshold: float) -> str:
+    """CTE chain ending in ``pairs(d1, d2, jaccard)`` — shared by the
+    pair-list oracle and the connected-components dedup-groups oracle."""
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM sb"
         for b in range(LSH_BANDS)
     )
-    return f"""
-    WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
     buckets AS ({band_selects}),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM buckets a JOIN buckets b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    )
-    SELECT c.d1 AS d1, c.d2 AS d2,
-           round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
-                 / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
-    FROM cand c JOIN s s1 ON s1.doc_id = c.d1 JOIN s s2 ON s2.doc_id = c.d2
-    WHERE round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
-                / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) >= {threshold}
+    ),
+    pairs AS (
+      SELECT c.d1 AS d1, c.d2 AS d2,
+             round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                   / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) AS jaccard
+      FROM cand c JOIN s s1 ON s1.doc_id = c.d1 JOIN s s2 ON s2.doc_id = c.d2
+      WHERE round(len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                  / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4) >= {threshold}
+    )"""
+
+
+def _minhash_lsh_oracle(threshold: float) -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes(threshold)}
+    SELECT d1, d2, jaccard FROM pairs
+    """
+
+
+def _dedup_groups_oracle(threshold: float) -> str:
+    """Transitive closure of the near-dup pair graph (recursive CTE) →
+    per-doc component = min reachable doc id → full-corpus canonical
+    map. Mirrors dedup.connected_components + dedup_groups exactly."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(threshold)},
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    full_map AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    sizes AS (SELECT component, count(*) AS n_docs FROM full_map GROUP BY component)
+    SELECT f.doc_id, f.component, s.n_docs,
+           CAST(f.doc_id = f.component AS INT) AS keep
+    FROM full_map f JOIN sizes s USING (component)
     """
 
 
@@ -126,6 +168,15 @@ def q_dedup_normalized(spark, sf_dir):
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register(
+    "dedup_groups",
+    oracle=_dedup_groups_oracle(0.9),
+    survey_ref="training-data: duplicate clusters (LSH pairs → connected components → canonical doc)",
+)
+def q_dedup_groups(spark, sf_dir):
+    return dedup_groups(t(spark, sf_dir, "documents"), threshold=0.9)
 
 
 @register(
@@ -236,6 +287,32 @@ def q_ann_lsh(spark, sf_dir):
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, rank, round(tfidf, 4) AS tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+    survey_ref="training-data: TF-IDF top terms (two aggs + broadcast vocab join)",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
 
 
 @register(

@@ -12,11 +12,13 @@ from streaming_examples_spark.catalog import register, t
 from streaming_examples_spark.operators.analytics import (
     customers_without_orders,
     group_sets_revenue,
+    numeric_quantiles,
     order_priority_counts,
     orders_with_returns,
     part_supply_stats,
     pricing_summary,
     regional_revenue,
+    salted_join,
     top_customers,
 )
 from streaming_examples_spark.operators.denormalize import (
@@ -122,6 +124,63 @@ def q_projection_events(spark, sf_dir):
 )
 def q_pricing_summary(spark, sf_dir):
     return pricing_summary(t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "profile_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag,
+           floor((max(CASE WHEN rn = floor(0.25*(n-1))+1 THEN v END)
+                 + (max(CASE WHEN rn = ceil(0.25*(n-1))+1 THEN v END)
+                    - max(CASE WHEN rn = floor(0.25*(n-1))+1 THEN v END))
+                 * (0.25*(max(n)-1) - floor(0.25*(max(n)-1)))) * 100 + 0.5) / 100.0 AS p25_price,
+           floor((max(CASE WHEN rn = floor(0.5*(n-1))+1 THEN v END)
+                 + (max(CASE WHEN rn = ceil(0.5*(n-1))+1 THEN v END)
+                    - max(CASE WHEN rn = floor(0.5*(n-1))+1 THEN v END))
+                 * (0.5*(max(n)-1) - floor(0.5*(max(n)-1)))) * 100 + 0.5) / 100.0 AS p50_price,
+           floor((max(CASE WHEN rn = floor(0.75*(n-1))+1 THEN v END)
+                 + (max(CASE WHEN rn = ceil(0.75*(n-1))+1 THEN v END)
+                    - max(CASE WHEN rn = floor(0.75*(n-1))+1 THEN v END))
+                 * (0.75*(max(n)-1) - floor(0.75*(max(n)-1)))) * 100 + 0.5) / 100.0 AS p75_price,
+           round(avg(v), 2) AS avg_price,
+           count(*) AS n_items
+    FROM b GROUP BY l_returnflag
+    """,
+    survey_ref="training-data: numeric quantile profiling (rank window + explicit interpolation; approx_percentile at scale)",
+)
+def q_profile_quantiles(spark, sf_dir):
+    return numeric_quantiles(t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "salted_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment,
+           round(sum(o.o_totalprice), 2) AS total_price,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ref="scale: salted skew join (result-identical to plain equi-join)",
+)
+def q_salted_segment_revenue(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    customer = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(orders, customer, "custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
 
 
 @register(

@@ -187,3 +187,74 @@ def group_sets_revenue(orders: DataFrame) -> DataFrame:
             "total_price",
         )
     )
+
+
+def numeric_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Per-group exact continuous quantiles (p25/p50/p75), built from a
+    rank window + explicit linear interpolation ``lo + (hi-lo)*frac``
+    rather than the built-in ``percentile``: the explicit expression
+    tree is IEEE-deterministic, so an oracle running the same formula
+    matches bit-for-bit (builtin `percentile` vs DuckDB `quantile_cont`
+    disagree in the last ulp at .005 rounding boundaries). One sort
+    shuffle + one agg shuffle; at 100 TB swap in `approx_percentile`
+    (t-digest, map-side combinable, bounded error)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    wn = Window.partitionBy("l_returnflag")
+    b = (
+        lineitem.select("l_returnflag", F.col("l_extendedprice").alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+
+    def quantile(p: float) -> Column:
+        pos_row = F.lit(p) * (F.col("n") - 1)  # per-row; n is constant per group
+        lo = F.max(F.when(F.col("rn") == F.floor(pos_row) + 1, F.col("v")))
+        hi = F.max(F.when(F.col("rn") == F.ceil(pos_row) + 1, F.col("v")))
+        pos = F.lit(p) * (F.max("n") - 1)
+        frac = pos - F.floor(pos)
+        # floor(x*100+0.5)/100 instead of round(x, 2): interpolation at
+        # frac=0.5 lands on exact .xx5 midpoints, where Spark's
+        # BigDecimal HALF_UP and DuckDB's round() disagree; this form is
+        # pure IEEE arithmetic, identical in any engine
+        q = lo + (hi - lo) * frac
+        return F.floor(q * 100 + F.lit(0.5)) / F.lit(100.0)
+
+    return b.groupBy("l_returnflag").agg(
+        quantile(0.25).alias("p25_price"),
+        quantile(0.5).alias("p50_price"),
+        quantile(0.75).alias("p75_price"),
+        F.round(F.avg("v"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the (large, skewed) left side gets a
+    deterministic salt in [0, n_salts); the right side is replicated
+    n_salts× via explode; the join key becomes (key, salt). A hot key's
+    rows now spread across n_salts reducers instead of one straggler
+    task. Result is row-identical to the plain join.
+
+    AQE's skew-join splitting (spark.sql.adaptive.skewJoin) handles
+    moderate skew automatically; explicit salting is for the pathological
+    key that exceeds what post-shuffle splitting can rebalance, or when
+    the join sits under an agg that must also spread (salt flows through
+    the groupBy). Replication multiplies the right side's shuffle volume
+    by n_salts — only salt when the right side is small relative to the
+    skew it removes.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    salted_left = left.withColumn("__salt", salt)
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_left.join(replicated_right, [on, "__salt"], how).drop("__salt")

@@ -141,6 +141,91 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, *, id_cols: tuple[str, str] = ("d1", "d2"), max_iters: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list via min-label
+    propagation: every node converges to the minimum doc id reachable
+    from it. Returns ``(doc_id, component)``.
+
+    Each iteration is one shuffle join + map-side-combinable min-agg;
+    lineage is truncated per iteration (``localCheckpoint`` — on a real
+    cluster, ``checkpoint`` to durable storage) so the plan stays flat.
+    Iteration count is the graph diameter; duplicate clusters are
+    near-cliques, so 2-4 rounds in practice. The convergence probe is a
+    single scalar aggregate (labels only ever decrease, so an unchanged
+    sum is a fixpoint) — no per-row collect. For graphs with giant
+    components use the large-star/small-star variant (same join
+    primitive, alternating edge rewrites).
+    """
+    a, b = id_cols
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    prev_sum: object = object()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["nbr_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_groups(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Full-corpus duplicate-cluster map: MinHash-LSH near-dup pairs →
+    connected components → one row per document with its cluster id
+    (min doc id of the cluster), cluster size, and a keep flag on the
+    canonical document. This is the dedup *endgame* a training-data
+    pipeline actually consumes: ``filter(keep = 1)`` yields the
+    deduplicated corpus.
+
+    Docs in no near-dup pair are their own singleton cluster (left join
+    + coalesce — the component frame is tiny relative to the corpus, so
+    this join broadcasts).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    comp = connected_components(pairs)
+    full = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+    sizes = full.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        full.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            "component",
+            "n_docs",
+            (F.col("doc_id") == F.col("component")).cast("int").alias("keep"),
+        )
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed BIGINT
 
 

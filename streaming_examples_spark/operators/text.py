@@ -127,3 +127,42 @@ def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
         F.when(F.size(sh) > 0, minhash(sh, "fp_")).otherwise(F.lit(None)).alias("fp"),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Two aggregations (term frequency per doc, document frequency per
+    term) + a broadcast join of the vocabulary frame — the vocabulary
+    is tiny relative to the corpus, so the scoring join is shuffle-free
+    at any corpus size. IDF uses the smoothed form
+    ``ln((1 + N) / (1 + df)) + 1`` (never divides by zero, never goes
+    negative). Ranking is a per-doc window on the scored frame;
+    deterministic tiebreak on the term itself.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + F.lit(1.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", F.round("tfidf", 4).alias("tfidf"))
+    )

@@ -1,0 +1,70 @@
+"""Scale-oriented operator tests: connected-components dedup grouping,
+salted skew join (result parity + plan shape), TF-IDF ranking."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.operators.analytics import salted_join
+from streaming_examples_spark.operators.dedup import connected_components, dedup_groups
+from streaming_examples_spark.operators.text import tfidf_top_terms
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_groups_canonical_and_singletons(spark):
+    # docs 1/2 are near-identical long texts (same 3-word shingles save one);
+    # doc 3 is unrelated → singleton with keep=1
+    words = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, words),
+        (2, words.replace("tok30", "tok30", 1)),  # identical text → certain dup
+        (3, " ".join(f"zz{i}" for i in range(60))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_groups(docs, threshold=0.9).collect()}
+    assert out[1]["component"] == 1 and out[2]["component"] == 1
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 0
+    assert out[1]["n_docs"] == 2
+    assert out[3]["component"] == 3 and out[3]["keep"] == 1 and out[3]["n_docs"] == 1
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    orders = tables["orders"].withColumnRenamed("o_custkey", "custkey")
+    customer = tables["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    # force the shuffle path so the salt actually spreads reducers
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(orders, customer, "custkey", n_salts=4)
+        plain = orders.join(customer, "custkey")
+        assert salted.count() == plain.count()
+        a = salted.groupBy("c_mktsegment").count().collect()
+        b = plain.groupBy("c_mktsegment").count().collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # the join key must include the salt (that IS the skew spread)
+        explained = salted._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in explained
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    common = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [(i, f"{common} filler{i} xylophone" if i == 0 else f"{common} filler{i}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    top = tfidf_top_terms(docs, k=2).filter(F.col("doc_id") == 0).collect()
+    ranked = {r["rank"]: r["term"] for r in top}
+    # doc 0's two unique terms beat the corpus-wide common words
+    assert set(ranked.values()) == {"xylophone", "filler0"}
