@@ -34,6 +34,11 @@ from streaming_examples_spark.operators.multimodal import (
     payload_meta,
     with_binary_payload,
 )
+from streaming_examples_spark.operators.sampling import (
+    deterministic_sample,
+    quota_sample,
+    split_assignment,
+)
 from streaming_examples_spark.operators.similarity import brute_force_topk, lsh_ann_topk
 from streaming_examples_spark.operators.text import (
     LANG_MARKERS,
@@ -282,6 +287,57 @@ def q_ann_ivf(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# --------------------------------------------------------------------------
+# curation: deterministic sampling / splits / quotas
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < CAST(0.1 * 65536 AS INT)
+    """,
+    survey_ref="training-data: deterministic content-addressed sampling (md5 bucket filter)",
+)
+def q_sample_documents(spark, sf_dir):
+    return deterministic_sample(t(spark, sf_dir, "documents"), rate=0.1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "split_assignment",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS b
+          FROM documents)
+    """,
+    survey_ref="training-data: stable train/val/test split (leakage-proof across rebuilds)",
+)
+def q_split_assignment(spark, sf_dir):
+    return split_assignment(t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+@register(
+    "quota_per_source",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+    survey_ref="training-data: per-domain quota sampling (md5-ranked top-k per group)",
+)
+def q_quota_per_source(spark, sf_dir):
+    return quota_sample(t(spark, sf_dir, "documents"), k=20).select("doc_id", "source", "rk")
 
 
 # --------------------------------------------------------------------------

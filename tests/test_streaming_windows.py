@@ -82,3 +82,35 @@ def test_session_window_agg_batch(spark, tables):
 
     gi = sessionize(ev.withColumn("event_id", F.monotonically_increasing_id()), gap_minutes=30)
     assert sess.count() == gi.count()
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    from streaming_examples_spark.streaming.windows import dedup_within_watermark
+
+    src = str(tmp_path / "dsrc")
+    ev = {"ts": "2024-01-01 01:00:00", "event_type": "click", "user_id": 1, "value": 1.0}
+    other = {"ts": "2024-01-01 01:05:00", "event_type": "view", "user_id": 2, "value": 2.0}
+    _write(src + "/b1.json", [ev, other])
+    # batch 2 redelivers ev within the 30-min watermark window → must dedup
+    _write(src + "/b2.json", [dict(ev, value=9.0)])
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").json(src)
+    out = dedup_within_watermark(stream, keys=["event_type", "user_id", "ts"])
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT event_type, user_id, value FROM dedup_out").collect()
+    assert len(rows) == 2  # redelivered duplicate suppressed across micro-batches
+    assert {(r["event_type"], r["user_id"]) for r in rows} == {("click", 1), ("view", 2)}
+    # batch twin: same call shape, complete answer
+    batch = spark.createDataFrame(
+        [("2024-01-01 01:00:00", "click", 1, 1.0), ("2024-01-01 01:00:00", "click", 1, 9.0)],
+        "ts string, event_type string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert dedup_within_watermark(batch, keys=["event_type", "user_id", "ts"]).count() == 1
