@@ -39,7 +39,11 @@ from streaming_examples_spark.operators.sampling import (
     quota_sample,
     split_assignment,
 )
-from streaming_examples_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from streaming_examples_spark.operators.similarity import (
+    brute_force_topk,
+    kmeans_assign,
+    lsh_ann_topk,
+)
 from streaming_examples_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -277,6 +281,16 @@ def q_ann_ivf(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "kmeans_assign",
+    oracle=None,  # iterative (5 Lloyd rounds, driver-held centroids); pytest verifies
+    # determinism + inertia descent; rows-only at the driver gate
+    survey_ref="training-data: k-means centroid training (IVF index build; argmin over literals, 1 shuffle/iter)",
+)
+def q_kmeans_assign(spark, sf_dir):
+    return kmeans_assign(t(spark, sf_dir, "embeddings"), k=16, iters=5)
 
 
 @register(

@@ -193,3 +193,102 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column, returning k centroids.
+
+    Deterministic: init = the first k vectors by id (no RNG), fixed
+    iteration count. Centroids live driver-side (k×dim floats — MLlib
+    does the same): the assignment step is then a pure *expression*
+    over centroid literals — argmin via array_min over (dist, cid)
+    structs — so each iteration costs ONE shuffle (the per-cluster
+    per-dimension mean), no join. At 100 TB: assignment is map-only
+    over literals; the mean is a map-side-combinable avg of k×dim
+    cells. This is the training step for ivf_ann_topk's cell index.
+    """
+    pts = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in pts.orderBy("id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = pts.select(
+            "id", "v", _argmin_centroid(F.col("v"), cents).alias("cluster")
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [float(x) for x in r["c"]] for r in means}
+        # empty clusters keep their previous centroid
+        cents = [by_cluster.get(j, cents[j]) for j in range(k)]
+    return cents
+
+
+def _argmin_centroid(v: Column, cents: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2), ties → lowest id.
+    Pure expression over literals: no join, no shuffle."""
+    def sqdist(c: list[float]) -> Column:
+        carr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.array(
+        *[F.struct(sqdist(c).alias("d"), F.lit(j).alias("j")) for j, c in enumerate(cents)]
+    )
+    return F.array_min(scored)["j"]
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    *,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Final cluster assignment after k-means training: (vec_id,
+    cluster, sqdist). The batch form of an IVF index build."""
+    cents = kmeans_centroids(emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    pts = emb.select(F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v"))
+    cluster = _argmin_centroid(F.col("v"), cents)
+
+    def sqdist_to(j_col: Column) -> Column:
+        # recompute distance to the chosen centroid via the same struct array
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in c]),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        return F.array_min(scored)["d"]
+
+    return pts.select(
+        "vec_id",
+        cluster.alias("cluster"),
+        F.round(sqdist_to(cluster), 4).alias("sqdist"),
+    )

@@ -68,3 +68,23 @@ def test_tfidf_rare_term_ranks_first(spark):
     ranked = {r["rank"]: r["term"] for r in top}
     # doc 0's two unique terms beat the corpus-wide common words
     assert set(ranked.values()) == {"xylophone", "filler0"}
+
+
+def test_kmeans_inertia_descends_and_deterministic(spark, tables):
+    from streaming_examples_spark.operators.similarity import kmeans_assign
+
+    emb = tables["embeddings"]
+
+    def inertia(iters):
+        df = kmeans_assign(emb, k=8, iters=iters)
+        return df.agg(F.sum("sqdist")).collect()[0][0], df
+
+    i1, _ = inertia(1)
+    i5, assign = inertia(5)
+    assert i5 <= i1  # Lloyd's iterations never increase inertia
+    rows = assign.collect()
+    assert len(rows) == emb.count()
+    assert len({r["cluster"] for r in rows}) <= 8
+    # deterministic: re-run yields the identical assignment
+    again = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=8, iters=5).collect()}
+    assert all(again[r["vec_id"]] == r["cluster"] for r in rows)
