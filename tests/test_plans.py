@@ -133,3 +133,33 @@ def test_approx_distinct_error_bound(tables):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n)  # HLL++ default rsd
+
+
+def test_deterministic_sample_is_pure_filter(tables):
+    from streaming_examples_spark.operators.sampling import deterministic_sample
+
+    df = deterministic_sample(tables["documents"], rate=0.1).select("doc_id", "lang")
+    # content-addressed sampling must stay map-only: no exchange at all
+    assert exchange_count(df) == 0
+    # and the scan must not read the heavy text column
+    schemas = read_schemas(df)
+    assert schemas and not any("text" in c for c in schemas[0].split(","))
+
+
+def test_tfidf_broadcasts_vocabulary(tables):
+    from streaming_examples_spark.operators.text import tfidf_top_terms
+
+    df = tfidf_top_terms(tables["documents"], k=3)
+    # the tf←df scoring join goes through a broadcast, not a shuffle join
+    assert has_broadcast_join(df)
+    # the scalar n_docs frame joins as broadcast-nested-loop (1 row),
+    # never as an unbroadcast CartesianProduct
+    assert count_occurrences(df, r"CartesianProduct") == 0
+
+
+def test_quota_sample_single_shuffle(tables):
+    from streaming_examples_spark.operators.sampling import quota_sample
+
+    df = quota_sample(tables["documents"], k=20).select("doc_id", "source", "rk")
+    # one exchange: the partitionBy(source) sort for row_number
+    assert exchange_count(df) == 1
