@@ -34,6 +34,7 @@ from streaming_examples_spark.operators.multimodal import (
     payload_meta,
     with_binary_payload,
 )
+from streaming_examples_spark.operators.curation import curated_corpus
 from streaming_examples_spark.operators.sampling import (
     deterministic_sample,
     quota_sample,
@@ -352,6 +353,70 @@ def q_split_assignment(spark, sf_dir):
 )
 def q_quota_per_source(spark, sf_dir):
     return quota_sample(t(spark, sf_dir, "documents"), k=20).select("doc_id", "source", "rk")
+
+
+def _curated_corpus_oracle(threshold: float, quota_k: int) -> str:
+    """The composed pipeline oracle: quality gate ∩ dedup canonicals →
+    split assignment → per-source quota. Composes the same fragments the
+    per-operator oracles use — a drift in any stage breaks this hash."""
+    return rf"""
+    WITH RECURSIVE {_minhash_pairs_ctes(threshold)},
+    edges AS (
+      SELECT d1 AS src, d2 AS dst FROM pairs
+      UNION
+      SELECT d2 AS src, d1 AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src
+    ),
+    canon AS (
+      SELECT d.doc_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+      WHERE coalesce(c.component, d.doc_id) = d.doc_id
+    ),
+    qual AS (
+      SELECT doc_id
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents)
+      WHERE len(words) >= 10
+        AND (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+            / length(text) < 0.2
+        AND len(list_distinct(words))::DOUBLE / len(words) > 0.1
+    ),
+    surv AS (
+      SELECT d.doc_id, d.source
+      FROM documents d
+      JOIN qual USING (doc_id)
+      JOIN canon USING (doc_id)
+    ),
+    with_split AS (
+      SELECT doc_id, source,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS b
+            FROM surv)
+    )
+    SELECT doc_id, source, split, rk FROM (
+      SELECT doc_id, source, split,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM with_split)
+    WHERE rk <= {quota_k}
+    """
+
+
+@register(
+    "curated_corpus",
+    oracle=_curated_corpus_oracle(0.9, 50),
+    survey_ref="training-data: full curation pipeline (quality ∩ dedup-canonical → split → quota), composed oracle",
+)
+def q_curated_corpus(spark, sf_dir):
+    return curated_corpus(t(spark, sf_dir, "documents"), dedup_threshold=0.9, quota_k=50)
 
 
 # --------------------------------------------------------------------------
