@@ -88,3 +88,18 @@ def test_kmeans_inertia_descends_and_deterministic(spark, tables):
     # deterministic: re-run yields the identical assignment
     again = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=8, iters=5).collect()}
     assert all(again[r["vec_id"]] == r["cluster"] for r in rows)
+
+
+def test_curated_corpus_invariants(spark, tables):
+    from streaming_examples_spark.operators.curation import curated_corpus
+
+    docs = tables["documents"]
+    out = curated_corpus(docs, dedup_threshold=0.9, quota_k=50).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))  # one row per surviving doc
+    assert set(ids) <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all(r["rk"] <= 50 for r in out)
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # quota is per-source: no source exceeds k
+    from collections import Counter
+    assert max(Counter(r["source"] for r in out).values()) <= 50
