@@ -50,6 +50,7 @@ from streaming_examples_spark.operators.text import (
     STOPWORDS,
     fingerprint,
     lang_id,
+    ngram_doc_freq,
     quality_scores,
     tfidf_top_terms,
     token_stats,
@@ -422,6 +423,24 @@ def q_curated_corpus(spark, sf_dir):
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
+
+
+@register(
+    "ngram_doc_freq",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    g AS (SELECT unnest(sh) AS gram FROM s),
+    cnt AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram)
+    SELECT gram, n_docs FROM (
+      SELECT gram, n_docs,
+             row_number() OVER (ORDER BY n_docs DESC, gram) AS rk
+      FROM cnt)
+    WHERE rk <= 100
+    """,
+    survey_ref="training-data: k-gram document frequency / boilerplate detection (TakeOrdered top-k)",
+)
+def q_ngram_doc_freq(spark, sf_dir):
+    return ngram_doc_freq(t(spark, sf_dir, "documents"), k=3, top=100)
 
 
 @register(

@@ -166,3 +166,22 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "rank", F.round("tfidf", 4).alias("tfidf"))
     )
+
+
+def ngram_doc_freq(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3, top: int = 100
+) -> DataFrame:
+    """Corpus-wide k-gram document frequency, top-``top`` grams — the
+    boilerplate/contamination detector (grams present in many docs are
+    headers, licenses, templates). Shingles are distinct per doc, so
+    the count IS document frequency. Global top-k goes through
+    sort+limit (TakeOrderedAndProject: per-partition heads merged on
+    the driver, no single-task global window); the (n_docs, gram) total
+    order makes the selected set deterministic."""
+    g = docs.select(F.explode(word_shingles(F.col(text_col), k)).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "gram")
+        .limit(top)
+    )
