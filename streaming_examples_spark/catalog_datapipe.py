@@ -23,7 +23,7 @@ from streaming_examples_spark.functions.hashing import (
 )
 from streaming_examples_spark.operators.dedup import (
     dedup_groups,
-    embedding_near_dup,
+    embedding_near_dup_lsh,
     exact_dedup,
     minhash_lsh_pairs,
     normalized_dedup,
@@ -199,19 +199,58 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def _lsh_bucket_sql(dim: int, n_planes: int, salt_base: int) -> str:
+    """DuckDB twin of similarity.lsh_bucket: same md5-derived plane
+    literals, same sign test, same bit packing."""
+    from streaming_examples_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        coeffs = ",".join(repr(_hyperplane(salt_base + p, d)) for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{coeffs}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _embedding_near_dup_oracle(
+    threshold: float, dim: int = 64, n_planes: int = 4, n_tables: int = 8
+) -> str:
+    """Exact DuckDB replica of the LSH-blocked near-dup: per-table
+    bucket columns UNION'd into (tbl, bkt) rows, bucket equi-join,
+    exact cosine ≥ threshold — same candidate set as Spark, so the
+    value hash covers blocking AND verification."""
+    bucket_cols = ",\n           ".join(
+        f"{_lsh_bucket_sql(dim, n_planes, t * 1000)} AS bkt{t}" for t in range(n_tables)
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bkt{t} AS bkt FROM b0" for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b0 AS (SELECT vec_id,
+           {bucket_cols}
+           FROM e),
+    b AS ({unions}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b2.vec_id AS d2
+      FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bkt = b2.bkt
+                        AND a.vec_id < b2.vec_id)
+    SELECT c.d1 AS d1, c.d2 AS d2,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+    FROM cand c JOIN e ea ON ea.vec_id = c.d1 JOIN e eb ON eb.vec_id = c.d2
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {threshold}
+    """
+
+
 @register(
     "embedding_near_dup",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS d1, b.vec_id AS d2,
-           round(list_cosine_similarity(a.v, b.v), 4) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
-    """,
-    survey_ref="training-data: embedding-cosine near-dup",
+    oracle=_embedding_near_dup_oracle(0.4),
+    survey_ref="training-data: embedding-cosine near-dup (LSH-table blocked bucket join)",
 )
 def q_embedding_near_dup(spark, sf_dir):
-    return embedding_near_dup(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_near_dup_lsh(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # --------------------------------------------------------------------------

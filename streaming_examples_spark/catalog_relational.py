@@ -24,6 +24,7 @@ from streaming_examples_spark.operators.analytics import (
 from streaming_examples_spark.operators.denormalize import (
     denormalize_flat_stats,
     denormalize_orders_lineitem,
+    denormalize_orders_serialized,
 )
 from streaming_examples_spark.operators.windows import (
     event_ranks,
@@ -45,6 +46,30 @@ from streaming_examples_spark.operators.windows import (
 )
 def q_denorm_orders(spark, sf_dir):
     return denormalize_orders_lineitem(t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "denorm_orders_json",
+    oracle="""
+    SELECT o.o_orderkey AS o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_custkey AS o_custkey,
+           count(l.l_orderkey) AS n_lines,
+           coalesce(string_agg(
+             CAST(l.l_linenumber AS VARCHAR) || ',' || CAST(l.l_partkey AS VARCHAR)
+               || ',' || CAST(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || ',' || CAST(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+             '|' ORDER BY l.l_linenumber, l.l_partkey, l.l_quantity, l.l_extendedprice
+           ), '') AS lines_ser
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_custkey
+    """,
+    survey_ref="§2.4 A2 ARRAY_AGG(ROW(...)) — value-hashed serialization of the nested doc",
+)
+def q_denorm_orders_json(spark, sf_dir):
+    return denormalize_orders_serialized(
+        t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    )
 
 
 @register(
@@ -581,7 +606,7 @@ def q_approx_distinct_users(spark, sf_dir):
            count(*) AS n_events,
            CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
            CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
-           round(sum(value), 2) AS session_value
+           floor(sum(value) * 100 + 0.5) / 100.0 AS session_value
     FROM numbered
     GROUP BY user_id, session_seq
     """,

@@ -344,3 +344,62 @@ def embedding_near_dup(
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"), "cos")
     )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-dup with LSH-table blocking — the 100 TB path.
+
+    Candidate pairs = vectors sharing a random-hyperplane bucket in ANY
+    of ``n_tables`` independent tables; exact cosine verifies each
+    candidate. The pair space is a bucket equi-join (never the a.id <
+    b.id cross product): sum over buckets of n_b² instead of N².
+    Recall/cost dial: planes per table shrink buckets (at 100 TB raise
+    ``n_planes`` so the expected bucket size stays bounded), tables
+    raise recall. Hyperplanes are md5-derived literals — identical in
+    every engine, so an oracle can replicate the exact blocking.
+
+    Plan shape: posexplode of the per-table bucket array is the
+    Generate barrier that keeps the 32 dot products from being inlined
+    into every downstream reference (same CollapseProject trap as
+    MinHash band keys), then one shuffle on (tbl, bkt).
+    """
+    from streaming_examples_spark.operators.similarity import lsh_bucket
+
+    e = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    buckets = F.array(
+        *[
+            lsh_bucket(F.col("v"), dim, n_planes, salt_base=t * 1000)
+            for t in range(n_tables)
+        ]
+    )
+    b = e.select("id", "v", F.posexplode(buckets).alias("tbl", "bkt"))
+    a, bb = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("d1"),
+            F.col("b.id").alias("d2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("d1", "d2", "cos")
+    )

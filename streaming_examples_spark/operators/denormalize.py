@@ -75,6 +75,40 @@ def denormalize_orders_lineitem(orders: DataFrame, lineitem: DataFrame) -> DataF
     )
 
 
+def denormalize_orders_serialized(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Hash-checkable serialization of the nested north-star output.
+
+    The driver's value-hash canonicalizer cannot hash an
+    ``array<struct>`` column, so the nested ``denorm_orders`` entry is
+    rows-only. This twin proves the *values* of the nested doc: each
+    line struct is rendered to a portable string (ints verbatim, money
+    as integer cents via ``floor(x*100+0.5)`` — pure IEEE, identical in
+    every engine) and the sorted array is joined with ``|``. Any
+    discrepancy in the array contents, order, or per-line values flips
+    the hash. JSON rendering is deliberately avoided: engines disagree
+    on float formatting ("5.0" vs "5"), integer-cent strings do not.
+
+    Same single-shuffle join+agg plan as the nested form; the
+    serialization is a map-side ``transform``/``array_join`` over the
+    already-aggregated array.
+    """
+    nested = denormalize_orders_lineitem(orders, lineitem)
+    line_str = lambda x: F.concat_ws(  # noqa: E731
+        ",",
+        x["l_linenumber"].cast("string"),
+        x["l_partkey"].cast("string"),
+        F.floor(x["l_quantity"] * 100 + F.lit(0.5)).cast("long").cast("string"),
+        F.floor(x["l_extendedprice"] * 100 + F.lit(0.5)).cast("long").cast("string"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_custkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.array_join(F.transform("lines", line_str), "|").alias("lines_ser"),
+    )
+
+
 def denormalize_flat_stats(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Hash-checkable flat companion of the nested doc: per-order line
     count + quantity/price sums. Same join+agg plan, scalar output."""

@@ -142,7 +142,13 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # floor(x*100+0.5)/100, not round(x, 2): thousands of small
+            # per-session sums land on .xx5 midpoints where Spark's
+            # BigDecimal HALF_UP and other engines' rounding disagree;
+            # the floor form is pure IEEE ops, portable bit-for-bit.
+            (F.floor(F.sum("value") * 100 + F.lit(0.5)) / F.lit(100.0)).alias(
+                "session_value"
+            ),
         )
         .withColumn(
             "duration_sec",

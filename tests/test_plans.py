@@ -163,3 +163,13 @@ def test_quota_sample_single_shuffle(tables):
     df = quota_sample(tables["documents"], k=20).select("doc_id", "source", "rk")
     # one exchange: the partitionBy(source) sort for row_number
     assert exchange_count(df) == 1
+
+
+def test_embedding_near_dup_is_bucket_equi_join(tables):
+    from streaming_examples_spark.operators.dedup import embedding_near_dup_lsh
+
+    df = embedding_near_dup_lsh(tables["embeddings"], threshold=0.4)
+    # the scale guarantee: candidate pairs come from an equi-join on
+    # (tbl, bkt), never an all-pairs nested-loop over the corpus
+    assert not has_cartesian(df)
+    assert count_occurrences(df, r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1
