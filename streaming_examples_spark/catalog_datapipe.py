@@ -351,10 +351,13 @@ def q_ann_lsh(spark, sf_dir):
 
 @register(
     "sample_documents",
+    # threshold precomputed in Python (int() truncates, DuckDB CAST rounds —
+    # 0.1*65536 would be 6553 vs 6554) so both engines use the operator's
+    # exact int(rate * BUCKETS) cut
     oracle=f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < CAST(0.1 * 65536 AS INT)
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT < {int(0.1 * (1 << 16))}
     """,
     survey_ref="training-data: deterministic content-addressed sampling (md5 bucket filter)",
 )

@@ -251,7 +251,18 @@ def salted_join(
     the groupBy). Replication multiplies the right side's shuffle volume
     by n_salts — only salt when the right side is small relative to the
     skew it removes.
+
+    Only ``inner``/``left`` are row-identical to the plain join: any
+    right-preserving mode (right/full outer, right semi/anti) would emit
+    each unmatched right row once per salt replica, so those are
+    rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right-preserving modes would duplicate unmatched right rows "
+            "once per salt replica"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     salted_left = left.withColumn("__salt", salt)
     replicated_right = right.withColumn(

@@ -42,19 +42,25 @@ def asof_join(
     Returns all left columns plus ``<col><suffix>`` for each of
     ``right_cols``.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    # one struct carries ALL right columns so the fill takes them from a
+    # single right row — per-column last(ignorenulls) would mix columns
+    # from different right rows whenever the latest row has NULLs
+    r_struct_type = T.StructType([right.schema[c] for c in right_cols])
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c)
           for c in lcols],
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -65,12 +71,15 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_side",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_rf"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_rf.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
 
 
 def range_join_buckets(

@@ -36,6 +36,21 @@ def test_asof_equal_timestamp_inclusive(spark):
     assert row["rval_asof"] == "exact"  # ties are at-or-BEFORE
 
 
+def test_asof_null_in_latest_right_row_not_mixed(spark):
+    # latest qualifying right row has NULL in one column: the output must
+    # take that NULL, never splice the column from an older right row
+    left = spark.createDataFrame([(1, 200)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, "old", 1.0), (1, 150, None, 2.0)],
+        "k long, ts long, a string, b double",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["a", "b"]
+    ).first()
+    assert row["b_asof"] == 2.0
+    assert row["a_asof"] is None  # from the ts=150 row, not "old" from ts=100
+
+
 def test_asof_row_count_preserved(spark, tables):
     ev = tables["events"]
     left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")

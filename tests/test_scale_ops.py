@@ -57,6 +57,17 @@ def test_salted_join_matches_plain_join(spark, tables):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_salted_join_rejects_right_preserving_modes(spark, tables):
+    import pytest
+
+    orders = tables["orders"].withColumnRenamed("o_custkey", "custkey")
+    customer = tables["customer"].select(F.col("c_custkey").alias("custkey"))
+    with pytest.raises(ValueError, match="salt replica"):
+        salted_join(orders, customer, "custkey", how="full")
+    with pytest.raises(ValueError, match="salt replica"):
+        salted_join(orders, customer, "custkey", how="right")
+
+
 def test_tfidf_rare_term_ranks_first(spark):
     common = "the quick brown fox"
     docs = spark.createDataFrame(
