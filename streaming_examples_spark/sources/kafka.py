@@ -48,6 +48,18 @@ def kafka_envelope_stream(
     return env
 
 
+def changelog_kv(df: DataFrame, key_col: str) -> DataFrame:
+    """The S5 wire projection: (key, value) string columns — key from
+    the declared key column ('key.fields'='id'), value = JSON of the
+    full row ('value.fields-include' retains everything,
+    KafkaChangelogJob.java:50-65). Split out from the sink builder so
+    the encoding is testable without a broker."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct("*")).alias("value"),
+    )
+
+
 def kafka_changelog_sink(
     df: DataFrame,
     *,
@@ -58,16 +70,28 @@ def kafka_changelog_sink(
 ):
     """S5: write a changelog out as JSON with an explicit key column
     (reference: 'key.fields'='id', KafkaChangelogJob.java:50-65)."""
-    out = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct("*")).alias("value"),
-    )
+    out = changelog_kv(df, key_col)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def serialize_upsert_row(row_dict: dict, *, key_col: str, deleted_col: str) -> tuple[bytes, bytes | None]:
+    """(key, value) encoding for one upsert record: key = utf-8 of the
+    key column; value = canonical JSON of the payload (key order
+    sorted, Decimal/date via str), or ``None`` for a tombstone — the
+    reference's delete path emits exactly a null value
+    (OrderWithLinesSerializationSchema.java:41-75)."""
+    import json
+
+    key = str(row_dict[key_col]).encode()
+    if row_dict.get(deleted_col):
+        return key, None
+    payload = {k: v for k, v in row_dict.items() if k != deleted_col}
+    return key, json.dumps(payload, default=str, sort_keys=True).encode()
 
 
 def upsert_sink_batch(
@@ -77,29 +101,49 @@ def upsert_sink_batch(
     topic: str,
     key_col: str,
     deleted_col: str = "deleted",
+    producer_factory=None,
 ) -> None:
     """S6/S8/T4: upsert-Kafka semantics out of a foreachBatch — latest
     per key, deletes as tombstones (null value).
 
     Spark's Kafka sink rejects null values, so tombstones need a
-    producer inside foreachBatch; rows are routed per partition with a
-    bounded producer per executor. (Import guarded: kafka-python is
-    not in this container.)
+    producer inside foreachBatch: ONE producer per partition (bounded
+    connections per executor), rows sent in partition order, flush
+    before the task reports success (at-least-once — the same level as
+    the reference sink).
+
+    ``producer_factory`` injects the client; the default imports
+    kafka-python (absent in this container — import-guarded). A
+    factory must be picklable (it ships to executors) and return an
+    object with ``send(topic, key=, value=)``, ``flush()`` and
+    optionally ``close()``.
     """
-    try:
-        from kafka import KafkaProducer  # type: ignore
-    except ImportError as e:  # pragma: no cover - container has no client lib
-        raise NotImplementedError(
-            "tombstone-capable Kafka producer requires a client library "
-            "(kafka-python / confluent-kafka); not available here"
-        ) from e
+    if producer_factory is None:
+        try:
+            from kafka import KafkaProducer  # type: ignore
+        except ImportError as e:  # pragma: no cover - container has no client lib
+            raise NotImplementedError(
+                "tombstone-capable Kafka producer requires a client library "
+                "(kafka-python / confluent-kafka); not available here"
+            ) from e
+
+        def producer_factory(servers=bootstrap_servers):
+            return KafkaProducer(bootstrap_servers=servers)
 
     def send_partition(rows):
-        producer = KafkaProducer(bootstrap_servers=bootstrap_servers)
-        for row in rows:
-            key = str(row[key_col]).encode()
-            value = None if row[deleted_col] else row.json.encode()
-            producer.send(topic, key=key, value=value)
-        producer.flush()
+        producer = None
+        try:
+            for row in rows:
+                if producer is None:  # lazy: empty partitions open nothing
+                    producer = producer_factory()
+                key, value = serialize_upsert_row(
+                    row.asDict(recursive=True), key_col=key_col, deleted_col=deleted_col
+                )
+                producer.send(topic, key=key, value=value)
+            if producer is not None:
+                producer.flush()
+        finally:
+            if producer is not None and hasattr(producer, "close"):
+                producer.close()
 
-    batch.toJSON().foreachPartition(send_partition)
+    batch.foreachPartition(send_partition)

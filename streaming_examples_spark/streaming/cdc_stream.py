@@ -9,18 +9,34 @@ transactions — complete ones are applied in commit-LSN order through
 transaction, poc.md:343) carry over via a persisted state directory.
 
 State layout (parquet, atomically swapped per batch):
-    <state_dir>/order_state/   latest order image per id
-    <state_dir>/line_state/    latest line image per line id
+    <state_dir>/order_state/_bucket=N/  latest order image per id,
+                                        hash-bucketed by order key
+    <state_dir>/line_state/_bucket=N/   latest line image per line id,
+                                        hash-bucketed by ORDER key
     <state_dir>/carry_orders/  incomplete-tx order events
     <state_dir>/carry_lines/   incomplete-tx line events
 
-At scale each of these is a keyed columnar table (in production:
-Delta/Iceberg MERGE targets); the per-batch cost is proportional to
-the batch plus the touched keys, never the full history. Structured
-Streaming's checkpoint gives at-least-once batch replay; replaying a
-batch re-derives the same state (tx application is idempotent per
-commit_lsn) and re-emits the same docs — the reference sink is also
-AT_LEAST_ONCE (DataStreamV2Job.java:102).
+The two big state tables are hash-bucketed on the order key and
+maintained *incrementally*: a batch loads and rewrites only the
+buckets its order keys hash into — per-batch I/O is O(touched
+buckets), never O(total key space). ``line_state`` buckets by the
+parent order key (not the line id) so that every existing line of a
+touched order is colocated with the order's bucket — the as-of
+reconstruction needs those lines even when the batch only updates the
+order row. Carry tables are O(incomplete txs) and rewritten whole.
+In production the same layout is a Delta/Iceberg MERGE target; the
+bucket swap here is the plain-parquet equivalent of MERGE touching
+only affected files.
+
+Durability order per batch: emissions are materialized and written to
+the sink BEFORE any state dir is swapped. A crash between the two
+replays the batch against the old state and re-emits the same docs —
+duplicate output, never lost output (AT_LEAST_ONCE, matching the
+reference sink, DataStreamV2Job.java:102). ``applied_txs`` (replay/
+redelivery dedup) retains the last ``applied_retention_batches``
+batches — bounded state; a duplicate older than the horizon re-emits
+(at-least-once) but cannot corrupt state, since tx application is
+idempotent per commit_lsn.
 """
 
 from __future__ import annotations
@@ -46,14 +62,27 @@ class TxDenormBatchProcessor:
     """The ``foreachBatch`` body, also usable standalone for replaying
     a partitioned event log batch-by-batch (tests do exactly that)."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, output_dir: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        output_dir: str | None = None,
+        *,
+        n_buckets: int = 32,
+        applied_retention_batches: int = 8,
+    ):
         from streaming_examples_spark.streaming.monitoring import PipelineMetrics
 
         self.spark = spark
         self.state_dir = state_dir
         self.output_dir = output_dir
+        self.n_buckets = n_buckets
+        self.applied_retention_batches = applied_retention_batches
         self.metrics = PipelineMetrics()
         os.makedirs(state_dir, exist_ok=True)
+
+    def _bucket_of(self, key) -> F.Column:
+        return F.pmod(F.hash(key), F.lit(self.n_buckets))
 
     def _load(self, name: str) -> DataFrame | None:
         path = os.path.join(self.state_dir, name)
@@ -61,21 +90,64 @@ class TxDenormBatchProcessor:
             return self.spark.read.parquet(path)
         return None
 
-    def _store_all(self, frames: dict[str, DataFrame]) -> None:
-        """Two-phase swap: every new state frame is materialized to a
-        tmp dir *before* any old dir is replaced — the four frames
-        share lazy inputs (the old state dirs), so an early swap would
-        invalidate a later frame's scan."""
-        tmp_paths = {}
+    def _load_buckets(self, name: str, buckets: list[int]) -> DataFrame | None:
+        """Read only the listed hash buckets of a bucketed state table
+        (partition pruning on the ``_bucket=N`` dirs)."""
+        path = os.path.join(self.state_dir, name)
+        if not os.path.exists(path) or not buckets:
+            return None
+        if not any(e.startswith("_bucket=") for e in os.listdir(path)):
+            return None  # state emptied out entirely
+        df = self.spark.read.parquet(path)
+        return df.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
+
+    def _store_all(
+        self,
+        frames: dict[str, DataFrame],
+        bucketed: dict[str, tuple[DataFrame, list[int]]] | None = None,
+    ) -> None:
+        """Two-phase swap: EVERY new state frame — full and bucketed —
+        is materialized to a tmp dir *before* any old dir is replaced;
+        the frames share lazy inputs (the old state dirs), so an early
+        swap would invalidate a later frame's scan.
+
+        Bucketed frames are written partitioned by ``_bucket`` and only
+        the listed (touched) bucket dirs are swapped; a touched bucket
+        absent from the new frame (every key in it deleted) has its old
+        dir removed. Untouched bucket dirs are never read or written —
+        per-batch write volume is O(touched keys), not O(state)."""
+        swaps: list[tuple[str, str]] = []  # (tmp, final) whole-dir swaps
+        bucket_swaps: list[tuple[str, str, list[int]]] = []
         for name, df in frames.items():
             path = os.path.join(self.state_dir, name)
             tmp = path + "._tmp"
             df.write.mode("overwrite").parquet(tmp)
-            tmp_paths[name] = (tmp, path)
-        for tmp, path in tmp_paths.values():
+            swaps.append((tmp, path))
+        for name, (df, buckets) in (bucketed or {}).items():
+            path = os.path.join(self.state_dir, name)
+            tmp = path + "._tmp"
+            (
+                df.withColumn("_bucket", self._bucket_of(F.col("order_key")))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(tmp)
+            )
+            bucket_swaps.append((tmp, path, buckets))
+        for tmp, path in swaps:
             if os.path.exists(path):
                 shutil.rmtree(path)
             os.replace(tmp, path)
+        for tmp, path, buckets in bucket_swaps:
+            os.makedirs(path, exist_ok=True)
+            for b in buckets:
+                part = f"_bucket={b}"
+                new_dir = os.path.join(tmp, part)
+                old_dir = os.path.join(path, part)
+                if os.path.exists(old_dir):
+                    shutil.rmtree(old_dir)
+                if os.path.exists(new_dir):
+                    os.replace(new_dir, old_dir)
+            shutil.rmtree(tmp)
 
     def process(
         self,
@@ -118,14 +190,38 @@ class TxDenormBatchProcessor:
                 "left_anti",
             )
 
+        carry_orders = self._load("carry_orders")
+        carry_lines = self._load("carry_lines")
+
+        # -- touched buckets: the batch's order keys (orders keyed by
+        # id, lines by parent order_id) plus carried-over events — only
+        # these hash buckets of the state tables are read and rewritten
+        keys = order_events.select(
+            F.coalesce(F.col("after.id"), F.col("before.id")).alias("key")
+        ).unionByName(
+            line_events.select(
+                F.coalesce(F.col("after.order_id"), F.col("before.order_id")).alias("key")
+            )
+        )
+        for carry in (carry_orders, carry_lines):
+            if carry is not None:
+                keys = keys.unionByName(carry.select("key"))
+        touched_buckets = sorted(
+            r["b"]
+            for r in keys.where(F.col("key").isNotNull())
+            .select(self._bucket_of(F.col("key")).alias("b"))
+            .distinct()
+            .collect()  # bounded: ≤ n_buckets ints
+        )
+
         res: TxDenormResult = tx_denormalize(
             order_events,
             line_events,
             tx_all,
-            order_state=self._load("order_state"),
-            line_state=self._load("line_state"),
-            carryover_orders=self._load("carry_orders"),
-            carryover_lines=self._load("carry_lines"),
+            order_state=self._load_buckets("order_state", touched_buckets),
+            line_state=self._load_buckets("line_state", touched_buckets),
+            carryover_orders=carry_orders,
+            carryover_lines=carry_lines,
         )
         emitted = res.emitted_txs.select(
             F.col("tx_id").cast("string").alias("_emitted_tx")
@@ -135,8 +231,16 @@ class TxDenormBatchProcessor:
             F.split(tx_all["id"], ":").getItem(0) == emitted["_emitted_tx"],
             "left_anti",
         )
-        emissions = res.emissions.orderBy("commit_lsn").cache()
-        emissions.count()  # materialize before state swap
+        # commit-order contract without a single-partition global sort:
+        # range-partition on commit_lsn + in-partition sort — rows read
+        # back in partition order ARE globally ordered, and the sort
+        # parallelizes across reducers instead of one task
+        emissions = (
+            res.emissions.repartitionByRange("commit_lsn")
+            .sortWithinPartitions("commit_lsn")
+            .cache()
+        )
+        emissions.count()  # materialize before any state dir changes
         # monitoring (§6 metric catalog): events seen, source lag, backlog
         n_events = order_events.count() + line_events.count()
         self.metrics.total_events_seen += n_events
@@ -146,30 +250,44 @@ class TxDenormBatchProcessor:
             else None
         )
         self.metrics.observe_event_time(max_ts)
-        self._store_all(
-            {
-                "order_state": res.order_state,
-                "line_state": res.line_state,
-                "carry_orders": res.carryover_orders,
-                "carry_lines": res.carryover_lines,
-                "carry_txs": tx_keep,
-                "applied_txs": (
-                    applied.unionByName(res.emitted_txs).distinct()
-                    if applied is not None
-                    else res.emitted_txs
-                ),
-            }
-        )
-        self.metrics.observe_backlog(
-            self.spark.read.parquet(os.path.join(self.state_dir, "carry_orders")).count()
-            + self.spark.read.parquet(os.path.join(self.state_dir, "carry_lines")).count()
-        )
+        # -- sink BEFORE state swap: a crash in between replays the
+        # batch against the old state and re-emits the same docs —
+        # duplicate output, never lost output (AT_LEAST_ONCE). The
+        # reverse order would record the txs as applied, filter them on
+        # replay, and silently drop their emissions.
         if self.output_dir:
             (
                 emissions.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("append")
                 .parquet(self.output_dir)
             )
+        new_applied = res.emitted_txs.withColumn(
+            "applied_in_batch", F.lit(batch_id).cast("long")
+        )
+        if applied is not None:
+            # bounded dedup state: drop txs applied more than
+            # applied_retention_batches ago — older duplicates re-emit
+            # (at-least-once) but cannot corrupt state (idempotent per
+            # commit_lsn). Mirrors the reference's TTL'd dedup state.
+            horizon = batch_id - self.applied_retention_batches
+            applied_keep = applied.filter(F.col("applied_in_batch") >= horizon)
+            new_applied = applied_keep.unionByName(new_applied).dropDuplicates(["tx_id"])
+        self._store_all(
+            {
+                "carry_orders": res.carryover_orders,
+                "carry_lines": res.carryover_lines,
+                "carry_txs": tx_keep,
+                "applied_txs": new_applied,
+            },
+            bucketed={
+                "order_state": (res.order_state, touched_buckets),
+                "line_state": (res.line_state, touched_buckets),
+            },
+        )
+        self.metrics.observe_backlog(
+            self.spark.read.parquet(os.path.join(self.state_dir, "carry_orders")).count()
+            + self.spark.read.parquet(os.path.join(self.state_dir, "carry_lines")).count()
+        )
         return emissions
 
 

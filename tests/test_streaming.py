@@ -192,3 +192,77 @@ def test_toast_backfill_udtf(spark):
     got = {(r["id"], r["lsn"]): r["value"] for r in out}
     assert got[(1001, 20)] == "bio v1"
     assert got[(1002, 15)] == "other"
+
+
+def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
+    """Incremental state: a batch must rewrite only the hash buckets of
+    the order keys it touches; every other bucket's files stay
+    byte-identical on disk (same paths, sizes, mtimes)."""
+    import os
+
+    def bucket_files(state_dir, table):
+        root = os.path.join(state_dir, table)
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    state_dir = str(tmp_path / "state")
+    # seed: 20 orders across many buckets, one tx each
+    log = TxLog()
+    for i in range(20):
+        oid = 20000 + i
+        log.tx(lambda t, oid=oid: t.insert_order(oid),
+               lambda t, oid=oid: t.insert_line(oid * 10, oid))
+    proc = TxDenormBatchProcessor(spark, state_dir, n_buckets=16)
+    assert proc.process(
+        log.order_events_df(spark), log.line_events_df(spark),
+        log.tx_events_df(spark), batch_id=0,
+    ).count() == 20
+
+    before_o = bucket_files(state_dir, "order_state")
+    before_l = bucket_files(state_dir, "line_state")
+    seeded_buckets = {
+        p.split("_bucket=")[1].split("/")[0] for p in before_o
+    }
+    assert len(seeded_buckets) > 4  # keys actually spread over buckets
+
+    # second batch touches ONE order
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_order(20000 + 1),  # same id → update path
+            )
+    out = proc.process(
+        log2.order_events_df(spark), log2.line_events_df(spark),
+        log2.tx_events_df(spark), batch_id=1,
+    )
+    assert out.count() == 1
+
+    after_o = bucket_files(state_dir, "order_state")
+    after_l = bucket_files(state_dir, "line_state")
+    changed_o = {p for p in before_o if after_o.get(p) != before_o[p]}
+    changed_l = {p for p in before_l if after_l.get(p) != before_l[p]}
+    touched = {p.split("_bucket=")[1].split("/")[0]
+               for p in set(after_o) - set(before_o) | changed_o}
+    # exactly one bucket's files changed in each table
+    assert len(touched) == 1
+    untouched_changed = {
+        p for p in changed_o | changed_l
+        if f"_bucket={next(iter(touched))}" not in p
+    }
+    assert not untouched_changed
+
+    # and the surviving state still reconstructs: third batch adds a
+    # line to a DIFFERENT seeded order — its old line must come back
+    log3 = TxLog()
+    log3._lsn, log3._next_tx = 95000, 950
+    log3.tx(lambda t: t.insert_line(20005 * 10 + 1, 20005))
+    docs = proc.process(
+        log3.order_events_df(spark), log3.line_events_df(spark),
+        log3.tx_events_df(spark), batch_id=2,
+    ).collect()
+    assert len(docs) == 1
+    assert len(docs[0]["lines"]) == 2  # seeded line + new line
