@@ -2,12 +2,14 @@
 similarity search, text analysis, multimodal).
 
 Oracle strategy: wherever the algorithm is deterministic and
-engine-portable (md5-based MinHash, cosine over DOUBLE[], split/
-regexp text metrics) the DuckDB oracle runs the *same algorithm*,
-generated from the same Python constants. Approximate operators whose
-Spark-side hashing has no DuckDB counterpart (SimHash bit packing,
-hyperplane LSH ANN) are registered rows-only and verified by pytest
-against brute-force ground truth instead.
+engine-portable (md5-based MinHash, SimHash bit votes, md5-derived
+LSH hyperplanes, cosine over DOUBLE[], split/regexp text metrics) the
+DuckDB oracle runs the *same algorithm*, generated from the same
+Python constants — for the approximate operators that means the
+oracle replicates the SAME approximation bit-for-bit (the hash checks
+the algorithm; recall vs brute force is pytest's job). Only genuinely
+engine-internal ops stay rows-only: HLL++ approx_count_distinct,
+iterative k-means, and the stubbed multimodal decode.
 """
 
 from __future__ import annotations
@@ -190,10 +192,53 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(t(spark, sf_dir, "documents"), threshold=0.9)
 
 
+def _simhash_oracle(max_hamming: int, n_blocks: int = 6) -> str:
+    """DuckDB twin of operators.dedup.simhash64 + block join: same
+    3-word shingles of lower(text), same 60-bit md5 feature hash
+    (hex chars 18..32), same per-bit ±1 vote, same bit packing, same
+    pigeonhole block equi-join — generated bit expressions keep the
+    two engines in lockstep. list_sum([]) is NULL, NULL > 0 is false,
+    so a <3-word doc packs to simhash 0 exactly like Spark's
+    aggregate-over-empty-array."""
+    from streaming_examples_spark.operators.dedup import SIMHASH_BITS
+
+    width = SIMHASH_BITS // n_blocks
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum([CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END "
+        f"FOR h IN hs]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(w) >= 3
+                 THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                     FOR i IN range(1, len(w) - 1)])
+                 ELSE [] END AS sh
+          FROM t),
+    h AS (SELECT doc_id,
+                 [('0x' || substr(md5(x), 18, 15))::BIGINT FOR x IN sh] AS hs
+          FROM s),
+    sim AS (SELECT doc_id, ({bit_terms}) AS simhash FROM h),
+    blocks AS (
+      SELECT doc_id, simhash, bi.block_idx,
+             (simhash >> (bi.block_idx * {width})) & {(1 << width) - 1} AS block_val
+      FROM sim, (SELECT unnest(range({n_blocks})) AS block_idx) bi),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2,
+             a.simhash AS h1, b2.simhash AS h2
+      FROM blocks a JOIN blocks b2
+        ON a.block_idx = b2.block_idx AND a.block_val = b2.block_val
+       AND a.doc_id < b2.doc_id)
+    SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= {max_hamming}
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # bit-packing has no DuckDB twin; pytest verifies vs brute force
-    survey_ref="training-data: SimHash near-dup (Hamming ≤ 8, block-join)",
+    oracle=_simhash_oracle(8),
+    survey_ref="training-data: SimHash near-dup (Hamming ≤ 8, block-join) — bit-exact oracle",
 )
 def q_dedup_simhash(spark, sf_dir):
     return simhash_near_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
@@ -334,10 +379,49 @@ def q_kmeans_assign(spark, sf_dir):
     return kmeans_assign(t(spark, sf_dir, "embeddings"), k=16, iters=5)
 
 
+def _ann_lsh_oracle(k: int, dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
+    """DuckDB replica of lsh_ann_topk: identical md5-derived
+    hyperplanes and bucket packing (shared _lsh_bucket_sql), identical
+    candidate set (same bucket in ANY table), exact cosine rank within
+    candidates. Approximate vs brute force, but bit-exactly the SAME
+    approximation in both engines — so the value hash checks the LSH
+    path itself, recall is pytest's job."""
+    bucket_cols = ",\n           ".join(
+        f"{_lsh_bucket_sql(dim, n_planes, t * 1000)} AS bkt{t}" for t in range(n_tables)
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bkt{t} AS bkt FROM b0" for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b0 AS (SELECT vec_id,
+           {bucket_cols}
+           FROM e),
+    b AS ({unions}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b q JOIN b c ON c.tbl = q.tbl AND c.bkt = q.bkt
+                       AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 5),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_cosine_similarity(ec.v, eq.v) AS cos
+      FROM cand cd JOIN e eq ON eq.vec_id = cd.query_id
+                   JOIN e ec ON ec.vec_id = cd.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_lsh",
-    oracle=None,  # approximate; pytest measures recall vs brute force
-    survey_ref="training-data: LSH-bucketed ANN (scale path)",
+    oracle=_ann_lsh_oracle(10),
+    survey_ref="training-data: LSH-bucketed ANN (scale path) — bit-exact oracle + recall pytest",
 )
 def q_ann_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")

@@ -274,7 +274,12 @@ def simhash_near_pairs(
     n_blocks this is a heuristic recall tradeoff (as in practice);
     for < n_blocks it is exact.
     """
-    sh = simhash64(docs, **kw)
+    # persist the (doc_id, simhash) frame: it feeds the block explode
+    # AND both sides of the self-join — without it CollapseProject
+    # inlines the 60-vote expression tree into every reference (the
+    # MinHash band-key trap; measured ~7× recompute). Two narrow
+    # columns, so the cache is tiny even at corpus scale.
+    sh = simhash64(docs, **kw).persist()
     width = SIMHASH_BITS // n_blocks
     blocks = sh.select(
         "doc_id",
