@@ -33,9 +33,11 @@ HEADLINE = [
     "fill_forward_events",    # window fill-forward
     "sessionize_events",      # gaps-and-islands sessionization
     "dedup_minhash_lsh",      # MinHash LSH near-dup
+    "dedup_groups",           # connected components over LSH pairs
     "dedup_exact",            # exact dedup
     "ann_topk",               # brute-force cosine top-k
     "text_quality",           # text quality metrics
+    "curated_corpus",         # composed curation pipeline (capstone)
     "multimodal_decode",      # mapInPandas decode path
 ]
 

@@ -18,6 +18,7 @@ from streaming_examples_spark.catalog import register, t
 from streaming_examples_spark.operators.ingest import (
     as_changelog,
     as_upsert,
+    changelog_aggregate,
     dedup_cdc,
     flatten,
 )
@@ -108,6 +109,37 @@ def q_cdc_changelog_events(spark, sf_dir):
         F.col("row.id").alias("user_id"),
         F.round(F.col("row.value"), 2).alias("value"),
         F.col("source.lsn").alias("lsn"),
+    )
+
+
+@register(
+    "changelog_agg_cohort",
+    oracle=f"""
+    WITH env AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             {_OP_SQL} AS op
+      FROM events),
+    cl AS (
+      SELECT '+I' AS row_kind, user_id, value FROM env WHERE op = 'c'
+      UNION ALL SELECT '-U', user_id, prev FROM env WHERE op = 'u'
+      UNION ALL SELECT '+U', user_id, value FROM env WHERE op = 'u'
+      UNION ALL SELECT '-D', user_id, prev FROM env WHERE op = 'd')
+    SELECT user_id % 10 AS cohort,
+           sum(CASE WHEN row_kind IN ('+I', '+U') THEN 1 ELSE -1 END) AS n_live,
+           sum((CASE WHEN row_kind IN ('+I', '+U') THEN 1 ELSE -1 END)
+               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+    FROM cl GROUP BY user_id % 10
+    """,
+    survey_ref="§2.4 retraction-aware aggregate over -U/+U changelog (KafkaChangelogJob.java:26-48)",
+)
+def q_changelog_agg_cohort(spark, sf_dir):
+    env = synth_user_envelope(spark, sf_dir)
+    cl = as_changelog(env)
+    return changelog_aggregate(
+        cl,
+        [F.pmod(F.col("row.id"), F.lit(10)).alias("cohort")],
+        F.col("row.value"),
     )
 
 

@@ -247,6 +247,46 @@ def upsert_to_changelog(
     )
 
 
+def changelog_aggregate(
+    changelog: DataFrame,
+    group_exprs: Sequence[Column],
+    value_expr: Column,
+    *,
+    row_kind_col: str = "row_kind",
+) -> DataFrame:
+    """Retraction-aware aggregation straight off a +I/-U/+U/-D stream —
+    Flink's changelog-consuming aggregate (KafkaChangelogJob.java:26-48)
+    without materializing the upsert state first.
+
+    Additive aggregates (SUM/COUNT, and AVG as their ratio) are
+    maintained by signing each contribution: +I/+U add, -U/-D
+    subtract. For a complete, consistent changelog the result equals
+    aggregating the materialized latest-per-key state (pytest asserts
+    the equivalence) — but the plan is radically cheaper at scale: one
+    map-side-combinable pass with a single shuffle on the GROUP BY
+    key, versus upsert-then-aggregate's shuffle on the row key for
+    max_by + a second shuffle for the aggregation. In streaming this
+    is the operator that makes per-key retractions flow through an
+    aggregate incrementally instead of re-scanning state.
+
+    Emits per group: ``n_live`` (signed row count — live rows after
+    all retractions) and ``sum_value_cents`` (signed sum of the value
+    in integer cents: BIGINT arithmetic is associative and engine-
+    portable, where a float sum's grouping order is not).
+    """
+    sign = F.when(
+        F.col(row_kind_col).isin(ROWKIND_INSERT, ROWKIND_UPDATE_AFTER), F.lit(1)
+    ).otherwise(F.lit(-1))
+    cents = F.floor(value_expr * 100 + F.lit(0.5)).cast("long")
+    return (
+        changelog.groupBy(*group_exprs)
+        .agg(
+            F.sum(sign.cast("long")).alias("n_live"),
+            F.sum(sign * cents).alias("sum_value_cents"),
+        )
+    )
+
+
 def flatten(events: DataFrame, *, drop_deletes: bool = False) -> DataFrame:
     """ExtractNewRecordState equivalent (S12): unwrap the envelope to
     flat rows. Deletes surface the before-image with ``__deleted=true``

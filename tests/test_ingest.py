@@ -107,3 +107,58 @@ def test_with_lsn_parses_transaction_id(spark, order_log):
     assert all(r["commit_lsn"] is not None for r in out)
     assert all(r["commit_lsn"] > r["event_lsn"] for r in out)
     assert out[0]["tx_id"] == out[0]["source"]["txId"]
+
+
+def test_changelog_aggregate_equals_materialize_then_aggregate(spark):
+    """On a well-formed changelog (every key: +I, then -U/+U pairs,
+    maybe -D), the retraction-aware aggregate must equal aggregating
+    the materialized latest-per-key state — Flink's changelog-agg
+    equivalence (KafkaChangelogJob.java:26-48)."""
+    from streaming_examples_spark.operators.ingest import changelog_aggregate
+
+    rows = []  # (row_kind, id, value, lsn)
+    histories = {
+        1: [("+I", 10.0, 100), ("-U", 10.0, 200), ("+U", 25.0, 200)],
+        2: [("+I", 5.0, 110), ("-U", 5.0, 210), ("+U", 7.5, 210),
+            ("-D", 7.5, 300)],
+        3: [("+I", 40.0, 120)],
+        14: [("+I", 2.25, 130), ("-U", 2.25, 220), ("+U", 3.75, 220)],
+    }
+    for k, hist in histories.items():
+        for kind, v, lsn in hist:
+            rows.append((kind, k, v, lsn))
+    cl = spark.createDataFrame(rows, "row_kind string, id long, value double, lsn long")
+    # shape it like as_changelog output (row struct + source.lsn + ts_ms)
+    cl = cl.select(
+        "row_kind",
+        F.struct(F.col("id").alias("id"), F.col("value").alias("value")).alias("row"),
+        F.struct(F.col("lsn").alias("lsn")).alias("source"),
+        F.col("lsn").alias("ts_ms"),
+    )
+
+    direct = {
+        r["cohort"]: (r["n_live"], r["sum_value_cents"])
+        for r in changelog_aggregate(
+            cl, [F.pmod(F.col("row.id"), F.lit(10)).alias("cohort")], F.col("row.value")
+        ).collect()
+    }
+    state = changelog_to_upsert(cl, ["id"])  # id, value of live rows
+    materialized = {
+        r["cohort"]: (r["n_live"], r["sum_value_cents"])
+        for r in state.groupBy(F.pmod("id", F.lit(10)).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .collect()
+    }
+    # the one legitimate difference: a group whose every row was
+    # retracted nets to (0, 0) in the direct aggregate but is simply
+    # absent once materialized — same information, different encoding
+    assert {k: v for k, v in direct.items() if v != (0, 0)} == materialized
+    assert direct[1] == (1, 2500)   # id 1 updated 10.0 → 25.0
+    assert direct[4] == (1, 375)    # id 14 updated 2.25 → 3.75
+    assert direct[3] == (1, 4000)   # id 3 untouched insert
+    assert direct[2] == (0, 0)      # id 2 deleted: retractions net out
