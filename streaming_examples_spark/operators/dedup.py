@@ -159,11 +159,27 @@ def connected_components(
     primitive, alternating edge rewrites).
     """
     a, b = id_cols
-    edges = (
+    edges_raw = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        # persist: EVERY iteration joins against edges — without this
+        # the whole upstream pair pipeline (e.g. MinHash banding) is
+        # recomputed once per round
+        .persist()
     )
+    n_edges = edges_raw.count()  # materializes the persist; sizes the loop
+    # adaptive parallelism for the iteration frames: the label frame is
+    # O(nodes) ≤ O(edges); spreading a few hundred edges over 32+
+    # shuffle partitions makes each round's fixed job overhead dominate.
+    # ~50k edges per partition keeps partitions comfortably in memory
+    # at any scale while collapsing small graphs to a handful of tasks.
+    spark = pairs.sparkSession
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = max(1, min(max_parts, n_edges // 50_000 + 1))
+    edges = edges_raw.repartition(nparts, "src").persist()
+    edges.count()
+    edges_raw.unpersist()
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -186,6 +202,7 @@ def connected_components(
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
+    edges.unpersist()  # labels is checkpointed; edge lineage not needed
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
