@@ -122,11 +122,14 @@ def complete_tx_ids(norm_frames: list[DataFrame], tx_events: DataFrame) -> DataF
         )
     )
     per_table = observed.join(declared, ["tx_id", "qualified_table"], "full_outer")
+    # declared NULL → events from an undeclared table: never complete.
+    # observed NULL with declared 0 → a (non-Debezium-standard but
+    # harmless) zero-count declaration: vacuously satisfied rather than
+    # blocking the tx (and with it the emission barrier) forever.
     tx_ok = per_table.groupBy("tx_id").agg(
         F.min(
-            (F.col("observed").isNotNull())
-            & (F.col("declared").isNotNull())
-            & (F.col("observed") == F.col("declared"))
+            (F.col("declared").isNotNull())
+            & (F.coalesce(F.col("observed"), F.lit(0)) == F.col("declared"))
         ).alias("ok")
     )
     return tx_ok.filter(F.col("ok")).select("tx_id")

@@ -173,3 +173,35 @@ def test_embedding_near_dup_is_bucket_equi_join(tables):
     # (tbl, bkt), never an all-pairs nested-loop over the corpus
     assert not has_cartesian(df)
     assert count_occurrences(df, r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1
+
+
+def test_changelog_aggregate_single_shuffle(spark):
+    from streaming_examples_spark.operators.ingest import changelog_aggregate
+
+    cl = spark.createDataFrame(
+        [("+I", 1, 5.0)], "row_kind string, id long, value double"
+    ).select(
+        "row_kind",
+        F.struct(F.col("id").alias("id"), F.col("value").alias("value")).alias("row"),
+    )
+    df = changelog_aggregate(
+        cl, [F.pmod(F.col("row.id"), F.lit(10)).alias("cohort")], F.col("row.value")
+    )
+    # the whole point vs materialize-then-aggregate: ONE shuffle on the
+    # GROUP BY key, partial aggregation before it (map-side combine)
+    assert exchange_count(df) == 1
+    plan = formatted_plan(df)
+    assert "partial" in plan.lower()  # HashAggregate(partial) before the exchange
+
+
+def test_denorm_serialized_twin_reuses_single_shuffle(tables):
+    from streaming_examples_spark.operators.denormalize import (
+        denormalize_orders_serialized,
+    )
+
+    df = denormalize_orders_serialized(tables["orders"], tables["lineitem"])
+    # serialization must stay a map-side transform over the nested agg:
+    # same single-shuffle join+agg plan as the nested flagship form
+    from streaming_examples_spark.plans.inspect import exchange_count as xc
+
+    assert xc(df) <= 2  # join shuffle reused by agg (+1 if AQE splits)

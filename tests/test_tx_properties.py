@@ -1,0 +1,200 @@
+"""Property-based tests for the tx pipeline (hypothesis).
+
+The reference's integration suite hand-picks four scenarios
+(PurchaseOrderJoinerIT.java:139-524); these tests assert the same
+contracts — exactly one emission per touched (order, tx), commit-LSN
+order, final doc == naive replay — over RANDOM interleaved transaction
+logs split at random micro-batch boundaries. A Python-dict replay of
+the log is the oracle; the pipeline must agree on every generated
+history.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.model.fixtures import TxLog
+from streaming_examples_spark.streaming.cdc_stream import TxDenormBatchProcessor
+
+
+def _random_log(seed: int) -> TxLog:
+    """A random but always-valid interleaved tx history: inserts,
+    updates, deletes of orders and lines, with up to two transactions
+    open at once and commit order independent of begin order."""
+    rng = random.Random(seed)
+    log = TxLog()
+    # committed state, visible to every transaction
+    committed_orders: set[int] = set()
+    committed_lines: dict[int, int] = {}  # line id → order id
+    next_order, next_line = iter(range(30000, 40000)), iter(range(700000, 800000))
+
+    # a tx sees committed rows plus ITS OWN pending writes — another
+    # open tx's uncommitted rows are invisible (read-committed, like
+    # the Postgres source the reference captures from)
+    overlays: dict[int, dict] = {}
+
+    def visible(t):
+        ov = overlays[t.tx_id]
+        orders = (committed_orders | ov["created_o"]) - ov["deleted_o"]
+        lines = {**committed_lines, **ov["created_l"]}
+        for lid in ov["deleted_l"]:
+            lines.pop(lid, None)
+        return orders, lines
+
+    open_txs = []
+    n_txs = rng.randint(2, 5)
+    started = 0
+    while started < n_txs or open_txs:
+        # maybe open a tx (up to 2 concurrently — the poc.md:189-192
+        # interleaving case)
+        if started < n_txs and (not open_txs or (len(open_txs) < 2 and rng.random() < 0.5)):
+            t_new = log.begin()
+            overlays[t_new.tx_id] = {
+                "created_o": set(), "deleted_o": set(),
+                "created_l": {}, "deleted_l": set(),
+            }
+            open_txs.append(t_new)
+            started += 1
+        t = rng.choice(open_txs)
+        ov = overlays[t.tx_id]
+        for _ in range(rng.randint(1, 4)):
+            vis_orders, vis_lines = visible(t)
+            choices = ["insert_order"]
+            if vis_orders:
+                choices += ["update_order", "insert_line", "delete_order"]
+            if vis_lines:
+                choices += ["update_line", "delete_line"]
+            op = rng.choice(choices)
+            if op == "insert_order":
+                oid = next(next_order)
+                t.insert_order(oid, purchaser=rng.randint(1, 5))
+                ov["created_o"].add(oid)
+                ov["deleted_o"].discard(oid)
+            elif op == "update_order":
+                t.update_order(rng.choice(sorted(vis_orders)),
+                               shipping_address=f"addr-{rng.randint(0, 9)}")
+            elif op == "delete_order":
+                oid = rng.choice(sorted(vis_orders))
+                # delete its lines first (FK order, like a real DB tx)
+                for lid, loid in sorted(vis_lines.items()):
+                    if loid == oid:
+                        t.delete_line(lid)
+                        ov["deleted_l"].add(lid)
+                        ov["created_l"].pop(lid, None)
+                t.delete_order(oid)
+                ov["deleted_o"].add(oid)
+                ov["created_o"].discard(oid)
+            elif op == "insert_line":
+                lid, oid = next(next_line), rng.choice(sorted(vis_orders))
+                t.insert_line(lid, oid, quantity=rng.randint(1, 9),
+                              price=f"{rng.randint(1, 99)}.50")
+                ov["created_l"][lid] = oid
+                ov["deleted_l"].discard(lid)
+            elif op == "update_line":
+                t.update_line(rng.choice(sorted(vis_lines)),
+                              quantity=rng.randint(1, 9))
+            elif op == "delete_line":
+                lid = rng.choice(sorted(vis_lines))
+                t.delete_line(lid)
+                ov["deleted_l"].add(lid)
+                ov["created_l"].pop(lid, None)
+        # maybe commit one of the open txs (possibly not the oldest —
+        # commit order != begin order); never commit an empty tx
+        committable = [tx for tx in open_txs if tx.pending]
+        if committable and (rng.random() < 0.6 or started == n_txs):
+            chosen = rng.choice(committable)
+            open_txs.remove(chosen)
+            chosen.commit()
+            ov = overlays.pop(chosen.tx_id)
+            committed_orders |= ov["created_o"]
+            committed_orders -= ov["deleted_o"]
+            committed_lines.update(ov["created_l"])
+            for lid in ov["deleted_l"]:
+                committed_lines.pop(lid, None)
+    return log
+
+
+def _naive_replay(log: TxLog):
+    """Dict replay in (commit_lsn, event_lsn) order — the semantic
+    oracle: final orders/lines state + touched (order, tx) pairs."""
+    end_lsn = {}
+    for ev in log.tx_events:
+        if ev["status"] == "END":
+            tx_id, commit_lsn = ev["id"].split(":")
+            end_lsn[int(tx_id)] = int(commit_lsn)
+    events = sorted(
+        log.events,
+        key=lambda e: (end_lsn[e["source"]["txId"]], e["source"]["lsn"]),
+    )
+    orders, lines, touched = {}, {}, set()
+    for e in events:
+        img = e["after"] if e["after"] is not None else e["before"]
+        commit = end_lsn[e["source"]["txId"]]
+        if e["source"]["table"] == "orders":
+            touched.add((img["id"], commit))
+            if e["op"] == "d":
+                orders.pop(img["id"], None)
+            else:
+                orders[img["id"]] = dict(img)
+        else:
+            touched.add((img["order_id"], commit))
+            if e["op"] == "d":
+                lines.pop(img["id"], None)
+            else:
+                lines[img["id"]] = dict(img)
+    return orders, lines, touched
+
+
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), cut_frac=st.floats(0.2, 0.8))
+def test_random_interleaved_histories_match_naive_replay(spark, tmp_path_factory, seed, cut_frac):
+    log = _random_log(seed)
+    exp_orders, exp_lines, exp_touched = _naive_replay(log)
+
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    state = tmp_path_factory.mktemp(f"state-{seed}")
+    proc = TxDenormBatchProcessor(spark, str(state))
+    lsns = sorted(r["lsn"] for r in o.select("source.lsn").collect()
+                  ) + sorted(r["lsn"] for r in l.select("source.lsn").collect())
+    cut = sorted(lsns)[int(cut_frac * (len(lsns) - 1))]
+    out1 = proc.process(
+        o.filter(F.col("source.lsn") <= cut), l.filter(F.col("source.lsn") <= cut), x, 0
+    ).collect()
+    out2 = proc.process(
+        o.filter(F.col("source.lsn") > cut), l.filter(F.col("source.lsn") > cut), x, 1
+    ).collect()
+    rows = out1 + out2
+
+    # 1. exactly one emission per touched (order, tx-commit) pair
+    got_pairs = [(r["order_key"], r["commit_lsn"]) for r in rows]
+    assert sorted(got_pairs) == sorted(exp_touched)
+
+    # 2. per-batch commit-LSN emission order
+    for batch in (out1, out2):
+        lsns_b = [r["commit_lsn"] for r in batch]
+        assert lsns_b == sorted(lsns_b)
+
+    # 3. final doc per order == naive replay state
+    final = {}
+    for r in rows:  # rows are in emission order; later batch wins
+        final[r["order_key"]] = r
+    for oid, r in final.items():
+        if oid in exp_orders:
+            assert not r["deleted"]
+            assert r["purchaser"] == exp_orders[oid]["purchaser"]
+            exp_doc_lines = {
+                (lid, li["quantity"]) for lid, li in exp_lines.items()
+                if li["order_id"] == oid
+            }
+            got_lines = {(li["id"], li["quantity"]) for li in r["lines"]}
+            assert got_lines == exp_doc_lines
+        else:
+            assert r["deleted"]  # deleted order's last word is a tombstone

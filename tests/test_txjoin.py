@@ -192,3 +192,45 @@ def test_tx_split_across_batches(spark):
     docs = res2.emissions.collect()
     assert len(docs) == 1
     assert sorted(ln["id"] for ln in docs[0]["lines"]) == [100001, 100002, 100003]
+
+
+def test_declared_zero_collection_is_complete(spark):
+    """A tx END declaring a collection with event_count=0 (no events
+    observed for it) must still count as complete — otherwise it blocks
+    the emission barrier forever. Debezium omits empty collections, but
+    a zero declaration must not wedge the pipeline."""
+    from streaming_examples_spark.operators.txgroup import complete_tx_ids
+    from streaming_examples_spark.model.fixtures import TxLog
+    from streaming_examples_spark.operators.txgroup import (
+        normalize_events,
+        stamp_commit_lsn,
+    )
+    from pyspark.sql import functions as F
+
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(15001))
+    x = log.tx_events_df(spark)
+    # inject a zero-count order_lines declaration into the END event
+    x = x.withColumn(
+        "data_collections",
+        F.when(
+            F.col("status") == "END",
+            F.concat(
+                F.col("data_collections"),
+                F.array(
+                    F.struct(
+                        F.lit("public.order_lines").alias("data_collection"),
+                        F.lit(0).cast("long").alias("event_count"),
+                    )
+                ),
+            ),
+        ),
+    )
+    no = stamp_commit_lsn(
+        normalize_events(log.order_events_df(spark), "orders", "id"), x
+    )
+    nl = stamp_commit_lsn(
+        normalize_events(log.line_events_df(spark), "order_lines", "order_id"), x
+    )
+    ok = complete_tx_ids([no, nl], x)
+    assert ok.count() == 1  # the zero declaration is vacuously satisfied
