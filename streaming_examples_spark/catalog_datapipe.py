@@ -49,11 +49,14 @@ from streaming_examples_spark.operators.similarity import (
 )
 from streaming_examples_spark.operators.text import (
     LANG_MARKERS,
+    PII_PATTERNS,
     STOPWORDS,
     fingerprint,
     lang_id,
     ngram_doc_freq,
     quality_scores,
+    repetition_score,
+    scrub_pii,
     tfidf_top_terms,
     token_stats,
 )
@@ -549,6 +552,54 @@ def q_curated_corpus(spark, sf_dir):
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
+
+
+def _scrub_pii_oracle() -> str:
+    """Generated from the SAME pattern table as the operator; DuckDB
+    regexp_replace needs the 'g' flag to match Spark's replace-all."""
+    scrub = "text"
+    count_cols = []
+    for name, (pat, repl) in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        count_cols.append(
+            f"len(regexp_extract_all(text, '{esc}')) AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{esc}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id, {scrub} AS scrubbed,
+           {", ".join(count_cols)}
+    FROM documents
+    """
+
+
+@register(
+    "scrub_pii",
+    oracle=_scrub_pii_oracle(),
+    survey_ref="training-data: PII redaction (email/phone/IP -> typed placeholders, map-only)",
+)
+def q_scrub_pii(spark, sf_dir):
+    return scrub_pii(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "repetition_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+    s AS (SELECT doc_id,
+                 [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)] AS sh
+          FROM t WHERE len(w) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    freq AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY doc_id, g)
+    SELECT doc_id,
+           sum(c) AS n_shingles,
+           floor((1.0 - count(*) / (1.0 * sum(c))) * 10000 + 0.5) / 10000.0 AS dup_frac,
+           floor((max(c) / (1.0 * sum(c))) * 10000 + 0.5) / 10000.0 AS top_shingle_frac
+    FROM freq GROUP BY doc_id
+    """,
+    survey_ref="training-data: Gopher-style repetition scoring (dup-shingle fraction)",
+)
+def q_repetition_scores(spark, sf_dir):
+    return repetition_score(t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -185,3 +185,64 @@ def ngram_doc_freq(
         .orderBy(F.col("n_docs").desc(), "gram")
         .limit(top)
     )
+
+
+#: PII redaction patterns — RE2-safe, Java/RE2-identical (plain char
+#: classes, no lookarounds) so the DuckDB oracle matches byte-for-byte
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+}
+
+
+def scrub_pii(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training corpora: replace emails / phone
+    numbers / IPv4s with typed placeholders and count redactions per
+    category. Pure ``regexp_replace``/``regexp_extract_all`` chain —
+    map-only, no shuffle, O(bytes); the pattern order matters (emails
+    are scrubbed before IPs so a host part can't double-match).
+    """
+    text = F.col(text_col)
+    scrubbed = text
+    counts = []
+    for name, (pat, repl) in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        scrubbed.alias("scrubbed"),
+        *counts,
+    )
+
+
+def repetition_score(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Gopher-style repetition metrics per document: the fraction of
+    duplicated k-word shingles (1 − distinct/total) and the share of
+    the single most repeated shingle. High values flag boilerplate,
+    keyword stuffing, and degenerate generations.
+
+    Shape: explode ALL shingle occurrences (not the distinct set the
+    dedup ops use) → one shuffle on (doc, shingle) for the frequency
+    table → per-doc aggregate. Docs shorter than k words are excluded
+    (no shingles to score).
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    all_shingles = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    ex = (
+        docs.filter(n >= k)
+        .select(F.col(id_col).alias("doc_id"), F.explode(all_shingles).alias("g"))
+    )
+    freq = ex.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    r4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / F.lit(10000.0)  # noqa: E731
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        r4(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_frac"),
+        r4(F.max("c") / F.sum("c")).alias("top_shingle_frac"),
+    )

@@ -166,3 +166,43 @@ def test_multimodal_plumbing(spark, tables):
     again = {r["doc_id"]: r["feature"] for r in decode_and_featurize(docs).collect()}
     for r in rows:
         assert again[r["doc_id"]] == r["feature"]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from streaming_examples_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+            (2, "server at 10.0.0.1 and 192.168.1.255 ok"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["scrubbed"] == "contact <EMAIL> or <PHONE> now"
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 0)
+    assert got[2]["scrubbed"] == "server at <IP> and <IP> ok"
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["scrubbed"] == got[3]["scrubbed"] == "clean text with no identifiers at all"
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+
+
+def test_repetition_score_flags_degenerate_docs(spark):
+    from streaming_examples_spark.operators.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),      # one shingle repeated 4x
+            (2, "all words here are fully distinct"),  # no repeated shingles
+            (3, "too short"),                          # < 3 words → excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_shingles"] == 4
+    assert got[1]["dup_frac"] == 0.75       # 1 distinct of 4
+    assert got[1]["top_shingle_frac"] == 1.0
+    assert got[2]["dup_frac"] == 0.0
+    assert got[2]["top_shingle_frac"] == 0.25  # 4 shingles, all unique
