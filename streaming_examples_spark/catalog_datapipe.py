@@ -24,6 +24,7 @@ from streaming_examples_spark.functions.hashing import (
     perm_constants,
 )
 from streaming_examples_spark.operators.dedup import (
+    decontaminate,
     dedup_groups,
     embedding_near_dup_lsh,
     exact_dedup,
@@ -299,6 +300,49 @@ def _embedding_near_dup_oracle(
 )
 def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_lsh(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_DECON_K = 5
+_DECON_EVAL_CUT = int(0.05 * (1 << 16))  # eval set = md5 bucket < 5%
+
+
+@register(
+    "decontaminate_train",
+    # same shingling, same md5-bucket eval split, expressed in DuckDB;
+    # docs shorter than k words keep an empty shingle list so every
+    # train doc appears in the report
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS bkt,
+             CASE WHEN len(w) >= {_DECON_K}
+                  THEN list_distinct([array_to_string(w[i:i+{_DECON_K - 1}], ' ')
+                                      FOR i IN range(1, len(w) - {_DECON_K - 2})])
+                  ELSE CAST([] AS VARCHAR[]) END AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    ev AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE bkt < {_DECON_EVAL_CUT}),
+    trx AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE bkt >= {_DECON_EVAL_CUT}),
+    hits AS (SELECT doc_id, count(*) AS n_overlap
+             FROM trx JOIN ev USING (g) GROUP BY doc_id)
+    SELECT s.doc_id AS doc_id,
+           len(s.gs) AS n_shingles,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 1 AS contaminated
+    FROM sh s LEFT JOIN hits h USING (doc_id)
+    WHERE s.bkt >= {_DECON_EVAL_CUT}
+    """,
+    survey_ref="training-data: eval-set decontamination (k-gram overlap, broadcast probe)",
+)
+def q_decontaminate_train(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    from streaming_examples_spark.operators.sampling import md5_bucket
+
+    bkt = md5_bucket(F.col("doc_id"))
+    return decontaminate(
+        docs.filter(bkt >= _DECON_EVAL_CUT),
+        docs.filter(bkt < _DECON_EVAL_CUT),
+        k=_DECON_K,
+    )
 
 
 # --------------------------------------------------------------------------

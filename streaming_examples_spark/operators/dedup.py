@@ -425,3 +425,43 @@ def embedding_near_dup_lsh(
         .filter(F.col("cos") >= threshold)
         .select("d1", "d2", "cos")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination: flag training docs that share any
+    k-word shingle with an evaluation/benchmark set (the GPT-3/PaLM
+    n-gram-overlap rule, k configurable).
+
+    Shape: the eval side collapses to a distinct shingle set and is
+    **broadcast** — eval sets are tiny next to the corpus, so the
+    corpus is scanned once with no shuffle for the probe; the only
+    shuffle is the per-doc overlap count on doc_id. Never a doc×doc
+    pair space. Docs shorter than k words surface with 0 shingles,
+    not dropped — a decontamination report must cover every doc.
+    """
+    sh = word_shingles(F.col(text_col), k)
+    tr = train.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("g"))
+    ev = eval_docs.select(F.explode(sh).alias("g")).distinct()
+    hits = (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"), F.size(sh).alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -206,3 +206,24 @@ def test_repetition_score_flags_degenerate_docs(spark):
     assert got[1]["top_shingle_frac"] == 1.0
     assert got[2]["dup_frac"] == 0.0
     assert got[2]["top_shingle_frac"] == 0.25  # 4 shingles, all unique
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from streaming_examples_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # contains eval 5-gram
+            (2, "completely unrelated training text goes here now"),
+            (3, "too short"),                                     # < k words → 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox jumps over a fence")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, ev, k=5).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["contaminated"] and got[1]["n_overlap"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
+    assert got[3]["n_shingles"] == 0 and not got[3]["contaminated"]

@@ -205,3 +205,16 @@ def test_denorm_serialized_twin_reuses_single_shuffle(tables):
     from streaming_examples_spark.plans.inspect import exchange_count as xc
 
     assert xc(df) <= 2  # join shuffle reused by agg (+1 if AQE splits)
+
+
+def test_decontaminate_broadcast_probe(tables):
+    from streaming_examples_spark.operators.dedup import decontaminate
+    from streaming_examples_spark.operators.sampling import md5_bucket
+
+    docs = tables["documents"]
+    bkt = md5_bucket(F.col("doc_id"))
+    df = decontaminate(docs.filter(bkt >= 3276), docs.filter(bkt < 3276), k=5)
+    # eval shingle set is broadcast: the corpus probe is shuffle-free
+    # and there is never a doc×doc pair space
+    assert has_broadcast_join(df)
+    assert not has_cartesian(df)
