@@ -346,6 +346,57 @@ def q_decontaminate_train(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# packing & mixture
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8 AS shard,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, shard, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+          FROM d)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(strt / 2048.0) AS BIGINT) AS seq_id,
+           CAST(strt % 2048 AS BIGINT) AS seq_offset
+    FROM s
+    """,
+    survey_ref="training-data: sharded concat-and-chunk sequence packing",
+)
+def q_pack_sequences(spark, sf_dir):
+    from streaming_examples_spark.operators.packing import pack_sequences
+
+    return pack_sequences(t(spark, sf_dir, "documents"), capacity=2048, n_shards=8)
+
+
+@register(
+    "mixture_weights",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      sum(len(string_split(text, ' '))) AS n_tokens
+               FROM documents GROUP BY source),
+    t AS (SELECT *, n_tokens / (1.0 * sum(n_tokens) OVER ()) AS pp FROM s),
+    u AS (SELECT *, pow(pp, 0.3) / sum(pow(pp, 0.3)) OVER () AS qq FROM t)
+    SELECT source, n_docs, n_tokens,
+           floor(pp * 10000 + 0.5) / 10000.0 AS p,
+           floor(qq * 10000 + 0.5) / 10000.0 AS q,
+           floor(qq / pp * 10000 + 0.5) / 10000.0 AS boost
+    FROM u
+    """,
+    survey_ref="training-data: temperature-smoothed source mixture weights (XLM-R alpha)",
+)
+def q_mixture_weights(spark, sf_dir):
+    from streaming_examples_spark.operators.packing import mixture_weights
+
+    return mixture_weights(t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+# --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
 

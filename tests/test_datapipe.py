@@ -227,3 +227,36 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert got[1]["contaminated"] and got[1]["n_overlap"] == 1
     assert not got[2]["contaminated"] and got[2]["n_overlap"] == 0
     assert got[3]["n_shingles"] == 0 and not got[3]["contaminated"]
+
+
+def test_pack_sequences_layout(spark):
+    from streaming_examples_spark.operators.packing import pack_sequences
+
+    # one shard so the layout is a single deterministic stream
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(1, 6), (2, 3), (3, 5), (4, 2)]],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(docs, capacity=8, n_shards=1).collect()}
+    # cumulative starts: 0, 6, 9, 14 with capacity 8
+    assert (got[1]["seq_id"], got[1]["seq_offset"]) == (0, 0)
+    assert (got[2]["seq_id"], got[2]["seq_offset"]) == (0, 6)   # straddles the cut
+    assert (got[3]["seq_id"], got[3]["seq_offset"]) == (1, 1)
+    assert (got[4]["seq_id"], got[4]["seq_offset"]) == (1, 6)
+    assert all(r["n_tokens"] == n for r, n in [(got[1], 6), (got[2], 3), (got[3], 5), (got[4], 2)])
+
+
+def test_mixture_weights_lift_low_resource(spark):
+    from streaming_examples_spark.operators.packing import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 99 + "w", "big") for i in range(9)]
+        + [(100, "w " * 99 + "w", "small")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in mixture_weights(docs, alpha=0.3).collect()}
+    assert got["big"]["n_tokens"] == 900 and got["small"]["n_tokens"] == 100
+    assert abs(got["big"]["p"] + got["small"]["p"] - 1.0) < 1e-3
+    assert abs(got["big"]["q"] + got["small"]["q"] - 1.0) < 1e-3
+    # alpha < 1 boosts the low-resource source, shrinks the dominant one
+    assert got["small"]["boost"] > 1.0 > got["big"]["boost"]
