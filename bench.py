@@ -61,6 +61,10 @@ def main() -> int:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # drop frames a query persisted (shingle/simhash/edge caches):
+        # leftover cache pollutes later queries' executor memory and
+        # makes timings order-dependent
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
