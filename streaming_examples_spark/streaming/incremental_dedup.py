@@ -1,0 +1,221 @@
+"""Incremental near-duplicate detection over a document stream.
+
+The streaming counterpart of ``operators/dedup.py:minhash_lsh_pairs``:
+a corpus grows batch by batch (a crawl, a feed, CDC on a documents
+table) and every new document must be checked against EVERYTHING seen
+so far — without ever re-scanning old text.
+
+Design (all equi-joins, no pair space, state ∝ unique corpus):
+
+  * The state directory keeps two append-only parquet stores:
+      ``bands/``  (band_id, band_key, doc_id)   — the LSH probe index
+      ``sigs/``   (doc_id, sig ARRAY<LONG>)     — MinHash signatures
+    Only CANONICAL (non-duplicate) docs are stored, so state grows
+    with unique content, not with stream length — re-crawled copies
+    never inflate it.
+  * Per batch: new docs are shingled once (`shingle_base_hashes`, one
+    md5 per shingle); candidates come from an equi-join on
+    (band_id, band_key) against the store AND a within-batch band
+    self-join; similarity is verified on the MinHash signatures
+    (matching-position fraction estimates Jaccard) — old TEXT is
+    never needed, so the store stays narrow.
+  * Replayed doc_ids (at-least-once sources) are dropped against
+    ``sigs`` before processing: re-delivery cannot duplicate state or
+    flip an earlier verdict.
+
+At 100 TB the ``bands`` store should be written as a table bucketed
+by band_key (sources/writer.py:write_bucketed_table) so the per-batch
+probe join is shuffle-free on the state side; the append-only layout
+is compatible (buckets append). Kept as plain parquet here so tests
+run without a warehouse.
+
+Reference parity: the reference has no incremental near-dup operator —
+this extends its CDC-state patterns (bounded keyed state, replay
+dedup: TxAware...Operator.java:357-430) to the training-data domain.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from streaming_examples_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    perm_constants,
+    shingle_base_hashes,
+    word_shingles,
+)
+
+_SIG_SCHEMA = "doc_id long, sig array<long>"
+_BAND_SCHEMA = "band_id int, band_key string, doc_id long"
+
+
+def minhash_signature(hs, n_perms: int) -> F.Column:
+    """Full MinHash signature (array of per-permutation minima) over a
+    precomputed base-hash array — same hash family as the LSH bands."""
+    def perm_min(i: int):
+        a, b = perm_constants(i)
+        return F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
+        )
+
+    return F.array(*[perm_min(i) for i in range(n_perms)])
+
+
+def estimated_jaccard(sig_a, sig_b) -> F.Column:
+    """Matching-position fraction of two equal-length MinHash
+    signatures — an unbiased estimator of Jaccard similarity."""
+    matches = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches / F.size(sig_a)
+
+
+class IncrementalNearDup:
+    """foreachBatch processor: feed each micro-batch of (doc_id, text)
+    to :meth:`process_batch`; it returns the dedup report for the batch
+    and folds the batch's canonical docs into the store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        threshold: float = 0.7,
+        k: int = 3,
+        n_perms: int = LSH_BANDS * LSH_ROWS,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.threshold = threshold
+        self.k = k
+        self.n_perms = n_perms
+        self.text_col = text_col
+        self.id_col = id_col
+
+    # -- state I/O ------------------------------------------------------
+    def _load(self, name: str, schema: str) -> DataFrame:
+        path = os.path.join(self.state_dir, name)
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def _band_keys(self, hs) -> F.Column:
+        def perm_min(i: int):
+            a, b = perm_constants(i)
+            return F.array_min(
+                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
+            )
+
+        return F.array(
+            *[
+                F.concat_ws(
+                    "|", *[perm_min(b * LSH_ROWS + r) for r in range(LSH_ROWS)]
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+
+    # -- the batch step -------------------------------------------------
+    def process_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
+        """Returns (doc_id, is_dup BOOLEAN, dup_of LONG, n_candidates)
+        for every doc in the batch (replayed known ids excluded), and
+        appends canonical docs' signatures/bands to the store.
+
+        ``dup_of`` is the smallest matching doc_id — from the stored
+        corpus if any, else from smaller-id batch peers. Within-batch
+        duplicate GROUPS point at the group's canonical only when they
+        match it directly (one hop); full transitive closure is the
+        batch operator ``dedup_groups``' job, not the stream's.
+        """
+        sigs_store = self._load("sigs", _SIG_SCHEMA)
+        bands_store = self._load("bands", _BAND_SCHEMA)
+
+        # replay protection: a doc_id already folded into the store is
+        # a re-delivery — reprocessing could only repeat the verdict
+        fresh = docs.select(
+            F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
+        ).join(sigs_store.select("doc_id"), "doc_id", "left_anti")
+
+        hs = shingle_base_hashes(word_shingles(F.col("text"), self.k))
+        enriched = (
+            fresh.select("doc_id", hs.alias("hs"))
+            .withColumn("sig", minhash_signature(F.col("hs"), self.n_perms))
+            .withColumn("keys", self._band_keys(F.col("hs")))
+            .withColumn("n_sh", F.size("hs"))
+            .drop("hs")
+            .persist()  # feeds probe, self-join, verify, and the store append
+        )
+        with_bands = enriched.filter(F.col("n_sh") > 0).select(
+            "doc_id", "sig", F.posexplode("keys").alias("band_id", "band_key")
+        )
+
+        # candidates vs the stored corpus + within the batch itself
+        hist = (
+            with_bands.join(bands_store.withColumnRenamed("doc_id", "old_id"),
+                            ["band_id", "band_key"])
+            .select("doc_id", "old_id", "sig")
+            .distinct()
+            .join(sigs_store.select(F.col("doc_id").alias("old_id"),
+                                    F.col("sig").alias("old_sig")), "old_id")
+            .select("doc_id", "old_id",
+                    estimated_jaccard(F.col("sig"), F.col("old_sig")).alias("j"))
+        )
+        peer = (
+            with_bands.alias("a")
+            .join(
+                with_bands.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("b.doc_id").alias("old_id"),
+                    F.col("a.sig").alias("sig"),
+                    F.col("b.sig").alias("old_sig"))
+            .distinct()
+            .select("doc_id", "old_id",
+                    estimated_jaccard(F.col("sig"), F.col("old_sig")).alias("j"))
+        )
+        matches = hist.unionByName(peer).filter(F.col("j") >= self.threshold)
+        verdict = matches.groupBy("doc_id").agg(
+            F.min("old_id").alias("dup_of"), F.count(F.lit(1)).alias("n_candidates")
+        )
+        report = (
+            enriched.select("doc_id")
+            .join(verdict, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of",
+                F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            )
+            # MUST sever lineage before the store append: writing to
+            # sigs/bands refreshes those paths and drops any cached plan
+            # reading them — a lazily recomputed report would then
+            # anti-join the batch's own canonicals away. Eager
+            # localCheckpoint pins the pre-append result (and is the
+            # output-before-state ordering cdc_stream uses).
+            .localCheckpoint(eager=True)
+        )
+
+        canon = report.filter(~F.col("is_dup")).select("doc_id")
+        new_sigs = enriched.join(canon, "doc_id").select("doc_id", "sig")
+        new_bands = (
+            enriched.join(canon, "doc_id")
+            .filter(F.col("n_sh") > 0)
+            .select("doc_id", F.posexplode("keys").alias("band_id", "band_key"))
+            .select("band_id", "band_key", "doc_id")
+        )
+        new_sigs.write.mode("append").parquet(os.path.join(self.state_dir, "sigs"))
+        new_bands.write.mode("append").parquet(os.path.join(self.state_dir, "bands"))
+        enriched.unpersist()
+        return report
