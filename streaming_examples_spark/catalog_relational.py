@@ -183,6 +183,19 @@ def q_profile_quantiles(spark, sf_dir):
 
 
 @register(
+    "profile_quantiles_approx",
+    # deliberately rows-only: the sketch is engine-specific; accuracy
+    # vs the exact quantiles is pytest-asserted instead
+    oracle=None,
+    survey_ref="training-data: quantile profiling, sketch path (approx_percentile, no sort window)",
+)
+def q_profile_quantiles_approx(spark, sf_dir):
+    from streaming_examples_spark.operators.analytics import numeric_quantiles_approx
+
+    return numeric_quantiles_approx(t(spark, sf_dir, "lineitem"))
+
+
+@register(
     "salted_segment_revenue",
     oracle="""
     SELECT c.c_mktsegment AS c_mktsegment,

@@ -269,3 +269,23 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_left.join(replicated_right, [on, "__salt"], how).drop("__salt")
+
+
+def numeric_quantiles_approx(lineitem: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """The declared 100 TB path of :func:`numeric_quantiles`:
+    ``approx_percentile`` (KLL/t-digest-style sketch) — one
+    map-side-combinable aggregate, NO sort window, bounded error
+    1/accuracy. Columns mirror the exact operator so the two are
+    directly comparable; correctness is pytest-checked against the
+    exact quantiles within sketch tolerance (not hash-checked — the
+    sketch is engine-specific by design)."""
+    q = F.percentile_approx(
+        F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), accuracy
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(q.getItem(0), 2).alias("p25_price"),
+        F.round(q.getItem(1), 2).alias("p50_price"),
+        F.round(q.getItem(2), 2).alias("p75_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -219,3 +219,29 @@ class IncrementalNearDup:
         new_bands.write.mode("append").parquet(os.path.join(self.state_dir, "bands"))
         enriched.unpersist()
         return report
+
+    # -- maintenance ----------------------------------------------------
+    def compact(self, target_partitions: int = 4) -> None:
+        """Rewrite both stores into ``target_partitions`` files each.
+
+        Append-only parquet accumulates one file-set per batch; after N
+        micro-batches the probe join opens O(N) small files. Periodic
+        compaction (call it every ~100 batches, or from a maintenance
+        job) restores O(1) file count. The rewrite is atomic per store:
+        write to a temp dir, then swap — a concurrent reader sees the
+        old or the new layout, never a partial one. At 100 TB this is
+        the compaction pass of any LSM-ish table format; with the
+        bucketed-store variant it rewrites per bucket.
+        """
+        import shutil
+
+        for name, schema in (("sigs", _SIG_SCHEMA), ("bands", _BAND_SCHEMA)):
+            path = os.path.join(self.state_dir, name)
+            tmp = path + ".compact"
+            cur = self._load(name, schema)
+            cur.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+            old = path + ".old"
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)

@@ -260,3 +260,21 @@ def test_mixture_weights_lift_low_resource(spark):
     assert abs(got["big"]["q"] + got["small"]["q"] - 1.0) < 1e-3
     # alpha < 1 boosts the low-resource source, shrinks the dominant one
     assert got["small"]["boost"] > 1.0 > got["big"]["boost"]
+
+
+def test_approx_quantiles_within_sketch_tolerance(spark, tables):
+    from streaming_examples_spark.operators.analytics import (
+        numeric_quantiles,
+        numeric_quantiles_approx,
+    )
+
+    li = tables["lineitem"]
+    exact = {r["l_returnflag"]: r for r in numeric_quantiles(li).collect()}
+    approx = {r["l_returnflag"]: r for r in numeric_quantiles_approx(li).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a["n_items"] == e["n_items"] and a["avg_price"] == e["avg_price"]
+        for col in ("p25_price", "p50_price", "p75_price"):
+            # sketch error bound: rank error ≤ n/accuracy → tiny value gap
+            assert abs(a[col] - e[col]) / e[col] < 0.01, (flag, col, a[col], e[col])

@@ -69,3 +69,23 @@ def test_dup_of_dup_still_matches_canonical(spark, detector):
     NEAR2 = BASE.replace("warm fire", "cold fire")
     r = {x["doc_id"]: x for x in detector.process_batch(_docs(spark, [(3, NEAR2)]), 2).collect()}
     assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+
+
+def test_compaction_preserves_state_and_verdicts(spark, detector):
+    import glob
+    import os
+
+    detector.process_batch(_docs(spark, [(1, BASE)]), 0)
+    detector.process_batch(_docs(spark, [(2, OTHER)]), 1)
+    detector.process_batch(_docs(spark, [(5, "fresh unseen text about databases and storage engines")]), 2)
+
+    n_before = len(glob.glob(os.path.join(detector.state_dir, "sigs", "*.parquet")))
+    detector.compact(target_partitions=1)
+    n_after = len(glob.glob(os.path.join(detector.state_dir, "sigs", "*.parquet")))
+    assert n_after < n_before and n_after == 1
+
+    sigs = spark.read.parquet(os.path.join(detector.state_dir, "sigs"))
+    assert sorted(r["doc_id"] for r in sigs.select("doc_id").collect()) == [1, 2, 5]
+    # probe still works against the compacted store
+    r = {x["doc_id"]: x for x in detector.process_batch(_docs(spark, [(9, NEAR)]), 3).collect()}
+    assert r[9]["is_dup"] and r[9]["dup_of"] == 1

@@ -1,0 +1,65 @@
+"""Throughput/state-growth measurement for the incremental near-dup
+detector: streams the documents table through IncrementalNearDup in
+micro-batches and reports per-batch wall time, dup yield, and state
+size — the evidence that per-batch cost tracks BATCH size (probe is an
+equi-join into the band store), not accumulated corpus size.
+
+Usage: python tools/stress_incremental_dedup.py [sf_dir] [n_batches]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streaming_examples_spark import get_spark  # noqa: E402
+from streaming_examples_spark.streaming.incremental_dedup import (  # noqa: E402
+    IncrementalNearDup,
+)
+from streaming_examples_spark.tables import load_table  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    spark = get_spark("stress-incdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    state = tempfile.mkdtemp(prefix="incdedup_")
+    det = IncrementalNearDup(spark, os.path.join(state, "state"), threshold=0.7)
+
+    total_dups = 0
+    t_all = time.time()
+    for b in range(n_batches):
+        batch = docs.filter(F.pmod(F.col("doc_id"), n_batches) == b)
+        t0 = time.time()
+        rep = det.process_batch(batch, b)
+        n = rep.count()
+        dups = rep.filter("is_dup").count()
+        total_dups += dups
+        print(
+            f"batch {b}: {n} docs, {dups} dups, {time.time() - t0:.2f}s",
+            flush=True,
+        )
+    wall = time.time() - t_all
+    sigs = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+    print(
+        f"total: {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/s), "
+        f"{total_dups} dups, store={sigs.count()} canonicals"
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
