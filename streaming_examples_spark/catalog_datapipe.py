@@ -580,12 +580,11 @@ def q_quota_per_source(spark, sf_dir):
     return quota_sample(t(spark, sf_dir, "documents"), k=20).select("doc_id", "source", "rk")
 
 
-def _curated_corpus_oracle(threshold: float, quota_k: int) -> str:
-    """The composed pipeline oracle: quality gate ∩ dedup canonicals →
-    split assignment → per-source quota. Composes the same fragments the
-    per-operator oracles use — a drift in any stage breaks this hash."""
-    return rf"""
-    WITH RECURSIVE {_minhash_pairs_ctes(threshold)},
+def _curated_ctes(threshold: float, quota_k: int) -> str:
+    """CTE chain ending in ``cur(doc_id, source, split, rk)`` — the
+    curated corpus; shared by the curated_corpus and training_mix
+    oracles so the two can never drift apart."""
+    return rf"""WITH RECURSIVE {_minhash_pairs_ctes(threshold)},
     edges AS (
       SELECT d1 AS src, d2 AS dst FROM pairs
       UNION
@@ -625,13 +624,52 @@ def _curated_corpus_oracle(threshold: float, quota_k: int) -> str:
       FROM (SELECT doc_id, source,
                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS b
             FROM surv)
-    )
-    SELECT doc_id, source, split, rk FROM (
-      SELECT doc_id, source, split,
-             row_number() OVER (PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-      FROM with_split)
-    WHERE rk <= {quota_k}
+    ),
+    cur AS (
+      SELECT doc_id, source, split, rk FROM (
+        SELECT doc_id, source, split,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM with_split)
+      WHERE rk <= {quota_k}
+    )"""
+
+
+def _curated_corpus_oracle(threshold: float, quota_k: int) -> str:
+    """The composed pipeline oracle: quality gate ∩ dedup canonicals →
+    split assignment → per-source quota. Composes the same fragments the
+    per-operator oracles use — a drift in any stage breaks this hash."""
+    return _curated_ctes(threshold, quota_k) + "\n    SELECT doc_id, source, split, rk FROM cur"
+
+
+def _training_mix_oracle(
+    threshold: float, quota_k: int, capacity: int, n_shards: int, alpha: float
+) -> str:
+    """curated train split → sharded concat-and-chunk packing +
+    temperature mixture boost, in ONE SQL — the deepest composition in
+    the catalog (recursive-CTE dedup, quality gate, split, quota,
+    window cumsum, smoothed weights)."""
+    return _curated_ctes(threshold, quota_k) + rf""",
+    sel AS (
+      SELECT d.doc_id, d.source,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % {n_shards} AS shard
+      FROM documents d JOIN cur USING (doc_id)
+      WHERE cur.split = 'train'),
+    packed AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM sel),
+    w AS (SELECT source, sum(n_tokens) AS src_tokens FROM sel GROUP BY source),
+    w2 AS (SELECT source, src_tokens / (1.0 * sum(src_tokens) OVER ()) AS pp FROM w),
+    w3 AS (SELECT source, pp, pow(pp, {alpha}) / sum(pow(pp, {alpha})) OVER () AS qq FROM w2)
+    SELECT p.doc_id AS doc_id, p.source AS source, p.shard AS shard,
+           p.n_tokens AS n_tokens,
+           CAST(floor(strt / {capacity}.0) AS BIGINT) AS seq_id,
+           CAST(strt % {capacity} AS BIGINT) AS seq_offset,
+           floor(qq / pp * 10000 + 0.5) / 10000.0 AS boost
+    FROM packed p JOIN w3 USING (source)
     """
 
 
@@ -642,6 +680,24 @@ def _curated_corpus_oracle(threshold: float, quota_k: int) -> str:
 )
 def q_curated_corpus(spark, sf_dir):
     return curated_corpus(t(spark, sf_dir, "documents"), dedup_threshold=0.9, quota_k=50)
+
+
+@register(
+    "training_mix",
+    oracle=_training_mix_oracle(0.9, 50, 2048, 8, 0.3),
+    survey_ref="training-data: curated train split -> packed sequences + mixture boost (composed oracle)",
+)
+def q_training_mix(spark, sf_dir):
+    from streaming_examples_spark.operators.curation import training_mix
+
+    return training_mix(
+        t(spark, sf_dir, "documents"),
+        capacity=2048,
+        n_shards=8,
+        alpha=0.3,
+        dedup_threshold=0.9,
+        quota_k=50,
+    )
 
 
 # --------------------------------------------------------------------------

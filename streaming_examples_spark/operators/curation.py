@@ -52,3 +52,52 @@ def curated_corpus(
     return quota_sample(with_split, group_col="source", k=quota_k).select(
         "doc_id", "source", "split", "rk"
     )
+
+
+def training_mix(
+    docs: DataFrame,
+    *,
+    capacity: int = 2048,
+    n_shards: int = 8,
+    alpha: float = 0.3,
+    dedup_threshold: float = 0.9,
+    quota_k: int = 50,
+) -> DataFrame:
+    """The last mile on top of :func:`curated_corpus`: take the curated
+    TRAIN split and emit, per document, its packed-sequence slot and its
+    source's temperature-smoothed sampling boost — i.e. everything a
+    training reader needs: *which* sequence the doc lands in, *where*,
+    and *how often* to sample its source.
+
+      curated train docs → pack_sequences (sharded concat-and-chunk)
+                         → mixture_weights (per-source boost), joined back
+
+    Composition stays engine-portable end-to-end, so the whole thing
+    hash-matches one composed DuckDB oracle (curation CTEs + window
+    cumsum + temperature weights in a single SQL).
+
+    Scale: the curated id-set is ≤ quota_k×#sources rows → broadcast
+    semi-join; weights are #sources rows → broadcast; packing is the
+    one per-shard window shuffle. Nothing scans the corpus more than
+    the curation stages already do.
+    """
+    from streaming_examples_spark.operators.packing import (
+        mixture_weights,
+        pack_sequences,
+    )
+
+    cur = (
+        curated_corpus(docs, dedup_threshold=dedup_threshold, quota_k=quota_k)
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    sel = docs.join(F.broadcast(cur), "doc_id", "left_semi")
+    packed = pack_sequences(sel, capacity=capacity, n_shards=n_shards)
+    weights = mixture_weights(sel, alpha=alpha).select("source", "boost")
+    return (
+        packed.join(sel.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(weights), "source")
+        .select(
+            "doc_id", "source", "shard", "n_tokens", "seq_id", "seq_offset", "boost"
+        )
+    )

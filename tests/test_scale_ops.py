@@ -114,3 +114,31 @@ def test_curated_corpus_invariants(spark, tables):
     # quota is per-source: no source exceeds k
     from collections import Counter
     assert max(Counter(r["source"] for r in out).values()) <= 50
+
+
+def test_training_mix_invariants(spark, tables):
+    from streaming_examples_spark.operators.curation import curated_corpus, training_mix
+
+    docs = tables["documents"]
+    mix = training_mix(docs, capacity=512, n_shards=4, quota_k=50).collect()
+    curated_train = {
+        r["doc_id"]
+        for r in curated_corpus(docs, quota_k=50).filter("split = 'train'").collect()
+    }
+    assert {r["doc_id"] for r in mix} == curated_train
+
+    by_shard: dict[int, list] = {}
+    boosts: dict[str, float] = {}
+    for r in mix:
+        assert 0 <= r["seq_offset"] < 512
+        assert r["boost"] > 0
+        # boost is a per-source constant
+        assert boosts.setdefault(r["source"], r["boost"]) == r["boost"]
+        by_shard.setdefault(r["shard"], []).append(r)
+    # within a shard, docs laid end-to-end in doc_id order: each start
+    # offset equals the running token total so far
+    for rows in by_shard.values():
+        total = 0
+        for r in sorted(rows, key=lambda x: x["doc_id"]):
+            assert r["seq_id"] * 512 + r["seq_offset"] == total
+            total += r["n_tokens"]
