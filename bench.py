@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_topk",               # brute-force cosine top-k
     "text_quality",           # text quality metrics
     "curated_corpus",         # composed curation pipeline (capstone)
+    "training_mix",           # curated train split -> packing + mixture (capstone 2)
     "multimodal_decode",      # mapInPandas decode path
 ]
 

@@ -345,6 +345,22 @@ def q_decontaminate_train(spark, sf_dir):
     )
 
 
+@register(
+    "ann_pq",
+    # rows-only by design: the codebooks are k-means artifacts
+    # (iterative) — recall vs exact cosine is pytest-asserted
+    oracle=None,
+    survey_ref="training-data: ANN via product quantization (ADC lookup scoring, 32x memory compression)",
+)
+def q_ann_pq(spark, sf_dir):
+    from streaming_examples_spark.operators.similarity import pq_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return pq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, k_codes=16, iters=3
+    )
+
+
 # --------------------------------------------------------------------------
 # packing & mixture
 # --------------------------------------------------------------------------

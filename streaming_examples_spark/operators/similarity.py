@@ -292,3 +292,220 @@ def kmeans_assign(
         cluster.alias("cluster"),
         F.round(sqdist_to(cluster), 4).alias("sqdist"),
     )
+
+
+def _books_literal(books: list[list[list[float]]]) -> Column:
+    """The full m x k x sub codebook as ONE literal column — the
+    per-centroid work then happens inside transform() lambdas at
+    RUNTIME instead of k expression copies at ANALYSIS time (the
+    struct-array argmin form took Catalyst ~13s per iteration to
+    analyze at 8x32; this form is sub-second)."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+            for book in books
+        ]
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_book(book_arr: Column, v: Column) -> Column:
+    """Index of the nearest codeword (first-min tie-break, matching
+    _argmin_centroid's lowest-index rule)."""
+    dists = F.transform(book_arr, lambda c: _sqdist(v, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _l2_normalize(v: Column) -> Column:
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return F.transform(v, lambda x: x / norm)
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    *,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into ``m`` subspaces and train an independent k-means codebook per
+    subspace. Returns ``m x k_codes x (dim/m)`` floats — the whole index
+    is KB-sized and lives driver-side, like the IVF centroids.
+
+    Vectors are normalized first so squared-L2 ranking = cosine ranking
+    (||a-b||^2 = 2-2cos on the unit sphere) — comparable with the other
+    ANN operators.
+
+    ALL m codebooks train simultaneously: vectors explode into
+    (id, subspace, subvector) rows once, each Lloyd iteration is ONE
+    map-side-combinable shuffle over every (subspace, cluster, dim)
+    cell — not m independent k-means drivers (m x iters tiny jobs was
+    measured ~8x slower). At 100 TB codebooks train on a deterministic
+    sample; encoding is the map-only corpus pass.
+    """
+    dim = len(emb.select(as_double(F.col(vec_col)).alias("v")).first()["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    normed = emb.select(
+        F.col(id_col).alias("vid"), _l2_normalize(as_double(F.col(vec_col))).alias("nv")
+    )
+    slices = F.array(*[F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)])
+    pts = normed.select("vid", F.posexplode(slices)).toDF("vid", "j", "sv").persist()
+
+    # deterministic init: subslices of the first k_codes vectors by id
+    seed = normed.orderBy("vid").limit(k_codes).collect()
+    books = [
+        [[float(x) for x in r["nv"][j * sub : (j + 1) * sub]] for r in seed]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        bl = _books_literal(books)
+        cluster = _argmin_book(F.element_at(bl, F.col("j") + 1), F.col("sv"))
+        # two selects: a generator in the same projection as complex
+        # extraction expressions confuses the analyzer's resolution
+        means = (
+            pts.select("j", cluster.alias("c"), "sv")
+            .select("j", "c", F.posexplode("sv"))
+            .toDF("j", "c", "pos", "x")
+            .groupBy("j", "c", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()  # bounded: m x k_codes x sub floats
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["j"], r["c"]), {})[r["pos"]] = float(r["mval"])
+        for j in range(m):
+            for c in range(k_codes):
+                cell = got.get((j, c))
+                if cell:  # empty clusters keep their previous centroid
+                    books[j][c] = [cell[p] for p in range(sub)]
+    pts.unpersist()
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook indices: (vec_id, codes
+    ARRAY<INT>). Map-only over codebook literals — 64 floats become m
+    small ints (the 100 TB memory story: a 256-byte embedding → 8
+    bytes). No shuffle, no join."""
+    m = len(books)
+    sub = len(books[0][0])
+    bl = _books_literal(books)
+    # explode to one row per (vector, subspace), argmin per row, then
+    # reassemble. The Generate is a projection BARRIER: the normalized
+    # vector is computed once per input row — inlining the normalize
+    # into every codeword distance (the single-projection form) was
+    # measured ~40x slower (CollapseProject re-inlines aggressively;
+    # same trap as the MinHash band keys).
+    nv = _l2_normalize(as_double(F.col(vec_col)))
+    slices = F.array(*[F.slice(nv, j * sub + 1, sub) for j in range(m)])
+    per_sub = (
+        emb.select(F.col(id_col).alias("vec_id"), F.posexplode(slices))
+        .toDF("vec_id", "j", "sv")
+        .select(
+            "vec_id",
+            "j",
+            _argmin_book(F.element_at(bl, F.col("j") + 1), F.col("sv")).alias("c"),
+        )
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]
+        ).alias("codes")
+    )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC) over PQ codes:
+    per query, the distance to every codeword of every subspace is
+    precomputed into a lookup table (m × k_codes floats, driver-side),
+    and a document's approximate distance is the SUM of m table lookups
+    on its codes — no vector arithmetic per document at query time.
+
+    Returns (query_id, neighbor_id, rank, approx_sqdist). The corpus is
+    scanned once; queries (with their LUTs) broadcast; ranking is a
+    per-query window over k rows. Recall vs exact cosine is
+    pytest-asserted; the operator is rows-only at the driver gate (the
+    codebooks are k-means artifacts — iterative, not SQL-expressible).
+    """
+    books = pq_codebooks(
+        emb, m=m, k_codes=k_codes, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    sub = len(books[0][0])
+    encoded = pq_encode(emb, books, vec_col=vec_col, id_col=id_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+
+    # per-query LUT: lut[j][c] = ||q_j − books[j][c]||² (python floats —
+    # m × k_codes per query, the classic ADC table)
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), _l2_normalize(as_double(F.col(vec_col))).alias("nv")
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = r["nv"]
+        lut = [
+            [
+                sum((qv[j * sub + t] - c[t]) ** 2 for t in range(sub))
+                for c in books[j]
+            ]
+            for j in range(m)
+        ]
+        lut_rows.append((r["qid"], lut))
+    luts = emb.sparkSession.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>"
+    )
+
+    scored = (
+        encoded.join(F.broadcast(luts), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_sqdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda c, sub_lut: F.element_at(sub_lut, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_sqdist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("approx_sqdist", 4).alias("approx_sqdist")
+        )
+    )

@@ -278,3 +278,39 @@ def test_approx_quantiles_within_sketch_tolerance(spark, tables):
         for col in ("p25_price", "p50_price", "p75_price"):
             # sketch error bound: rank error ≤ n/accuracy → tiny value gap
             assert abs(a[col] - e[col]) / e[col] < 0.01, (flag, col, a[col], e[col])
+
+
+def test_pq_ann_beats_random_and_is_deterministic(spark, tables):
+    from streaming_examples_spark.operators.similarity import (
+        brute_force_topk,
+        pq_ann_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    got = pq_ann_topk(emb, q, k=10, m=8, k_codes=16, iters=3).collect()
+    assert len(got) == 50  # 5 queries x top-10, every query served
+
+    exact = brute_force_topk(emb, q, k=10).collect()
+    ex, pq = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in got:
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    mean_recall = sum(len(ex[k] & pq[k]) / 10 for k in ex) / len(ex)
+    # random top-10 of ~500 would hit ~0.02; PQ on UNSTRUCTURED random
+    # vectors (the adversarial case — no cluster structure to exploit)
+    # must still land an order of magnitude above chance
+    assert mean_recall >= 0.15, mean_recall
+
+    # codes: one per subspace, each within the codebook range
+    books = pq_codebooks(emb, m=8, k_codes=16, iters=3)
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    # deterministic end to end
+    again = pq_ann_topk(emb, q, k=10, m=8, k_codes=16, iters=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
