@@ -728,8 +728,10 @@ def _scrub_pii_oracle() -> str:
     count_cols = []
     for name, (pat, repl) in PII_PATTERNS.items():
         esc = pat.replace("'", "''")
+        # counts run on the PROGRESSIVELY scrubbed expression, exactly
+        # like the operator's replace chain
         count_cols.append(
-            f"len(regexp_extract_all(text, '{esc}')) AS n_{name}"
+            f"len(regexp_extract_all({scrub}, '{esc}')) AS n_{name}"
         )
         scrub = f"regexp_replace({scrub}, '{esc}', '{repl}', 'g')"
     return f"""

@@ -90,6 +90,10 @@ def training_mix(
         curated_corpus(docs, dedup_threshold=dedup_threshold, quota_k=quota_k)
         .filter(F.col("split") == "train")
         .select("doc_id")
+        # persist: feeds three consumers (packing, weights, final join);
+        # without it the whole curation pipeline (LSH + connected
+        # components) re-runs per consumer
+        .persist()
     )
     sel = docs.join(F.broadcast(cur), "doc_id", "left_semi")
     packed = pack_sequences(sel, capacity=capacity, n_shards=n_shards)

@@ -54,7 +54,7 @@ def pack_sequences(
     shard = (md5_bucket(F.col(id_col)) % n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy("doc_id")  # the post-rename name; id_col no longer exists here
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

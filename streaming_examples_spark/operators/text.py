@@ -203,12 +203,17 @@ def scrub_pii(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     map-only, no shuffle, O(bytes); the pattern order matters (emails
     are scrubbed before IPs so a host part can't double-match).
     """
-    text = F.col(text_col)
-    scrubbed = text
+    scrubbed = F.col(text_col)
     counts = []
     for name, (pat, repl) in PII_PATTERNS.items():
+        # count on the text AS THIS PATTERN SEES IT (post prior
+        # replacements), so counts equal actual redactions even when
+        # patterns overlap (an IP inside an email host is not counted —
+        # the email rule already consumed it)
         counts.append(
-            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select(

@@ -133,10 +133,15 @@ class TxDenormBatchProcessor:
                 .parquet(tmp)
             )
             bucket_swaps.append((tmp, path, buckets))
-        for tmp, path in swaps:
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.replace(tmp, path)
+        # Swap ORDER is a correctness property, not style: applied_txs
+        # is the replay FILTER, so it must become visible LAST. If a
+        # crash lands after applied_txs but before the state/carry
+        # swaps, the replayed batch is filtered out while its state
+        # updates were never persisted — silent corruption. The safe
+        # order (bucketed state -> carry frames -> applied_txs) makes
+        # every crash window replay-idempotent: at worst the batch
+        # re-runs against already-updated state (per-key max_by over
+        # commit_lsn is idempotent) and re-emits (at-least-once).
         for tmp, path, buckets in bucket_swaps:
             os.makedirs(path, exist_ok=True)
             for b in buckets:
@@ -148,6 +153,10 @@ class TxDenormBatchProcessor:
                 if os.path.exists(new_dir):
                     os.replace(new_dir, old_dir)
             shutil.rmtree(tmp)
+        for tmp, path in sorted(swaps, key=lambda sp: sp[1].endswith("applied_txs")):
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
 
     def process(
         self,
@@ -196,12 +205,15 @@ class TxDenormBatchProcessor:
         # -- touched buckets: the batch's order keys (orders keyed by
         # id, lines by parent order_id) plus carried-over events — only
         # these hash buckets of the state tables are read and rewritten
-        keys = order_events.select(
-            F.coalesce(F.col("after.id"), F.col("before.id")).alias("key")
-        ).unionByName(
-            line_events.select(
-                F.coalesce(F.col("after.order_id"), F.col("before.order_id")).alias("key")
+        # BOTH sides of a line re-point touch state: before.order_id's
+        # bucket holds the stale row that must be loaded (so the as-of
+        # "re-pointed line drops out" filter sees it) and rewritten
+        keys = (
+            order_events.select(
+                F.coalesce(F.col("after.id"), F.col("before.id")).alias("key")
             )
+            .unionByName(line_events.select(F.col("after.order_id").alias("key")))
+            .unionByName(line_events.select(F.col("before.order_id").alias("key")))
         )
         for carry in (carry_orders, carry_lines):
             if carry is not None:

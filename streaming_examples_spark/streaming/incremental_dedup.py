@@ -44,6 +44,7 @@ from streaming_examples_spark.functions.hashing import (
     LSH_BANDS,
     LSH_ROWS,
     MERSENNE_P,
+    band_keys_from_hashes,
     perm_constants,
     shingle_base_hashes,
     word_shingles,
@@ -102,27 +103,14 @@ class IncrementalNearDup:
 
     # -- state I/O ------------------------------------------------------
     def _load(self, name: str, schema: str) -> DataFrame:
+        """Missing store -> empty frame (first batch). A store that
+        EXISTS but fails to read must raise: swallowing a corrupted
+        parquet would silently reset the dedup state (every known doc
+        re-admitted as canonical)."""
         path = os.path.join(self.state_dir, name)
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except Exception:
+        if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
-
-    def _band_keys(self, hs) -> F.Column:
-        def perm_min(i: int):
-            a, b = perm_constants(i)
-            return F.array_min(
-                F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
-            )
-
-        return F.array(
-            *[
-                F.concat_ws(
-                    "|", *[perm_min(b * LSH_ROWS + r) for r in range(LSH_ROWS)]
-                )
-                for b in range(LSH_BANDS)
-            ]
-        )
+        return self.spark.read.schema(schema).parquet(path)
 
     # -- the batch step -------------------------------------------------
     def process_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
@@ -149,7 +137,7 @@ class IncrementalNearDup:
         enriched = (
             fresh.select("doc_id", hs.alias("hs"))
             .withColumn("sig", minhash_signature(F.col("hs"), self.n_perms))
-            .withColumn("keys", self._band_keys(F.col("hs")))
+            .withColumn("keys", band_keys_from_hashes(F.col("hs")))
             .withColumn("n_sh", F.size("hs"))
             .drop("hs")
             .persist()  # feeds probe, self-join, verify, and the store append
@@ -215,8 +203,14 @@ class IncrementalNearDup:
             .select("doc_id", F.posexplode("keys").alias("band_id", "band_key"))
             .select("band_id", "band_key", "doc_id")
         )
-        new_sigs.write.mode("append").parquet(os.path.join(self.state_dir, "sigs"))
+        # bands BEFORE sigs: replay protection keys on sigs, so a crash
+        # between the appends must leave the doc absent from sigs (it
+        # will be fully reprocessed; duplicate band rows from the retry
+        # collapse in the probe's .distinct()). The reverse order would
+        # leave a canonical in sigs but invisible to the probe index —
+        # permanent recall loss for all its future duplicates.
         new_bands.write.mode("append").parquet(os.path.join(self.state_dir, "bands"))
+        new_sigs.write.mode("append").parquet(os.path.join(self.state_dir, "sigs"))
         enriched.unpersist()
         return report
 

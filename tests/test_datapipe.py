@@ -314,3 +314,27 @@ def test_pq_ann_beats_random_and_is_deterministic(spark, tables):
     # deterministic end to end
     again = pq_ann_topk(emb, q, k=10, m=8, k_codes=16, iters=3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_scrub_pii_overlapping_patterns_count_actual_redactions(spark):
+    from streaming_examples_spark.operators.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail user@10.0.0.1.com now"), (2, "raw ip 10.0.0.1 here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    # the email rule consumed the host — no phantom n_ipv4 count
+    assert got[1]["scrubbed"] == "mail <EMAIL> now"
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 0
+    assert got[2]["n_ipv4"] == 1
+
+
+def test_pack_sequences_custom_id_col(spark):
+    from streaming_examples_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "vid long, text string"
+    )
+    rows = pack_sequences(docs, capacity=4, n_shards=1, id_col="vid").collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}

@@ -266,3 +266,49 @@ def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
     ).collect()
     assert len(docs) == 1
     assert len(docs[0]["lines"]) == 2  # seeded line + new line
+
+
+def test_line_repoint_touches_old_orders_bucket(spark, tmp_path):
+    """A line UPDATE that re-points order A -> order B must also load/
+    rewrite bucket(A): the stale (line, order A) state row there has to
+    be superseded, or A's next emission resurrects the moved line."""
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    # pick B so the two orders live in DIFFERENT state buckets
+    a = 10001
+    b = next(
+        cand
+        for cand in range(10002, 10050)
+        if spark.sql(
+            f"SELECT pmod(hash({cand}L), {proc.n_buckets}) != "
+            f"pmod(hash({a}L), {proc.n_buckets})"
+        ).first()[0]
+    )
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(a),
+        lambda t: t.insert_order(b),
+        lambda t: t.insert_line(100001, a, price="5.00"),
+    )
+    log.tx(lambda t: t.update_line(100001, order_id=b))
+    log.tx(lambda t: t.update_order(a, shipping_address="9 Elm St"))
+    orders, lines, txs = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    lsns = [r[0] for r in txs.selectExpr("id").collect()]
+    # three txs, one batch each (commit-ordered)
+    def batch(i, lo, hi):
+        return proc.process(
+            orders.filter(F.col("source.txId").between(lo, hi)),
+            lines.filter(F.col("source.txId").between(lo, hi)),
+            txs,
+            batch_id=i,
+        )
+
+    batch(0, 501, 501).collect()
+    batch(1, 502, 502).collect()
+    docs = {r["order_key"]: r for r in batch(2, 503, 503).collect()}
+    assert a in docs
+    # the moved line must NOT resurface under order A
+    assert docs[a]["lines"] == [], docs[a]["lines"]
