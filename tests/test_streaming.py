@@ -312,3 +312,43 @@ def test_line_repoint_touches_old_orders_bucket(spark, tmp_path):
     assert a in docs
     # the moved line must NOT resurface under order A
     assert docs[a]["lines"] == [], docs[a]["lines"]
+
+
+def test_applied_txs_swapped_last(spark, tmp_path, monkeypatch):
+    """Crash-safety contract of _store_all: the replay filter
+    (applied_txs) must become visible only after every state/carry dir
+    — any crash window then replays into updated-but-idempotent state
+    instead of silently dropping the batch."""
+    import os as _os
+    from streaming_examples_spark.streaming import cdc_stream as mod
+
+    order: list[str] = []
+    real_replace = _os.replace
+
+    def recording_replace(src, dst):
+        order.append(str(dst))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(mod.os, "replace", recording_replace)
+
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="7.00"),
+    )
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    proc.process(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+        batch_id=0,
+    ).collect()
+
+    applied = [i for i, p in enumerate(order) if p.endswith("applied_txs")]
+    state = [
+        i
+        for i, p in enumerate(order)
+        if "order_state" in p or "line_state" in p or "carry" in p
+    ]
+    assert applied and state
+    assert min(applied) > max(state), order
