@@ -36,11 +36,25 @@ HEADLINE = [
     "dedup_groups",           # connected components over LSH pairs
     "dedup_exact",            # exact dedup
     "ann_topk",               # brute-force cosine top-k
-    "text_quality",           # text quality metrics
+    "text_stats",             # merged text metrics (tokens/quality/lang/norm/fp/repetition)
     "curated_corpus",         # composed curation pipeline (capstone)
     "training_mix",           # curated train split -> packing + mixture (capstone 2)
-    "multimodal_decode",      # mapInPandas decode path
 ]
+
+def _multimodal_decode(spark, sf_dir):
+    from streaming_examples_spark.operators.multimodal import (
+        decode_and_featurize,
+        with_binary_payload,
+    )
+    from streaming_examples_spark.tables import load_table
+
+    return decode_and_featurize(with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
+#: timed alongside the catalog: the mapInPandas Arrow decode path is no
+#: longer a catalog entry (stub decode → rows-only slot not worth one of
+#: the driver's 50 correctness rows) but its throughput still matters
+EXTRA = {"multimodal_decode": _multimodal_decode}
 
 
 def main() -> int:
@@ -53,8 +67,8 @@ def main() -> int:
     # the first execution of a query shape pays one-time JVM/codegen
     # compilation that a long-running engine amortizes away.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = cat[name].fn
+    for name in HEADLINE + sorted(EXTRA):
+        fn = cat[name].fn if name in cat else EXTRA[name]
         best = None
         for _ in range(2):
             t0 = time.time()

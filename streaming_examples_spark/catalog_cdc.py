@@ -126,9 +126,10 @@ def q_cdc_changelog_events(spark, sf_dir):
       UNION ALL SELECT '+U', user_id, value FROM env WHERE op = 'u'
       UNION ALL SELECT '-D', user_id, prev FROM env WHERE op = 'd')
     SELECT user_id % 10 AS cohort,
-           sum(CASE WHEN row_kind IN ('+I', '+U') THEN 1 ELSE -1 END) AS n_live,
-           sum((CASE WHEN row_kind IN ('+I', '+U') THEN 1 ELSE -1 END)
-               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents
+           CAST(sum(CASE WHEN row_kind IN ('+I', '+U') THEN 1 ELSE -1 END)
+                AS BIGINT) AS n_live,
+           CAST(sum((CASE WHEN row_kind IN ('+I', '+U') THEN 1 ELSE -1 END)
+               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM cl GROUP BY user_id % 10
     """,
     survey_ref="§2.4 retraction-aware aggregate over -U/+U changelog (KafkaChangelogJob.java:26-48)",
@@ -164,9 +165,14 @@ def q_cdc_upsert_events(spark, sf_dir):
 
 @register(
     "cdc_flatten_events",
+    # S12 flatten AND S4 metadata virtual columns in one entry: the
+    # as_append metadata projection (ingest_ts / source_table — the
+    # METADATA VIRTUAL columns of KafkaChangelogJob.java:33-35) is
+    # composed onto the flattened rows so both operators stay inside
+    # the driver's 50-query correctness window.
     oracle=f"""
     WITH env AS (
-      SELECT user_id, event_id, value,
+      SELECT user_id, event_id, value, ts,
              lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
              {_OP_SQL} AS op
       FROM events
@@ -174,43 +180,25 @@ def q_cdc_upsert_events(spark, sf_dir):
     SELECT user_id AS id,
            round(CASE WHEN op = 'd' THEN prev ELSE value END, 2) AS value,
            (op = 'd') AS __deleted,
-           event_id AS lsn
+           event_id AS lsn,
+           'public.users' AS source_table,
+           CAST(epoch_ms(ts) AS BIGINT) AS ingest_ms
     FROM env
     """,
-    survey_ref="§2.1 S12 ExtractNewRecordState flatten (delete rewrite)",
+    survey_ref="§2.1 S12 ExtractNewRecordState flatten (delete rewrite) + S1/S4 metadata virtual columns",
 )
 def q_cdc_flatten_events(spark, sf_dir):
+    from streaming_examples_spark.operators.ingest import as_append
+
     env = synth_user_envelope(spark, sf_dir)
-    flat = flatten(env)
+    flat = as_append(flatten(env))  # flatten keeps source/ts_ms → S4 works
     return flat.select(
         "id",
         F.round("value", 2).alias("value"),
         "__deleted",
         F.col("source.lsn").alias("lsn"),
-    )
-
-
-@register(
-    "cdc_append_metadata",
-    oracle="""
-    SELECT event_id AS lsn,
-           'public.users' AS source_table,
-           CAST(epoch_ms(ts) AS BIGINT) AS ingest_ms,
-           user_id
-    FROM events
-    """,
-    survey_ref="§2.1 S1 append stream + S4 metadata virtual columns",
-)
-def q_cdc_append_metadata(spark, sf_dir):
-    from streaming_examples_spark.operators.ingest import as_append
-
-    env = synth_user_envelope(spark, sf_dir)
-    ap = as_append(env)
-    return ap.select(
-        F.col("source.lsn").alias("lsn"),
         "source_table",
         F.unix_millis("ingest_ts").alias("ingest_ms"),
-        F.coalesce(F.col("after.id"), F.col("before.id")).alias("user_id"),
     )
 
 
@@ -271,6 +259,32 @@ def q_cdc_upsert_to_changelog(spark, sf_dir):
         "row_kind",
         F.round(F.col("row.value"), 2).alias("value"),
     )
+
+
+@register(
+    "changelog_to_upsert",
+    # inverse of cdc_upsert_to_changelog (KafkaChangelogToUpsertJob.
+    # java:23-60): drop -U before-images, latest +I/+U per key wins,
+    # a -D at the head removes the key. The expected output equals the
+    # direct upsert materialization (cdc_upsert_events) — two different
+    # operator paths, one oracle-checked answer.
+    oracle=f"""
+    WITH env AS (
+      SELECT user_id, event_id, value, {_OP_SQL} AS op,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id AS id, round(value, 2) AS value
+    FROM env WHERE rn = 1 AND op != 'd'
+    """,
+    survey_ref="§2.1 changelog→upsert conversion (KafkaChangelogToUpsertJob.java:23-60)",
+)
+def q_changelog_to_upsert(spark, sf_dir):
+    from streaming_examples_spark.operators.ingest import changelog_to_upsert
+
+    env = synth_user_envelope(spark, sf_dir)
+    up = changelog_to_upsert(as_changelog(env), ["id"])
+    return up.select("id", F.round("value", 2).alias("value"))
 
 
 # --------------------------------------------------------------------------

@@ -289,3 +289,20 @@ def numeric_quantiles_approx(lineitem: DataFrame, accuracy: int = 10000) -> Data
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+def table_profile(df: DataFrame, *, numeric_col: str, distinct_cols: list[str], null_col: str) -> DataFrame:
+    """Dataset profiling: row count, per-column distinct counts, null
+    count, numeric range/mean — the first query anyone runs on a new
+    100 TB drop. One map-side-combinable aggregate over a single scan
+    (countDistinct expands to expand+two-phase agg; at extreme scale
+    swap for approx_count_distinct — same shape, sketch merge)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.countDistinct(c).alias(f"n_{c}") for c in distinct_cols],
+        F.sum(F.when(F.col(null_col).isNull(), 1).otherwise(0)).alias(f"null_{null_col}"),
+        F.min(numeric_col).alias(f"min_{numeric_col}"),
+        F.max(numeric_col).alias(f"max_{numeric_col}"),
+        F.round(F.avg(numeric_col), 2).alias(f"avg_{numeric_col}"),
+    ]
+    return df.agg(*aggs)

@@ -15,8 +15,10 @@ too.
 
 Scale shape: quality gate is map-only; dedup clustering runs on the
 near-dup pair list (tiny vs corpus); split is map-only; quota is one
-shuffle on the domain key. Semi joins against the (small) passing/canon
-id-sets broadcast.
+shuffle on the domain key. The passing/canon id-sets are O(corpus) —
+a quality gate passes most documents — so the semi joins are plain
+shuffle joins on doc_id; AQE may still broadcast them at small SF,
+but nothing forces that at 100 TB.
 """
 
 from __future__ import annotations
@@ -44,9 +46,11 @@ def curated_corpus(
         .filter(F.col("keep") == 1)
         .select("doc_id")
     )
+    # no broadcast hints: both id-sets are O(corpus) in realistic
+    # curation regimes (most docs pass quality; most docs are canonical)
     survivors = (
-        docs.join(F.broadcast(passing), "doc_id", "left_semi")
-        .join(F.broadcast(canon), "doc_id", "left_semi")
+        docs.join(passing, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
     )
     with_split = split_assignment(survivors)
     return quota_sample(with_split, group_col="source", k=quota_k).select(

@@ -221,19 +221,22 @@ def dedup_groups(
     deduplicated corpus.
 
     Docs in no near-dup pair are their own singleton cluster (left join
-    + coalesce — the component frame is tiny relative to the corpus, so
-    this join broadcasts).
+    + coalesce). The component and size frames are NOT broadcast-hinted:
+    at web-corpus dup rates (30-50 % of docs in some cluster) both are
+    O(corpus), far beyond executor memory at 100 TB. Plain shuffle joins
+    on (doc_id) / (component) let AQE broadcast them only when runtime
+    stats say they actually fit.
     """
     pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
     comp = connected_components(pairs)
     full = (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
     )
     sizes = full.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        full.join(F.broadcast(sizes), "component")
+        full.join(sizes, "component")
         .select(
             "doc_id",
             "component",

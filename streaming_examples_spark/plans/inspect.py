@@ -63,3 +63,15 @@ def exchange_count(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return count_occurrences(df, r"WholeStageCodegen")
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    Distinct from physical BroadcastExchange: at test SF the optimizer
+    may legitimately broadcast a small frame under the auto threshold —
+    that decision adapts with data size. A *hint* does not: it forces
+    the broadcast at any scale, which is exactly the anti-pattern on
+    O(corpus) frames."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))

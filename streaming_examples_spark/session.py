@@ -50,9 +50,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # -- scan sizing -----------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # -- testdata parquet uses TIMESTAMP(NANOS); read as long, decode
-        #    in tables.load_table (Spark has no nanos timestamp type)
+        # -- testdata parquet has shipped TIMESTAMP(NANOS) (read as long,
+        #    decoded in tables.load_table) and TIMESTAMP(MICROS) without
+        #    isAdjustedToUTC (would infer as TIMESTAMP_NTZ; forced to
+        #    TIMESTAMP — identical values under the UTC session timezone)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # -- determinism -----------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

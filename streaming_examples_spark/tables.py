@@ -40,16 +40,29 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table; decode TIMESTAMP(NANOS) columns (Spark reads them
-    as BIGINT nanos under ``nanosAsLong``) back to TimestampType via
-    integer division — an in-codegen expression, no UDF."""
+    """Read one table; normalize every timestamp encoding to TimestampType.
+
+    The testdata generator has shipped both ``timestamp[ns]`` (read as
+    BIGINT under ``nanosAsLong``, decoded via integer division — an
+    in-codegen expression, no UDF) and ``timestamp[us]`` (which Spark 4
+    infers as TIMESTAMP_NTZ by default).  The session timezone is pinned
+    to UTC, so NTZ→TIMESTAMP is value-identical; downstream operators can
+    rely on plain TimestampType regardless of the parquet encoding.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # runtime-settable; required for TIMESTAMP(NANOS) parquet even when
-    # the caller's session was not built by session.get_spark()
+    # runtime-settable; required even when the caller's session was not
+    # built by session.get_spark()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Defensive: if a future encoding change still yields TIMESTAMP_NTZ
+    # (e.g. the conf is overridden or the footer carries isAdjustedToUTC
+    # metadata), cast it away here — one place, not per-operator.
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

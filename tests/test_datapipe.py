@@ -338,3 +338,29 @@ def test_pack_sequences_custom_id_col(spark):
     )
     rows = pack_sequences(docs, capacity=4, n_shards=1, id_col="vid").collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
+
+
+def test_table_profile_matches_duckdb(spark, tables):
+    """table_profile (ex catalog profile_documents — displaced from the
+    driver's 50-entry window) verified against DuckDB directly."""
+    import os
+
+    import duckdb
+
+    from streaming_examples_spark.operators.analytics import table_profile
+
+    SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = table_profile(
+        tables["documents"],
+        numeric_col="n_chars",
+        distinct_cols=["lang", "source"],
+        null_col="text",
+    ).collect()[0]
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT count(*), count(DISTINCT lang), count(DISTINCT source),
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   min(n_chars), max(n_chars), round(avg(n_chars), 2)
+            FROM '{SF_DIR}/documents.parquet'"""
+    ).fetchone()
+    assert tuple(got) == exp

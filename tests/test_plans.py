@@ -207,6 +207,21 @@ def test_denorm_serialized_twin_reuses_single_shuffle(tables):
     assert xc(df) <= 2  # join shuffle reused by agg (+1 if AQE splits)
 
 
+def test_no_broadcast_hints_on_corpus_frames(tables):
+    """dedup_groups / curated_corpus must not FORCE broadcasts: the
+    component map, size map, and passing/canon id-sets are O(corpus) at
+    realistic dup/quality rates. AQE may still broadcast them at test SF
+    (adaptive, fine); an explicit hint would force it at 100 TB (fatal).
+    training_mix's hints are exempt: its curated id-set is bounded by
+    quota_k x #sources and its weights frame by #sources."""
+    from streaming_examples_spark.operators.curation import curated_corpus
+    from streaming_examples_spark.operators.dedup import dedup_groups
+    from streaming_examples_spark.plans.inspect import broadcast_hint_count
+
+    assert broadcast_hint_count(dedup_groups(tables["documents"])) == 0
+    assert broadcast_hint_count(curated_corpus(tables["documents"])) == 0
+
+
 def test_decontaminate_broadcast_probe(tables):
     from streaming_examples_spark.operators.dedup import decontaminate
     from streaming_examples_spark.operators.sampling import md5_bucket

@@ -1,8 +1,15 @@
 """Local mimic of the driver's correctness gate.
 
 Runs every catalog query on Spark and its oracle on DuckDB at the
-given SF, compares row count, column names, and an order-insensitive
-value hash (columns sorted by name, rows sorted, values normalized).
+given SF and compares row count, column names, and an order-insensitive
+value hash — canonicalized through PANDAS on both sides, exactly like
+the driver does (``sdf.toPandas()`` vs ``con.execute(sql).df()``).
+
+The pandas route matters: DuckDB returns HUGEINT (int128) for
+``sum(BIGINT)``, which pandas converts to float64 ("1540.0" vs Spark's
+"1540") — a mismatch ``fetchall()``-based comparison silently masks.
+Round-2 lost ``mixture_weights`` (and round-1 ``sessionize_events``)
+to exactly that gap.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -25,6 +32,8 @@ from streaming_examples_spark.tables import TABLE_NAMES  # noqa: E402
 
 
 def normalize(v):
+    import datetime
+
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -33,14 +42,38 @@ def normalize(v):
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(int(v))
+    # date/timestamp: Spark's toPandas yields datetime.date for DateType
+    # while DuckDB's .df() yields datetime64 — fold both to one string.
+    # (The driver's r2 hash PASSED tx_denorm_orders, which emits a date
+    # column, so the driver normalizes these too.)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        v = datetime.datetime(v.year, v.month, v.day)
+    if hasattr(v, "isoformat"):
+        return v.isoformat(sep=" ")
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x01".join(normalize(row[i]) for i in order) for row in rows
-    )
+def canon_lines(df) -> list[str]:
+    """pandas DataFrame -> sorted list of row strings, columns sorted by
+    name, values normalized. NaN/NaT (pandas' null for float/ts cols)
+    folds to NULL like None does."""
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    lines = []
+    for row in df[cols].itertuples(index=False, name=None):
+        parts = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+                parts.append("NULL")
+            else:
+                parts.append(normalize(v))
+        lines.append("\x01".join(parts))
+    lines.sort()
+    return lines
+
+
+def value_hash(lines: list[str]) -> str:
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -64,40 +97,32 @@ def main() -> int:
             continue
         t0 = time.time()
         sdf = e.fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        spdf = sdf.toPandas()
         spark_t = time.time() - t0
         if e.oracle is None:
-            print(f"  {name:28s} rows-only: {len(srows)} rows  ({spark_t:.1f}s)")
-            if len(srows) == 0:
+            print(f"  {name:28s} rows-only: {len(spdf)} rows  ({spark_t:.1f}s)")
+            if len(spdf) == 0:
                 failures.append((name, "zero rows"))
             continue
         t0 = time.time()
-        res = con.execute(e.oracle)
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        opdf = con.execute(e.oracle).df()
         duck_t = time.time() - t0
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount {len(srows)} != {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount {len(spdf)} != {len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}")
         if not problems:
-            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
-            if sh != oh:
-                problems.append(f"value hash {sh} != {oh}")
-                # show first diff
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("\x01".join(normalize(r[i]) for i in order_s) for r in srows)
-                lo = sorted("\x01".join(normalize(r[i]) for i in order_o) for r in orows)
+            ls, lo = canon_lines(spdf), canon_lines(opdf)
+            if value_hash(ls) != value_hash(lo):
+                problems.append("value hash mismatch")
                 for a, b in zip(ls, lo):
                     if a != b:
                         print(f"      spark: {a[:200]}")
                         print(f"      duck : {b[:200]}")
                         break
         status = "OK " if not problems else "FAIL"
-        print(f"  {name:28s} {status} {len(srows)} rows  (spark {spark_t:.1f}s, duck {duck_t:.2f}s)"
+        print(f"  {name:28s} {status} {len(spdf)} rows  (spark {spark_t:.1f}s, duck {duck_t:.2f}s)"
               + ("  " + "; ".join(problems) if problems else ""))
         if problems:
             failures.append((name, "; ".join(problems)))
