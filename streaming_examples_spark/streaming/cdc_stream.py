@@ -167,6 +167,9 @@ class TxDenormBatchProcessor:
     ) -> DataFrame:
         """Apply one micro-batch; returns (and optionally writes) the
         emissions in commit-LSN order."""
+        import time as _time
+
+        _batch_t0 = _time.time()
         # tx metadata persists across batches (the reference keeps it in
         # broadcast state, CommitLsnFixer.java:75-89): a tx's END may
         # arrive batches before/after its data events. GC below drops
@@ -255,6 +258,11 @@ class TxDenormBatchProcessor:
         emissions.count()  # materialize before any state dir changes
         # monitoring (§6 metric catalog): events seen, source lag, backlog
         n_events = order_events.count() + line_events.count()
+        # committed-tx count MUST be taken before _store_all swaps the
+        # state dirs: emitted_txs' lineage reads the pre-swap state
+        # files, so a post-swap action would re-evaluate against the
+        # wrong (or deleted) state — same ordering hazard as the sink
+        n_committed = res.emitted_txs.count()
         self.metrics.total_events_seen += n_events
         max_ts = (
             order_events.select(F.max("ts_ms")).first()[0]
@@ -300,6 +308,9 @@ class TxDenormBatchProcessor:
             self.spark.read.parquet(os.path.join(self.state_dir, "carry_orders")).count()
             + self.spark.read.parquet(os.path.join(self.state_dir, "carry_lines")).count()
         )
+        # committed txs = txs that cleared the emission barrier this
+        # batch (NumberOfCommittedTransactions analog)
+        self.metrics.observe_batch(n_events, _time.time() - _batch_t0, n_committed)
         return emissions
 
 

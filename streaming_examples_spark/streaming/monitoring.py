@@ -7,12 +7,15 @@ rows scanned, backlog. Structured Streaming exposes the equivalents
 natively per micro-batch; this module maps them onto the reference's
 metric names so a dashboard built for one reads the other.
 
-  reference metric (jmx_exporter_config.yml)   here
-  ----------------------------------------------------------------
-  debezium_metrics_TotalNumberOfEventsSeen  →  total_events_seen
-  debezium_metrics_MilliSecondsBehindSource →  ms_behind_source
-  debezium_metrics_RowsScanned              →  rows_scanned (per source)
-  pg_replication_slots_..._wal_lsn_diff     →  backlog_rows (carryover)
+  reference metric (jmx_exporter_config.yml)       here
+  --------------------------------------------------------------------
+  debezium_metrics_TotalNumberOfEventsSeen      →  total_events_seen
+  debezium_metrics_MilliSecondsBehindSource     →  ms_behind_source
+  debezium_metrics_MilliSecondsSinceLastEvent   →  ms_since_last_event
+  debezium_metrics_NumberOfCommittedTransactions→  committed_transactions
+  debezium_metrics_RowsScanned                  →  rows_scanned (per source)
+  pg_replication_slots_..._wal_lsn_diff         →  backlog_rows (carryover)
+  (connect worker throughput)                   →  last_batch_events_per_sec
 """
 
 from __future__ import annotations
@@ -28,9 +31,13 @@ class PipelineMetrics:
     total_events_seen: int = 0
     rows_scanned: dict[str, int] = field(default_factory=dict)
     ms_behind_source: float | None = None
+    ms_since_last_event: float | None = None
+    committed_transactions: int = 0
+    last_batch_events_per_sec: float | None = None
     backlog_rows: int = 0
     last_batch_id: int = -1
     batches: int = 0
+    _last_event_wall_ms: float | None = None
 
     def observe_progress(self, progress: dict) -> None:
         """Feed one ``StreamingQuery.lastProgress`` dict."""
@@ -52,9 +59,23 @@ class PipelineMetrics:
     def observe_event_time(self, max_event_ts_ms: int | None) -> None:
         """Lag = wall clock − newest processed source timestamp (the
         MilliSecondsBehindSource analog; event ts_ms is Debezium's
-        source clock)."""
+        source clock). An empty batch instead advances
+        ms_since_last_event — the idle-source signal (S14 heartbeats)."""
+        now_ms = time.time() * 1000
         if max_event_ts_ms is not None:
-            self.ms_behind_source = max(0.0, time.time() * 1000 - max_event_ts_ms)
+            self.ms_behind_source = max(0.0, now_ms - max_event_ts_ms)
+            self._last_event_wall_ms = now_ms
+            self.ms_since_last_event = 0.0
+        elif self._last_event_wall_ms is not None:
+            self.ms_since_last_event = now_ms - self._last_event_wall_ms
+
+    def observe_batch(self, n_events: int, duration_sec: float, n_committed_txs: int) -> None:
+        """Per-batch throughput + committed-transaction counter (the
+        NumberOfCommittedTransactions analog — txs that cleared the
+        emission barrier this batch)."""
+        self.committed_transactions += n_committed_txs
+        if duration_sec > 0:
+            self.last_batch_events_per_sec = round(n_events / duration_sec, 2)
 
     def observe_backlog(self, carryover_rows: int) -> None:
         """Carry-over (incomplete-tx) rows = retained-WAL analog."""
@@ -64,6 +85,9 @@ class PipelineMetrics:
         return {
             "total_events_seen": self.total_events_seen,
             "ms_behind_source": self.ms_behind_source,
+            "ms_since_last_event": self.ms_since_last_event,
+            "committed_transactions": self.committed_transactions,
+            "last_batch_events_per_sec": self.last_batch_events_per_sec,
             "rows_scanned": dict(self.rows_scanned),
             "backlog_rows": self.backlog_rows,
             "batches": self.batches,

@@ -11,6 +11,7 @@ from streaming_examples_spark.model.envelope import TOAST_SENTINEL
 from streaming_examples_spark.streaming.cdc_stream import TxDenormBatchProcessor
 
 
+@pytest.mark.slow
 def test_batch_processor_across_micro_batches(spark, tmp_path):
     """Replay an event log split into 2 micro-batches; state + carryover
     persist through the state dir (the foreachBatch body)."""
@@ -52,6 +53,7 @@ def test_batch_processor_across_micro_batches(spark, tmp_path):
     assert [str(l["price"]) for l in docs[0]["lines"]] == ["19.99", "40.00"]
 
 
+@pytest.mark.slow
 def test_exactly_once_under_redelivery(spark, tmp_path):
     """At-least-once replay: re-sending a fully-processed batch must
     emit nothing (applied-tx dedup, SURVEY §7.4 replay safety)."""
@@ -194,6 +196,7 @@ def test_toast_backfill_udtf(spark):
     assert got[(1002, 15)] == "other"
 
 
+@pytest.mark.slow
 def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
     """Incremental state: a batch must rewrite only the hash buckets of
     the order keys it touches; every other bucket's files stay
@@ -268,6 +271,7 @@ def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
     assert len(docs[0]["lines"]) == 2  # seeded line + new line
 
 
+@pytest.mark.slow
 def test_line_repoint_touches_old_orders_bucket(spark, tmp_path):
     """A line UPDATE that re-points order A -> order B must also load/
     rewrite bucket(A): the stale (line, order A) state row there has to

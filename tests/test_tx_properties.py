@@ -149,6 +149,7 @@ def _naive_replay(log: TxLog):
     return orders, lines, touched
 
 
+@pytest.mark.slow
 @settings(max_examples=5, deadline=None)
 @given(seed=st.integers(0, 2**32 - 1), cut_frac=st.floats(0.2, 0.8))
 def test_random_interleaved_histories_match_naive_replay(spark, tmp_path_factory, seed, cut_frac):

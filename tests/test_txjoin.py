@@ -155,6 +155,7 @@ def test_order_without_lines_emits_empty_array(spark):
 
 
 # -- incomplete tx carries over; completes with state ----------------------
+@pytest.mark.slow
 def test_tx_split_across_batches(spark):
     log1 = TxLog()
     log1.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
