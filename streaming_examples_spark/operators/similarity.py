@@ -338,6 +338,7 @@ def pq_codebooks(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the (L2-normalized) vector
     into ``m`` subspaces and train an independent k-means codebook per
@@ -358,8 +359,12 @@ def pq_codebooks(
     dim = len(emb.select(as_double(F.col(vec_col)).alias("v")).first()["v"])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
+    # normalize=False is the residual path (ivf_pq): residuals are NOT
+    # unit vectors and re-normalizing them would destroy the geometry
+    vexpr = as_double(F.col(vec_col))
     normed = emb.select(
-        F.col(id_col).alias("vid"), _l2_normalize(as_double(F.col(vec_col))).alias("nv")
+        F.col(id_col).alias("vid"),
+        (_l2_normalize(vexpr) if normalize else vexpr).alias("nv"),
     )
     slices = F.array(*[F.slice(F.col("nv"), j * sub + 1, sub) for j in range(m)])
     pts = normed.select("vid", F.posexplode(slices)).toDF("vid", "j", "sv").persist()
@@ -401,6 +406,7 @@ def pq_encode(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    normalize: bool = True,
 ) -> DataFrame:
     """Encode every vector as ``m`` codebook indices: (vec_id, codes
     ARRAY<INT>). Map-only over codebook literals — 64 floats become m
@@ -415,7 +421,11 @@ def pq_encode(
     # into every codeword distance (the single-projection form) was
     # measured ~40x slower (CollapseProject re-inlines aggressively;
     # same trap as the MinHash band keys).
-    nv = _l2_normalize(as_double(F.col(vec_col)))
+    nv = (
+        _l2_normalize(as_double(F.col(vec_col)))
+        if normalize
+        else as_double(F.col(vec_col))
+    )
     slices = F.array(*[F.slice(nv, j * sub + 1, sub) for j in range(m)])
     per_sub = (
         emb.select(F.col(id_col).alias("vec_id"), F.posexplode(slices))
@@ -507,5 +517,120 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank", F.round("approx_sqdist", 4).alias("approx_sqdist")
+        )
+    )
+
+
+def ivf_pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the billion-vector composition — a coarse k-means
+    quantizer routes vectors into cells, product quantization encodes
+    each vector's RESIDUAL (vector − its cell centroid), and a query
+    ADC-scans only its ``n_probe`` nearest cells.
+
+    This is the standard large-index layout (inverted lists + residual
+    codes): memory is 8 bytes/vector + KB of centroids/codebooks, and
+    query cost is (corpus/n_centroids)·n_probe table lookups instead of
+    a full scan. Residual encoding matters: residuals concentrate near
+    zero so a 4-bit-per-subspace codebook spends its precision where
+    the vectors actually are, beating plain PQ at equal code budget.
+
+    Scale shape: centroids + codebooks are driver-side literals (like
+    IVF/PQ alone); cell-assign and encode are map-only corpus passes;
+    the probe is an equi-join on cell id against broadcast per-(query,
+    cell) LUTs; ranking is a per-query window over the probed subset.
+    Deterministic end to end (seeded k-means, no RNG) but iterative —
+    rows-only at any SQL oracle gate; recall is pytest-asserted.
+    """
+    nv = _l2_normalize(as_double(F.col(vec_col)))
+    normed = emb.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
+    cents = kmeans_centroids(
+        normed, k=n_centroids, iters=iters, vec_col="nv", id_col="neighbor_id"
+    )
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+    # map-only: cell id, then residual vs the cell's centroid literal
+    with_cell = normed.select(
+        "neighbor_id", "nv", _argmin_centroid(F.col("nv"), cents).alias("cell")
+    )
+    resid = with_cell.select(
+        "neighbor_id",
+        "cell",
+        F.zip_with(
+            F.col("nv"),
+            F.element_at(cents_lit, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+    books = pq_codebooks(
+        resid, m=m, k_codes=k_codes, iters=iters,
+        vec_col="rv", id_col="neighbor_id", normalize=False,
+    )
+    encoded = pq_encode(
+        resid, books, vec_col="rv", id_col="neighbor_id", normalize=False
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    inv_lists = encoded.join(resid.select("neighbor_id", "cell"), "neighbor_id")
+
+    # query side: probe cells + per-(query, cell) ADC LUTs, driver-side
+    # (bounded query batches — same contract as pq_ann_topk)
+    sub = len(books[0][0])
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), _l2_normalize(as_double(F.col(vec_col))).alias("nv")
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r["nv"]]
+        by_dist = sorted(
+            range(n_centroids),
+            key=lambda c: (sum((qv[t] - cents[c][t]) ** 2 for t in range(len(qv))), c),
+        )
+        for cell in by_dist[:n_probe]:
+            rq = [qv[t] - cents[cell][t] for t in range(len(qv))]
+            lut = [
+                [
+                    sum((rq[j * sub + t] - cw[t]) ** 2 for t in range(sub))
+                    for cw in books[j]
+                ]
+                for j in range(m)
+            ]
+            lut_rows.append((r["qid"], cell, lut))
+    luts = emb.sparkSession.createDataFrame(
+        lut_rows, "query_id long, cell int, lut array<array<double>>"
+    )
+
+    scored = (
+        inv_lists.join(F.broadcast(luts), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "approx_sqdist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda c, sub_lut: F.element_at(sub_lut, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("approx_sqdist", 4).alias("approx_sqdist"),
         )
     )

@@ -364,3 +364,103 @@ def test_table_profile_matches_duckdb(spark, tables):
             FROM '{SF_DIR}/documents.parquet'"""
     ).fetchone()
     assert tuple(got) == exp
+
+
+def test_text_stats_short_doc_edge_cases(spark):
+    """text_stats on docs the testdata never contains: <3 words (no
+    shingles -> repetition columns NULL, fp NULL, fp_shingles 0) and
+    punctuation-only. Spark side and the registered DuckDB oracle must
+    agree on the crafted frame too — the driver only ever checks the
+    generated corpus, which has no short docs."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from streaming_examples_spark.catalog import entries
+
+    rows = [
+        (1, "one", "en", "srcA", 3),
+        (2, "two words", "en", "srcA", 9),
+        (3, "exactly three words", "en", "srcB", 19),
+        (4, "!!! ??? ...", "und", "srcB", 11),
+        (5, "the the the the the the the the the the", "en", "srcB", 39),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sdf = spark.createDataFrame(pdf)
+
+    # spark side: run the real operator composition on the crafted frame
+    from streaming_examples_spark.operators.text import (
+        fingerprint,
+        lang_id,
+        normalize_text,
+        quality_scores,
+        repetition_score,
+        token_stats,
+    )
+    from pyspark.sql import functions as F
+
+    out = (
+        token_stats(sdf)
+        .join(quality_scores(sdf).drop("n_chars"), "doc_id")
+        .join(lang_id(sdf), "doc_id")
+        .join(normalize_text(sdf), "doc_id")
+        .join(fingerprint(sdf).select("doc_id", "fp", F.col("n_shingles").alias("fp_shingles")), "doc_id")
+        .join(
+            repetition_score(sdf).select(
+                "doc_id", F.col("n_shingles").alias("rep_shingles"), "dup_frac", "top_shingle_frac"
+            ),
+            "doc_id",
+            "left",
+        )
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # oracle side: the registered SQL verbatim, over the same frame
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = con.execute(entries()["text_stats"].oracle).df().sort_values("doc_id").reset_index(drop=True)
+
+    assert list(out["doc_id"]) == list(ora["doc_id"]) == [1, 2, 3, 4, 5]
+    for col in sorted(out.columns):
+        for i in range(len(out)):
+            a, b = out[col][i], ora[col][i]
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            assert a_nan == b_nan, (col, i, a, b)
+            if not a_nan:
+                assert str(a) == str(b) or (
+                    isinstance(a, float) and abs(a - float(b)) < 1e-9
+                ), (col, i, a, b)
+    # the semantics under test: short docs have NULL repetition columns
+    one_word = out[out.doc_id == 1].iloc[0]
+    assert math.isnan(one_word["rep_shingles"]) or one_word["rep_shingles"] is None
+    assert one_word["fp_shingles"] == 0
+
+
+def test_ivf_pq_recall_and_determinism(spark, tables):
+    """IVF-PQ (coarse cells + residual codes + ADC over n_probe cells):
+    recall vs exact cosine must beat the random-k baseline, and the
+    whole index (seeded k-means, no RNG) must be run-to-run identical."""
+    from streaming_examples_spark.operators.similarity import ivf_pq_ann_topk
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    k = 10
+    exact = brute_force_topk(emb, queries, k=k)
+    got = ivf_pq_ann_topk(
+        emb, queries, k=k, n_centroids=16, n_probe=4, m=8, k_codes=16, iters=2
+    )
+    rows = got.collect()
+    n_queries = queries.count()
+    assert len(rows) == n_queries * k
+    n_corpus = emb.count()
+    hits = got.join(exact, ["query_id", "neighbor_id"], "left_semi").count()
+    # random-k baseline would hit k*k/n_corpus per query; demand 5x that
+    # AND an absolute floor (cells alone put ~n_probe/16 of the corpus
+    # in scope; residual ADC must rank usefully within it)
+    baseline = n_queries * k * k / n_corpus
+    assert hits >= max(5 * baseline, 0.15 * n_queries * k), (hits, baseline)
+    again = ivf_pq_ann_topk(
+        emb, queries, k=k, n_centroids=16, n_probe=4, m=8, k_codes=16, iters=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
