@@ -154,9 +154,10 @@ def connected_components(
     Iteration count is the graph diameter; duplicate clusters are
     near-cliques, so 2-4 rounds in practice. The convergence probe is a
     single scalar aggregate (labels only ever decrease, so an unchanged
-    sum is a fixpoint) — no per-row collect. For graphs with giant
-    components use the large-star/small-star variant (same join
-    primitive, alternating edge rewrites).
+    sum is a fixpoint) — no per-row collect. For graphs with long-chain
+    / giant components use :func:`connected_components_star` (same join
+    primitives, alternating large-star/small-star edge rewrites,
+    O(log n) rounds regardless of diameter).
     """
     a, b = id_cols
     edges_raw = (
@@ -204,6 +205,88 @@ def connected_components(
         prev_sum = label_sum
     edges.unpersist()  # labels is checkpointed; edge lineage not needed
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame, *, id_cols: tuple[str, str] = ("d1", "d2"), max_iters: int = 25
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the giant-component scale path the min-label variant's
+    docstring points at.
+
+    Min-label propagation (:func:`connected_components`) needs O(graph
+    diameter) rounds: fine for near-clique duplicate clusters (diameter
+    2-4), pathological for chain-shaped graphs (diameter n — e.g. a
+    boilerplate template drifting one revision at a time, each revision
+    near-dup ONLY to its neighbors). Star contraction halves long paths
+    every other round → O(log n) rounds regardless of shape.
+
+    Per round, same primitives as the label variant (one
+    map-side-combinable min-agg + one equi-join, lineage truncated per
+    round):
+
+      large-star: every neighbor v > u re-points to m = min(Γ(u) ∪ u)
+      small-star: every neighbor v ≤ u re-points to m  (u too)
+
+    Fixpoint = edge multiset stable under both rewrites (checked with a
+    scalar checksum, no collect of the edges). Returns (doc_id,
+    component) with component = min doc id, identical to the label
+    variant (pytest asserts equivalence on random + chain graphs).
+    """
+    a, b = id_cols
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _rewrite(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        joined = sym.join(m, "u")
+        kept = joined.filter(F.col("v") > F.col("u")) if large else joined.filter(
+            F.col("v") <= F.col("u")
+        )
+        out = kept.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            # small-star also re-points u itself to m
+            out = out.union(m.select(F.col("u"), F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    prev_sig: object = object()
+    for _ in range(max_iters):
+        edges = _rewrite(edges, large=True)
+        edges = _rewrite(edges, large=False).localCheckpoint(eager=True)
+        # scalar fixpoint probe: (count, sum(u), sum(v)) — cheap and
+        # collision-safe enough for a monotone contraction process
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at fixpoint every edge is (node, root): root = min of its component
+    nodes = (
+        pairs.select(F.col(a).alias("doc_id"))
+        .union(pairs.select(F.col(b).alias("doc_id")))
+        .distinct()
+    )
+    # min-agg guards the max_iters-hit case where a node still carries
+    # more than one outgoing edge (fully converged stars have exactly one)
+    comp = edges.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("component"))
+    return (
+        nodes.join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
 
 
 def dedup_groups(

@@ -142,3 +142,57 @@ def test_training_mix_invariants(spark, tables):
         for r in sorted(rows, key=lambda x: x["doc_id"]):
             assert r["seq_id"] * 512 + r["seq_offset"] == total
             total += r["n_tokens"]
+
+
+def test_star_cc_matches_label_cc_and_union_find(spark):
+    """Large-star/small-star CC must produce identical components to
+    min-label propagation AND a driver-side union-find ground truth —
+    on a random graph (near-clique-ish, the dedup regime) and on a
+    1000-node chain (diameter = n, the regime star contraction exists
+    for: label propagation would need ~n rounds, star needs ~log n)."""
+    import random
+
+    from streaming_examples_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def union_find(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: min node id of each set
+        roots = {}
+        for n in nodes:
+            r = find(n)
+            roots.setdefault(r, min(r, n))
+        return {n: min(x for x in nodes if find(x) == find(n)) for n in nodes}
+
+    rng = random.Random(42)
+    random_pairs = list({(min(a, b), max(a, b))
+                         for a, b in (sorted(rng.sample(range(200), 2)) for _ in range(150))})
+    chain_pairs = [(i, i + 1) for i in range(1000)]
+
+    for pairs, check_label in ((random_pairs, True), (chain_pairs, False)):
+        nodes = sorted({x for p in pairs for x in p})
+        expected = union_find(pairs, nodes)
+        df = spark.createDataFrame(pairs, "d1 long, d2 long")
+        star = {r["doc_id"]: r["component"]
+                for r in connected_components_star(df, max_iters=30).collect()}
+        assert star == expected, f"star CC wrong on {len(pairs)}-edge graph"
+        if check_label:
+            # label propagation needs O(diameter) Spark rounds — running
+            # it on the 1000-chain IS the pathology star contraction
+            # avoids, so only the random graph cross-checks both
+            label = {r["doc_id"]: r["component"]
+                     for r in connected_components(df, max_iters=50).collect()}
+            assert label == expected, f"label CC wrong on {len(pairs)}-edge graph"
