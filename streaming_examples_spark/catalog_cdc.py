@@ -204,15 +204,35 @@ def q_cdc_flatten_events(spark, sf_dir):
 
 @register(
     "cdc_dedup",
-    oracle="""
-    SELECT count(*) AS n_after_dedup FROM events
+    # row-level oracle (upgraded from a bare count in r3): after
+    # at-least-once redelivery (env ∪ env), dedup on (table, lsn, op)
+    # must restore EXACTLY the original envelope stream — every
+    # surviving (id, lsn, op, value) row is hash-checked.
+    oracle=f"""
+    WITH env AS (
+      SELECT user_id, event_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             {_OP_SQL} AS op
+      FROM events
+    )
+    SELECT user_id AS id, event_id AS lsn, op,
+           round(CASE WHEN op = 'd' THEN prev ELSE value END, 2) AS value
+    FROM env
     """,
     survey_ref="§2.6 T6 at-least-once dedup (cdc-events-duplicate)",
 )
 def q_cdc_dedup(spark, sf_dir):
     env = synth_user_envelope(spark, sf_dir)
     redelivered = env.unionByName(env)  # simulate at-least-once duplication
-    return dedup_cdc(redelivered).agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    deduped = dedup_cdc(redelivered)
+    return deduped.select(
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        F.col("source.lsn").alias("lsn"),
+        "op",
+        F.round(
+            F.coalesce(F.col("after.value"), F.col("before.value")), 2
+        ).alias("value"),
+    )
 
 
 @register(

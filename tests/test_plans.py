@@ -233,3 +233,31 @@ def test_decontaminate_broadcast_probe(tables):
     # and there is never a doc×doc pair space
     assert has_broadcast_join(df)
     assert not has_cartesian(df)
+
+
+def test_text_stats_entry_has_no_cartesian(spark, tables):
+    """The merged text_stats catalog entry joins six doc-grain operator
+    outputs on doc_id — all equi-joins; a missing key would silently
+    become a nested-loop product."""
+    from streaming_examples_spark.catalog import entries
+
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = entries()["text_stats"].fn(spark, sf)
+    assert not has_cartesian(df)
+
+
+def test_sampling_suite_entry_bounded_shuffles(spark, tables):
+    """sampling_suite = sample + split + quota joined on doc_id: the
+    only required shuffles are the quota window partitioning and the
+    doc_id join alignments — a regression that re-shuffles the corpus
+    per sub-operator would multiply exchanges."""
+    from streaming_examples_spark.catalog import entries
+
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = entries()["sampling_suite"].fn(spark, sf)
+    assert not has_cartesian(df)
+    assert exchange_count(df) <= 6
