@@ -53,14 +53,9 @@ from streaming_examples_spark.operators.text import (
     LANG_MARKERS,
     PII_PATTERNS,
     STOPWORDS,
-    fingerprint,
-    lang_id,
     ngram_doc_freq,
-    quality_scores,
-    repetition_score,
     scrub_pii,
     tfidf_top_terms,
-    token_stats,
 )
 
 # --------------------------------------------------------------------------
@@ -897,35 +892,17 @@ def _text_stats_oracle() -> str:
     ),
 )
 def q_text_stats(spark, sf_dir):
-    from streaming_examples_spark.operators.text import normalize_text
+    from streaming_examples_spark.operators.text import text_profile
 
-    docs = t(spark, sf_dir, "documents")
-    # each operator keeps its real implementation; the entry joins their
-    # doc-grain outputs (repetition emits no row for <3-word docs → left)
-    out = (
-        token_stats(docs)
-        # quality_scores re-emits n_chars (same definition) — drop the dup
-        .join(quality_scores(docs).drop("n_chars"), "doc_id")
-        .join(lang_id(docs), "doc_id")
-        .join(normalize_text(docs), "doc_id")
-        .join(
-            fingerprint(docs).select(
-                "doc_id", "fp", F.col("n_shingles").alias("fp_shingles")
-            ),
-            "doc_id",
-        )
-        .join(
-            repetition_score(docs).select(
-                "doc_id",
-                F.col("n_shingles").alias("rep_shingles"),
-                "dup_frac",
-                "top_shingle_frac",
-            ),
-            "doc_id",
-            "left",
-        )
+    # fused profile: the six operators' expressions in one corpus scan
+    # + one repetition aggregate + one left join (docs under 3 words
+    # emit no repetition row) — not six scans joined on doc_id.
+    # balance_partitions: the test fixtures are single-row-group files
+    # (one scan task); at corpus scale the scan is already wide
+    return text_profile(
+        t(spark, sf_dir, "documents"),
+        balance_partitions=spark.sparkContext.defaultParallelism,
     )
-    return out
 
 
 # --------------------------------------------------------------------------

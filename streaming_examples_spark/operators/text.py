@@ -29,15 +29,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_MARKERS["en"] + ("for", "on", "with", "as", "at", "by", "it")
 
 
-def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace + BPE-ish token counts and length stats per doc."""
-    text = F.col(text_col)
+def token_stat_exprs(text: Column) -> list[Column]:
     words = F.split(text, " ")
     # BPE-ish: letter runs, digit runs, and single symbols as tokens
     # (RE2-compatible — no lookarounds — so the oracle matches exactly)
     bpe_ish = F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"), 0)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         F.length(text).alias("n_chars"),
         F.size(words).alias("n_tokens"),
         F.size(F.array_distinct(words)).alias("n_unique_tokens"),
@@ -45,23 +42,24 @@ def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_i
         F.round(F.length(F.regexp_replace(text, r"\s", "")) / F.size(words), 4).alias(
             "avg_token_len"
         ),
+    ]
+
+
+def token_stats(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts and length stats per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *token_stat_exprs(F.col(text_col))
     )
 
 
-def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality signals: length, punctuation density, stopword
-    ratio, repetition (unique/total tokens) — the classic pre-training
-    quality filters."""
-    text = F.col(text_col)
+def quality_score_exprs(text: Column, *, with_n_chars: bool = True) -> list[Column]:
     words = F.split(F.lower(text), " ")
     n_words = F.size(words)
     n_chars = F.length(text)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars"),
+    return ([n_chars.alias("n_chars")] if with_n_chars else []) + [
         n_words.alias("n_words"),
         F.round(n_stop / n_words, 4).alias("stopword_ratio"),
         F.round(n_punct / n_chars, 4).alias("punct_ratio"),
@@ -72,6 +70,15 @@ def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
             & (n_punct / n_chars < 0.2)
             & (F.size(F.array_distinct(words)) / n_words > 0.1)
         ).alias("passes_quality"),
+    ]
+
+
+def quality_scores(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, punctuation density, stopword
+    ratio, repetition (unique/total tokens) — the classic pre-training
+    quality filters."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *quality_score_exprs(F.col(text_col))
     )
 
 
@@ -84,19 +91,21 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
     return out
 
 
-def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-word language ID: argmax over per-language marker counts,
-    alphabetical-first tie-break, 'und' (undetermined) when all zero."""
-    scores = lang_scores(F.col(text_col))
+def lang_id_exprs(text: Column) -> list[Column]:
+    scores = lang_scores(text)
     best_score = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")
     # reversed so that on ties the alphabetically-first language wins
     for lang, score in reversed(scores):
         pred = F.when((score == best_score) & (best_score > 0), F.lit(lang)).otherwise(pred)
+    return [pred.alias("pred_lang"), best_score.alias("marker_hits")]
+
+
+def lang_id(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: argmax over per-language marker counts,
+    alphabetical-first tie-break, 'und' (undetermined) when all zero."""
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        pred.alias("pred_lang"),
-        best_score.alias("marker_hits"),
+        F.col(id_col).alias("doc_id"), *lang_id_exprs(F.col(text_col))
     )
 
 
@@ -104,29 +113,86 @@ def normalize_text(docs: DataFrame, *, text_col: str = "text", id_col: str = "do
     """Canonical cleaning pass: lowercase, strip punctuation, collapse
     whitespace, trim — the normalization stage that precedes dedup /
     tokenization in a training pipeline."""
-    text = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *normalize_exprs(F.col(text_col))
+    )
+
+
+def normalize_exprs(text: Column) -> list[Column]:
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(text), r"[^\w\s]", " "), r"\s+", " "
         )
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         cleaned.alias("clean_text"),
         F.length(cleaned).alias("clean_chars"),
         (F.length(text) - F.length(cleaned)).alias("chars_removed"),
-    )
+    ]
+
+
+def fingerprint_exprs(text: Column, *, shingles_name: str = "n_shingles") -> list[Column]:
+    sh = word_shingles(text, 3)
+    return [
+        F.when(F.size(sh) > 0, minhash(sh, "fp_")).otherwise(F.lit(None)).alias("fp"),
+        F.size(sh).alias(shingles_name),
+    ]
 
 
 def fingerprint(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Shingle fingerprint: md5-MinHash over 3-word shingles (a
     compact rolling-hash-style document signature, engine-portable)."""
-    sh = word_shingles(F.col(text_col), 3)
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(F.size(sh) > 0, minhash(sh, "fp_")).otherwise(F.lit(None)).alias("fp"),
-        F.size(sh).alias("n_shingles"),
+        F.col(id_col).alias("doc_id"), *fingerprint_exprs(F.col(text_col))
     )
+
+
+def text_profile(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    balance_partitions: int | None = None,
+) -> DataFrame:
+    """Fused doc-grain profile of the five map-only text operators
+    (token stats, quality, language ID, normalization, fingerprint) in
+    ONE projection over ONE corpus scan, left-joined with the
+    shingle-grain repetition aggregate (left: docs under 3 words emit
+    no repetition row).
+
+    Same output as joining the six standalone operators on doc_id, but
+    1 scan + 1 aggregate + 1 join instead of 6 scans + 5 joins — at
+    corpus scale the difference is five full corpus reads and five
+    doc-grain shuffles. The standalone operators stay the unit of
+    reuse; this is the composition a profiling pass should run.
+
+    ``balance_partitions``: the projection's regex/shingle work runs
+    inside the scan tasks, so its parallelism IS the scan's. A corpus
+    of normal-sized parquet (row groups ≲ maxPartitionBytes) scans
+    wide and needs nothing here — leave None; a single-row-group file
+    (the local test fixtures) plans ONE scan task and serializes the
+    whole profile, so pass the core count to round-robin the rows
+    first (one tiny shuffle ≪ the expression work it parallelizes).
+    """
+    if balance_partitions:
+        docs = docs.repartition(balance_partitions)
+    text = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *token_stat_exprs(text),
+        # n_chars already emitted by the token exprs (same definition)
+        *quality_score_exprs(text, with_n_chars=False),
+        *lang_id_exprs(text),
+        *normalize_exprs(text),
+        *fingerprint_exprs(text, shingles_name="fp_shingles"),
+    )
+    rep = repetition_score(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id",
+        F.col("n_shingles").alias("rep_shingles"),
+        "dup_frac",
+        "top_shingle_frac",
+    )
+    return base.join(rep, "doc_id", "left")
 
 
 def tfidf_top_terms(
