@@ -62,3 +62,21 @@ def oracle_sql() -> dict[str, str]:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + round-robin rebalance to the core count.
+
+    The test fixtures are single-row-group parquet files: the scan
+    plans ONE task regardless of maxPartitionBytes (parquet can only
+    split at row-group boundaries), so any expression-heavy pipeline
+    downstream — shingling, md5 minhash permutations, hyperplane dot
+    products — serializes on one core. One tiny shuffle of the raw
+    rows buys full-core parallelism for everything after it.
+
+    At corpus scale the scan is already wide (row groups sized to
+    maxPartitionBytes) and this shuffle would be a pure waste — use
+    ``t`` there. Catalog entries wire this ONLY because they run on
+    the fixtures; the operators themselves never repartition input.
+    """
+    return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
