@@ -84,6 +84,106 @@ def decode_and_featurize(docs_with_payload: DataFrame, *, batch_hint: int = 1024
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_payloads(
+    docs_with_payload: DataFrame, *, width: int = 224, height: int = 224
+) -> DataFrame:
+    """"Resize" each image payload to a fixed ``width``×``height``.
+
+    STUB RESIZER: a real pipeline calls PIL/torchvision here — not in
+    this container — so the body deterministically truncates/tiles the
+    source bytes to exactly ``width*height`` bytes (grayscale-plane
+    stand-in). The real, scale-relevant parts: the binary column rides
+    Arrow batches (bounded by ``maxRecordsPerBatch``), output bytes
+    are fixed-size (so downstream batch memory is predictable — the
+    reason training pipelines resize BEFORE shuffling samples), and
+    empty payloads pass through as empty bytes, not nulls.
+    """
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_resize(b: bytes) -> bytes:
+                if not b:
+                    return b""
+                reps = -(-target // len(b))  # ceil-divide, then trim
+                return (b * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "resized": pdf["payload"].map(fake_resize),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        resize, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    docs_with_payload: DataFrame, *, n_frames: int = 4, frame_interval_ms: int = 1000
+) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced "frames" from each video
+    payload — the 1-to-N shape (one input row → several frame rows).
+
+    STUB DECODER: real frame extraction is ffmpeg — not in this
+    container — so each frame is the i-th of ``n_frames`` even byte
+    slices. The scale-relevant parts are real: ``mapInPandas`` emits
+    MORE rows than it receives (the Arrow iterator contract allows
+    any output cardinality, so no explode-then-decode double pass),
+    frame timestamps are typed columns ready for windowed sampling
+    downstream, and payloads too short to slice yield zero rows
+    (skip, not null-explode).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, blobs = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if not b or len(b) < n_frames:
+                    continue
+                step = len(b) // n_frames
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    blobs.append(bytes(b[i * step : (i + 1) * step]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        frames, schema=FRAMES_SCHEMA
+    )
+
+
 def payload_meta(docs_with_payload: DataFrame) -> DataFrame:
     """Pure-SQL metadata over binary payloads (no decode): byte length
     + prefix hex — pushdown-friendly filtering before any decode."""

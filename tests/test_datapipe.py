@@ -168,6 +168,43 @@ def test_multimodal_plumbing(spark, tables):
         assert again[r["doc_id"]] == r["feature"]
 
 
+def test_multimodal_resize_fixed_output_size(spark, tables):
+    from streaming_examples_spark.operators.multimodal import resize_payloads
+
+    docs = with_binary_payload(tables["documents"].limit(50))
+    resized = resize_payloads(docs, width=32, height=16).collect()
+    assert len(resized) == 50
+    for r in resized:
+        # fixed-size output regardless of input length — the property
+        # that makes downstream Arrow batch memory predictable
+        assert len(r["resized"]) == 32 * 16
+        assert (r["width"], r["height"]) == (32, 16)
+    # empty payload passes through as empty bytes, not null
+    empty = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    r = resize_payloads(empty, width=8, height=8).first()
+    assert r["resized"] == b""
+
+
+def test_multimodal_frame_sampling_one_to_many(spark, tables):
+    from streaming_examples_spark.operators.multimodal import sample_frames
+
+    docs = with_binary_payload(tables["documents"].limit(20))
+    frames = sample_frames(docs, n_frames=4, frame_interval_ms=500).collect()
+    # 1-to-N: every doc with >= n_frames payload bytes emits exactly 4 rows
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(frames) == 4 * len(per_doc)
+    for rows_ in per_doc.values():
+        assert sorted(r["frame_idx"] for r in rows_) == [0, 1, 2, 3]
+        assert sorted(r["frame_ts_ms"] for r in rows_) == [0, 500, 1000, 1500]
+        for r in rows_:
+            assert len(r["frame"]) > 0
+    # payloads too short to slice yield zero rows, not nulls
+    short = spark.createDataFrame([(1, b"ab")], "doc_id long, payload binary")
+    assert sample_frames(short, n_frames=4).count() == 0
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from streaming_examples_spark.operators.text import scrub_pii
 
