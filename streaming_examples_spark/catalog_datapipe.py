@@ -531,6 +531,11 @@ def _ann_lsh_oracle(k: int, dim: int = 64, n_planes: int = 4, n_tables: int = 8)
     survey_ref="training-data: LSH-bucketed ANN (scale path) — bit-exact oracle + recall pytest",
 )
 def q_ann_lsh(spark, sf_dir):
+    # measured: t_wide is a net loss here (0.9s vs 0.65s warm at
+    # sf0.01) — the hyperplane pass is cheap enough that the extra
+    # exchange on both the corpus and query branches outweighs the
+    # parallelism it buys; the gate's occasional multi-second first
+    # run is one-time whole-stage codegen, not scan serialization
     emb = t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
