@@ -51,10 +51,23 @@ def _multimodal_decode(spark, sf_dir):
     return decode_and_featurize(with_binary_payload(load_table(spark, sf_dir, "documents")))
 
 
+def _multimodal_frames(spark, sf_dir):
+    from streaming_examples_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+    from streaming_examples_spark.tables import load_table
+
+    return sample_frames(with_binary_payload(load_table(spark, sf_dir, "documents")))
+
+
 #: timed alongside the catalog: the mapInPandas Arrow decode path is no
 #: longer a catalog entry (stub decode → rows-only slot not worth one of
 #: the driver's 50 correctness rows) but its throughput still matters
-EXTRA = {"multimodal_decode": _multimodal_decode}
+EXTRA = {
+    "multimodal_decode": _multimodal_decode,
+    "multimodal_frames": _multimodal_frames,
+}
 
 
 def main() -> int:
