@@ -295,6 +295,7 @@ def dedup_groups(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """Full-corpus duplicate-cluster map: MinHash-LSH near-dup pairs →
     connected components → one row per document with its cluster id
@@ -303,6 +304,13 @@ def dedup_groups(
     pipeline actually consumes: ``filter(keep = 1)`` yields the
     deduplicated corpus.
 
+    ``cc_algorithm`` picks the component solver: ``"label"`` (min-label
+    propagation, O(diameter) rounds — the default; dup clusters are
+    near-cliques with diameter 2-4) or ``"star"`` (alternating
+    large/small-star contraction, O(log n) rounds — choose when the dup
+    graph has long chains, e.g. a template drifting one revision at a
+    time). Both return identical components (pytest-asserted).
+
     Docs in no near-dup pair are their own singleton cluster (left join
     + coalesce). The component and size frames are NOT broadcast-hinted:
     at web-corpus dup rates (30-50 % of docs in some cluster) both are
@@ -310,8 +318,11 @@ def dedup_groups(
     on (doc_id) / (component) let AQE broadcast them only when runtime
     stats say they actually fit.
     """
+    if cc_algorithm not in ("label", "star"):
+        raise ValueError(f"cc_algorithm must be 'label' or 'star', got {cc_algorithm!r}")
+    cc = connected_components if cc_algorithm == "label" else connected_components_star
     pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
-    comp = connected_components(pairs)
+    comp = cc(pairs)
     full = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")

@@ -196,3 +196,21 @@ def test_star_cc_matches_label_cc_and_union_find(spark):
             label = {r["doc_id"]: r["component"]
                      for r in connected_components(df, max_iters=50).collect()}
             assert label == expected, f"label CC wrong on {len(pairs)}-edge graph"
+
+
+def test_dedup_groups_cc_algorithm_switch(spark, tables):
+    """dedup_groups(cc_algorithm=...) must yield the identical cluster
+    map through either component solver on a real corpus — the switch
+    changes round complexity (O(diameter) vs O(log n)), never output."""
+    import pytest
+
+    from streaming_examples_spark.operators.dedup import dedup_groups
+
+    docs = tables["documents"]
+    label = {r["doc_id"]: (r["component"], r["n_docs"], r["keep"])
+             for r in dedup_groups(docs, threshold=0.9).collect()}
+    star = {r["doc_id"]: (r["component"], r["n_docs"], r["keep"])
+            for r in dedup_groups(docs, threshold=0.9, cc_algorithm="star").collect()}
+    assert label == star
+    with pytest.raises(ValueError):
+        dedup_groups(docs, cc_algorithm="bogus")
