@@ -13,8 +13,9 @@ sampling weights for the data-mixture schedule.
     file. Parallelism = n_shards; one shuffle total.
   * ``mixture_weights``  — temperature-based source reweighting
     (multinomial alpha-smoothing, XLM-R style): q_s ∝ p_s^alpha over
-    per-source token mass. Two tiny aggregations; the per-source table
-    is broadcast back onto nothing — output is one row per source.
+    per-source token mass. One corpus aggregation, then two scalar
+    totals broadcast-crossJoined back onto the per-source frame —
+    output is one row per source, no single-partition window anywhere.
 
 Both are deterministic (md5 routing, no RNG) so a SQL oracle can
 reproduce them bit-for-bit.
@@ -81,16 +82,26 @@ def mixture_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
     )
-    # single-partition window is over the POST-AGG frame (one row per
-    # source — dozens of rows at any corpus size), not the corpus
-    tot = Window.partitionBy()
-    p = F.col("n_tokens") / F.sum("n_tokens").over(tot)
-    q = F.pow(p, alpha) / F.sum(F.pow(p, alpha)).over(tot)
-    return per_source.select(
+    # The totals live on the POST-AGG frame (one row per source —
+    # dozens of rows at any corpus size). Two tiny aggs + broadcast
+    # crossJoins instead of an empty-partition window: same arithmetic
+    # (p, then pow(p, alpha) — NOT the pow-quotient identity, which
+    # differs in low bits), but no WindowExec single-partition path, so
+    # logs stay free of "No Partition Defined" noise that is
+    # indistinguishable from a real global-window bug. ReuseExchange
+    # dedupes the per_source shuffle across the branches — documents is
+    # still scanned once.
+    tok_tot = per_source.agg(F.sum("n_tokens").alias("_tot_tokens"))
+    with_p = per_source.crossJoin(F.broadcast(tok_tot)).withColumn(
+        "_p", F.col("n_tokens") / F.col("_tot_tokens")
+    )
+    pa_tot = with_p.agg(F.sum(F.pow(F.col("_p"), alpha)).alias("_tot_pa"))
+    q = F.pow(F.col("_p"), alpha) / F.col("_tot_pa")
+    return with_p.crossJoin(F.broadcast(pa_tot)).select(
         "source",
         "n_docs",
         "n_tokens",
-        _round4(p).alias("p"),
+        _round4(F.col("_p")).alias("p"),
         _round4(q).alias("q"),
-        _round4(q / p).alias("boost"),
+        _round4(q / F.col("_p")).alias("boost"),
     )
