@@ -34,7 +34,7 @@ HEADLINE = [
     "sessionize_events",      # gaps-and-islands sessionization
     "dedup_minhash_lsh",      # MinHash LSH near-dup
     "dedup_groups",           # connected components over LSH pairs
-    "dedup_exact",            # exact dedup
+    "dedup_exact_norm",       # exact + normalized dedup (fused entry)
     "ann_topk",               # brute-force cosine top-k
     "text_stats",             # merged text metrics (tokens/quality/lang/norm/fp/repetition)
     "curated_corpus",         # composed curation pipeline (capstone)
@@ -61,9 +61,9 @@ def _multimodal_frames(spark, sf_dir):
     return sample_frames(with_binary_payload(load_table(spark, sf_dir, "documents")))
 
 
-#: timed alongside the catalog: the mapInPandas Arrow decode path is no
-#: longer a catalog entry (stub decode → rows-only slot not worth one of
-#: the driver's 50 correctness rows) but its throughput still matters
+#: timed alongside the catalog: the full mapInPandas Arrow decode path
+#: (real SIMG parse since round 4, hash-checked inside multimodal_meta)
+#: and the 1→N frame sampler, timed standalone for throughput
 EXTRA = {
     "multimodal_decode": _multimodal_decode,
     "multimodal_frames": _multimodal_frames,

@@ -3,16 +3,15 @@ similarity search, text analysis, multimodal).
 
 Oracle strategy: wherever the algorithm is deterministic and
 engine-portable (md5-based MinHash, SimHash bit votes, md5-derived
-LSH hyperplanes, cosine over DOUBLE[], split/regexp text metrics) the
-DuckDB oracle runs the *same algorithm*, generated from the same
+LSH hyperplanes, cosine over DOUBLE[], split/regexp text metrics, and
+the frozen PQ/IVF-PQ quantizer artifacts in functions/pq_frozen.py)
+the DuckDB oracle runs the *same algorithm*, generated from the same
 Python constants — for the approximate operators that means the
 oracle replicates the SAME approximation bit-for-bit (the hash checks
-the algorithm; recall vs brute force is pytest's job). Exactly one
-entry stays rows-only: ann_pq, whose k-means codebooks are iterative
-artifacts (recall is pytest-asserted). Other engine-internal ops
-(HLL++, k-means training, the stubbed multimodal decode) are pytest-
-covered but not registered — the driver checks only the first 50
-registered entries and those slots go to oracle-checkable operators.
+the algorithm; recall vs brute force is pytest's job). Other
+engine-internal ops (HLL++, k-means training) are pytest-covered but
+not registered — the driver checks only the first 50 registered
+entries and those slots go to oracle-checkable operators.
 """
 
 from __future__ import annotations
@@ -150,28 +149,29 @@ def _dedup_groups_oracle(threshold: float) -> str:
 
 
 @register(
-    "dedup_exact",
+    "dedup_exact_norm",
+    # TWO dedup strategies verified by one fused entry (frees a slot in
+    # the driver's 50-query window for ann_ivf_pq — same fusion move as
+    # text_stats): mode='exact' rows are the byte-identical groups,
+    # mode='normalized' the canonical-signature groups. A drift in
+    # either operator flips the hash.
     oracle="""
-    SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+    SELECT 'exact' AS mode, min(doc_id) AS keep_id, count(*) AS n_docs
     FROM documents GROUP BY text
-    """,
-    survey_ref="training-data: exact dedup (hash groupBy)",
-)
-def q_dedup_exact(spark, sf_dir):
-    return exact_dedup(t(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_normalized",
-    oracle="""
-    SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+    UNION ALL
+    SELECT 'normalized' AS mode, min(doc_id) AS keep_id, count(*) AS n_docs
     FROM documents
     GROUP BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
     """,
-    survey_ref="training-data: dedup after canonical normalization",
+    survey_ref="training-data: exact dedup (hash groupBy) + dedup after canonical normalization",
 )
-def q_dedup_normalized(spark, sf_dir):
-    return normalized_dedup(t(spark, sf_dir, "documents"))
+def q_dedup_exact_norm(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(F.lit("exact").alias("mode"), "keep_id", "n_docs").unionByName(
+        normalized_dedup(docs).select(
+            F.lit("normalized").alias("mode"), "keep_id", "n_docs"
+        )
+    )
 
 
 @register(
@@ -341,11 +341,71 @@ def q_decontaminate_train(spark, sf_dir):
     )
 
 
+def _pq_adc_oracle(
+    books: list[list[list[float]]], *, k: int = 10, n_queries: int = 5, dim: int = 64
+) -> str:
+    """DuckDB replica of pq_ann_topk over FROZEN codebooks: identical
+    L2-normalize, identical per-subspace nearest-codeword encode
+    (first-min tie-break = Spark's array_position-of-array_min),
+    identical ADC scoring (left-to-right sums match Catalyst's
+    aggregate fold and Python's LUT sum). The codebooks are the same
+    6-decimal literals (functions/pq_frozen.py) CAST to DOUBLE[][][]
+    so both engines compute in binary doubles, not DECIMAL."""
+    m = len(books)
+    sub = len(books[0][0])
+    dist_cols = ",\n             ".join(
+        f"[ list_sum([ (nv[i+{j * sub}] - c[i])*(nv[i+{j * sub}] - c[i])"
+        f" FOR i IN range(1, {sub + 1}) ]) FOR c IN B[{j + 1}] ] AS d{j}"
+        for j in range(m)
+    )
+    code_cols = ",\n             ".join(
+        f"B[{j + 1}][ list_position(d{j}, list_min(d{j})) ] AS cw{j}"
+        for j in range(m)
+    )
+    adc = "\n           + ".join(
+        f"list_sum([ (qv[i+{j * sub}] - cw{j}[i])*(qv[i+{j * sub}] - cw{j}[i])"
+        f" FOR i IN range(1, {sub + 1}) ])"
+        for j in range(m)
+    )
+    return f"""
+    WITH consts AS (SELECT CAST({books!r} AS DOUBLE[][][]) AS B),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, [x / sqrt(list_sum([y*y FOR y IN v])) FOR x IN v] AS nv FROM e),
+    dls AS (SELECT vec_id,
+             {dist_cols}
+            FROM n, consts),
+    enc AS (SELECT vec_id AS neighbor_id,
+             {code_cols}
+            FROM dls, consts),
+    q AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.query_id, enc.neighbor_id,
+             {adc} AS approx_sqdist
+      FROM enc, q WHERE enc.neighbor_id != q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_sqdist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_sqdist, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(approx_sqdist, 4) AS approx_sqdist
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _frozen_pq_books() -> list[list[list[float]]]:
+    from streaming_examples_spark.functions.pq_frozen import PQ_BOOKS
+
+    return PQ_BOOKS
+
+
 @register(
     "ann_pq",
-    # rows-only by design: the codebooks are k-means artifacts
-    # (iterative) — recall vs exact cosine is pytest-asserted
-    oracle=None,
+    # frozen pretrained codebooks (tools/freeze_pq.py — the production
+    # index lifecycle: train offline, apply everywhere) make the whole
+    # operator non-iterative, so the oracle replays encode + ADC
+    # bit-for-bit from the same literals. Recall vs exact cosine stays
+    # pytest-asserted on the trained-in-line path.
+    oracle=_pq_adc_oracle(_frozen_pq_books()),
     survey_ref="training-data: ANN via product quantization (ADC lookup scoring, 32x memory compression)",
 )
 def q_ann_pq(spark, sf_dir):
@@ -353,7 +413,114 @@ def q_ann_pq(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return pq_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, m=8, k_codes=16, iters=3
+        emb, emb.filter(F.col("vec_id") < 5), k=10, books=_frozen_pq_books()
+    )
+
+
+def _ivf_pq_oracle(
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB replica of ivf_pq_ann_topk over FROZEN artifacts:
+    identical coarse cell assignment (argmin sqdist over centroid
+    literals), identical residuals, identical residual-codebook encode,
+    identical n_probe cell selection ((dist, cell) order = the Python
+    sort key), identical per-cell residual-query ADC scoring."""
+    n_cent = len(cents)
+    dim = len(cents[0])
+    m = len(books)
+    sub = len(books[0][0])
+    cell_dists = (
+        f"[ list_sum([ ({{v}}[i] - c[i])*({{v}}[i] - c[i])"
+        f" FOR i IN range(1, {dim + 1}) ]) FOR c IN CE ]"
+    )
+    rdist_cols = ",\n             ".join(
+        f"[ list_sum([ (rv[i+{j * sub}] - c[i])*(rv[i+{j * sub}] - c[i])"
+        f" FOR i IN range(1, {sub + 1}) ]) FOR c IN B[{j + 1}] ] AS d{j}"
+        for j in range(m)
+    )
+    code_cols = ",\n             ".join(
+        f"B[{j + 1}][ list_position(d{j}, list_min(d{j})) ] AS cw{j}"
+        for j in range(m)
+    )
+    adc = "\n           + ".join(
+        f"list_sum([ (rq[i+{j * sub}] - cw{j}[i])*(rq[i+{j * sub}] - cw{j}[i])"
+        f" FOR i IN range(1, {sub + 1}) ])"
+        for j in range(m)
+    )
+    return f"""
+    WITH consts AS (SELECT CAST({cents!r} AS DOUBLE[][]) AS CE,
+                           CAST({books!r} AS DOUBLE[][][]) AS B),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, [x / sqrt(list_sum([y*y FOR y IN v])) FOR x IN v] AS nv FROM e),
+    ad AS (SELECT vec_id, nv, {cell_dists.format(v="nv")} AS cd FROM n, consts),
+    asg AS (SELECT vec_id, nv, list_position(cd, list_min(cd)) AS cell1 FROM ad),
+    rvs AS (SELECT vec_id, cell1 - 1 AS cell,
+                   [ nv[i] - CE[cell1][i] FOR i IN range(1, {dim + 1}) ] AS rv
+            FROM asg, consts),
+    rdls AS (SELECT vec_id, cell,
+             {rdist_cols}
+            FROM rvs, consts),
+    enc AS (SELECT vec_id AS neighbor_id, cell,
+             {code_cols}
+            FROM rdls, consts),
+    q0 AS (SELECT vec_id AS query_id, nv AS qv FROM n WHERE vec_id < {n_queries}),
+    qd AS (SELECT query_id, qv, {cell_dists.format(v="qv")} AS cd FROM q0, consts),
+    probe AS (
+      SELECT query_id, qv, cid - 1 AS cell FROM (
+        SELECT query_id, qv, CAST(cid AS INT) AS cid,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cd[CAST(cid AS INT)], cid) AS rn
+        FROM qd, range(1, {n_cent + 1}) t(cid))
+      WHERE rn <= {n_probe}),
+    prq AS (SELECT query_id, cell,
+                   [ qv[i] - CE[cell + 1][i] FOR i IN range(1, {dim + 1}) ] AS rq
+            FROM probe, consts),
+    scored AS (
+      SELECT p.query_id, enc.neighbor_id,
+             {adc} AS approx_sqdist
+      FROM prq p JOIN enc ON enc.cell = p.cell
+      WHERE enc.neighbor_id != p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, approx_sqdist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_sqdist, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, round(approx_sqdist, 4) AS approx_sqdist
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _frozen_ivf_pq() -> tuple[list[list[float]], list[list[list[float]]]]:
+    from streaming_examples_spark.functions.pq_frozen import (
+        IVF_PQ_BOOKS,
+        IVF_PQ_CENTROIDS,
+    )
+
+    return IVF_PQ_CENTROIDS, IVF_PQ_BOOKS
+
+
+@register(
+    "ann_ivf_pq",
+    # the billion-vector index shape (inverted lists + residual PQ
+    # codes), frozen-artifact form: coarse centroids + residual
+    # codebooks are pretrained literals (tools/freeze_pq.py), so the
+    # oracle replays assign → residual → encode → probe → ADC exactly.
+    oracle=_ivf_pq_oracle(*_frozen_ivf_pq()),
+    survey_ref="training-data: IVF-PQ composed ANN (coarse quantizer + residual codes, n_probe ADC scan)",
+)
+def q_ann_ivf_pq(spark, sf_dir):
+    from streaming_examples_spark.operators.similarity import ivf_pq_ann_topk
+
+    cents, books = _frozen_ivf_pq()
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_pq_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4,
+        centroids=cents, books=books,
     )
 
 
@@ -917,21 +1084,62 @@ def q_text_stats(spark, sf_dir):
 
 @register(
     "multimodal_meta",
+    # fused since round 4: the pure-SQL payload metadata (pre-decode
+    # filter) AND the real SIMG binary decode (operators/multimodal.py
+    # module docstring) verified in one band-grain entry. The oracle
+    # re-derives the payload byte layout from the documents table —
+    # header hex assembly, band-interleaved byte extraction via
+    # hex-substr arithmetic — so the Arrow mapInPandas decoder is
+    # hash-checked byte-for-byte, not rows-only.
     oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           substr(lower(hex(encode(text))), 1, 16) AS prefix_hex
-    FROM documents
+    WITH dims AS (
+      SELECT doc_id, encode(text) AS tb, octet_length(encode(text)) AS n,
+             CAST(8 + doc_id % 9 AS INT) AS w,
+             CAST(1 + doc_id % 3 AS INT) AS b
+      FROM documents),
+    hw AS (SELECT *, CAST(least(floor(n / (w*b)), 65535) AS INT) AS h FROM dims),
+    hdr AS (SELECT *,
+             10 + w*h*b AS n_bytes,
+             lower('53494D47' || '01' || lpad(hex(w), 4, '0')
+                   || lpad(hex(b), 2, '0') || lpad(hex(h), 4, '0')) AS hdr_hex
+            FROM hw),
+    px AS (SELECT doc_id, n_bytes, substr(hdr_hex, 1, 16) AS prefix_hex,
+                  w AS width, h AS height, b AS n_bands,
+                  [('0x' || substr(hex(tb), 2*i - 1, 2))::INT
+                   FOR i IN range(1, w*h*b + 1)] AS pv
+           FROM hdr),
+    bands AS (
+      SELECT doc_id, n_bytes, prefix_hex, width, height, n_bands,
+             CAST(bb.band AS INT) AS band,
+             [pv[1 + p * n_bands + bb.band] FOR p IN range(0, width*height)] AS bv,
+             CAST(coalesce(list_sum(pv), 0) AS BIGINT) AS checksum
+      FROM px, range(0, 3) bb(band) WHERE bb.band < n_bands)
+    SELECT doc_id, n_bytes, prefix_hex, width, height, n_bands, band,
+           CASE WHEN width*height > 0
+                THEN round(list_sum(bv) / (width*height), 4) END AS band_mean,
+           CAST(list_max(bv) AS INT) AS band_max,
+           checksum
+    FROM bands
     """,
-    survey_ref="training-data: binary payload metadata (pre-decode filter)",
+    survey_ref="training-data: binary payload metadata (pre-decode filter) + real SIMG header/band decode (Arrow mapInPandas)",
 )
 def q_multimodal_meta(spark, sf_dir):
-    return payload_meta(with_binary_payload(t(spark, sf_dir, "documents")))
+    from streaming_examples_spark.operators.multimodal import decode_and_featurize
 
-
-# decode_and_featurize (mapInPandas Arrow decode path) is deliberately
-# NOT a catalog entry: the decode body is an honest STUB (no image libs
-# in-container) so the row could only ever be rows-only, and the driver
-# checks just the first 50 registered entries. The Arrow plumbing —
-# schema, batch shape, partitioning — is pytest-verified
-# (tests/test_datapipe.py) and bench.py times it directly.
+    wp = with_binary_payload(t_wide(spark, sf_dir, "documents"))
+    meta = payload_meta(wp)
+    dec = (
+        decode_and_featurize(wp)
+        .filter(F.col("valid"))
+        .select(
+            "doc_id", "width", "height", "n_bands", "checksum",
+            F.posexplode(F.arrays_zip("band_mean", "band_max")).alias("band", "z"),
+        )
+        .select(
+            "doc_id", "width", "height", "n_bands", "band",
+            F.round(F.col("z.band_mean"), 4).alias("band_mean"),
+            F.col("z.band_max").cast("int").alias("band_max"),
+            "checksum",
+        )
+    )
+    return meta.join(dec, "doc_id")

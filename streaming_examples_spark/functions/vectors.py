@@ -20,6 +20,25 @@ def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
+def _sql_double_array(o) -> str:
+    if isinstance(o, (list, tuple)):
+        return "array(" + ",".join(_sql_double_array(v) for v in o) + ")"
+    return repr(float(o)) + "D"
+
+
+def lit_double_array(o) -> Column:
+    """Nested Python floats → one DOUBLE array literal Column via a
+    single generated-SQL F.expr. Building a 16×64 centroid matrix out
+    of individual F.lit/F.array calls costs ~2000 py4j round-trips
+    (measured ≈1 s of pure driver latency PER literal instance — the
+    dominant cost of the frozen-artifact ANN operators, not Catalyst
+    or the executors); one parse of the equivalent SQL text is
+    sub-millisecond. repr() round-trips doubles exactly and the 'D'
+    suffix forces DoubleType (Spark would otherwise read 0.123456 as
+    DECIMAL), so values are bit-identical to the F.lit form."""
+    return F.expr(_sql_double_array(o))
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

@@ -261,19 +261,40 @@ def connected_components_star(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     prev_sig: object = object()
+    converged = False
     for _ in range(max_iters):
         edges = _rewrite(edges, large=True)
         edges = _rewrite(edges, large=False).localCheckpoint(eager=True)
-        # scalar fixpoint probe: (count, sum(u), sum(v)) — cheap and
-        # collision-safe enough for a monotone contraction process
+        # scalar fixpoint probe: (count, bit_xor over xxhash64(u, v)) —
+        # an order-insensitive digest of the edge set (edges are
+        # distinct, so xor never self-cancels; sum would overflow
+        # ANSI-mode longs). A plain (count, sum(u), sum(v)) tuple can
+        # collide on two DIFFERENT edge sets (swap mass between edges
+        # keeping both column sums), silently ending the loop
+        # unconverged; a 64-bit hash per edge makes that a ~2^-64 event.
         sig = tuple(
             edges.agg(
-                F.count(F.lit(1)), F.sum("u"), F.sum("v")
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
             ).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # never mask non-convergence: the min-agg below still returns
+        # A component labeling, but it may not be the true component
+        # minimum — the caller should raise max_iters (or use the
+        # label variant) rather than trust this silently
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star: no fixpoint within {max_iters} "
+            "iterations; falling back to min-agg over a possibly "
+            "unconverged edge set",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # at fixpoint every edge is (node, root): root = min of its component
     nodes = (
         pairs.select(F.col(a).alias("doc_id"))

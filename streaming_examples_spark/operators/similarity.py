@@ -17,7 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from streaming_examples_spark.functions.vectors import as_double, cosine
+from streaming_examples_spark.functions.vectors import (
+    as_double,
+    cosine,
+    lit_double_array,
+)
 
 
 def brute_force_topk(
@@ -127,7 +131,7 @@ def _plane_array(salt: int, dim: int) -> Column:
     runs as a zip_with/aggregate fold (a runtime loop), keeping the
     generated code tiny instead of unrolling dim×planes scalar ops
     past the JVM's 64 KB method limit."""
-    return F.array(*[F.lit(_hyperplane(salt, d)) for d in range(dim)])
+    return lit_double_array([_hyperplane(salt, d) for d in range(dim)])
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, salt_base: int = 0) -> Column:
@@ -240,19 +244,16 @@ def kmeans_centroids(
 
 def _argmin_centroid(v: Column, cents: list[list[float]]) -> Column:
     """Index of the nearest centroid (squared L2), ties → lowest id.
-    Pure expression over literals: no join, no shuffle."""
-    def sqdist(c: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    scored = F.array(
-        *[F.struct(sqdist(c).alias("d"), F.lit(j).alias("j")) for j, c in enumerate(cents)]
-    )
-    return F.array_min(scored)["j"]
+    Pure expression over a k×dim literal array: no join, no shuffle.
+    The per-centroid distances run inside ONE transform() lambda at
+    runtime rather than k unrolled struct expressions at analysis time
+    — the struct-array argmin form cost Catalyst tens of seconds of
+    analysis/codegen at 16×64 (same trap _books_literal documents);
+    first-min array_position keeps the identical lowest-index
+    tie-break."""
+    carr = lit_double_array(cents)
+    dists = F.transform(carr, lambda c: _sqdist(v, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def kmeans_assign(
@@ -300,12 +301,7 @@ def _books_literal(books: list[list[list[float]]]) -> Column:
     RUNTIME instead of k expression copies at ANALYSIS time (the
     struct-array argmin form took Catalyst ~13s per iteration to
     analyze at 8x32; this form is sub-second)."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
-            for book in books
-        ]
-    )
+    return lit_double_array(books)
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -453,6 +449,7 @@ def pq_ann_topk(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """ANN top-k by asymmetric distance computation (ADC) over PQ codes:
     per query, the distance to every codeword of every subspace is
@@ -463,12 +460,20 @@ def pq_ann_topk(
     Returns (query_id, neighbor_id, rank, approx_sqdist). The corpus is
     scanned once; queries (with their LUTs) broadcast; ranking is a
     per-query window over k rows. Recall vs exact cosine is
-    pytest-asserted; the operator is rows-only at the driver gate (the
-    codebooks are k-means artifacts — iterative, not SQL-expressible).
+    pytest-asserted.
+
+    ``books`` — pass pretrained codebooks (the production shape: train
+    offline on a sample, apply everywhere) to skip the k-means step.
+    With frozen books the whole operator is non-iterative, so a SQL
+    oracle can replay encode + ADC bit-for-bit from the same literals
+    (functions/pq_frozen.py); with books=None the codebooks are trained
+    in-line (iterative — rows-only at any SQL oracle gate).
     """
-    books = pq_codebooks(
-        emb, m=m, k_codes=k_codes, iters=iters, vec_col=vec_col, id_col=id_col
-    )
+    if books is None:
+        books = pq_codebooks(
+            emb, m=m, k_codes=k_codes, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    m = len(books)
     sub = len(books[0][0])
     encoded = pq_encode(emb, books, vec_col=vec_col, id_col=id_col).withColumnRenamed(
         "vec_id", "neighbor_id"
@@ -521,6 +526,60 @@ def pq_ann_topk(
     )
 
 
+def _ivf_residuals(normed: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(neighbor_id, cell, rv): nearest-centroid cell id + the residual
+    vector vs that cell's centroid. Map-only over centroid literals."""
+    cents_lit = lit_double_array(cents)
+    with_cell = normed.select(
+        "neighbor_id", "nv", _argmin_centroid(F.col("nv"), cents).alias("cell")
+    )
+    return with_cell.select(
+        "neighbor_id",
+        "cell",
+        F.zip_with(
+            F.col("nv"),
+            F.element_at(cents_lit, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+
+
+def ivf_pq_train(
+    emb: DataFrame,
+    *,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF-PQ index artifacts: coarse centroids (k-means over
+    the normalized corpus) + per-subspace residual codebooks. Both are
+    KB-sized driver-side values — at 100 TB they train on a
+    deterministic sample and are then shipped as literals.
+
+    ``centroids`` short-circuits the coarse step (used by the freeze
+    tool so the residual books are trained against the exact rounded
+    centroids the frozen operator will apply)."""
+    nv = _l2_normalize(as_double(F.col(vec_col)))
+    normed = emb.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            normed, k=n_centroids, iters=iters, vec_col="nv", id_col="neighbor_id"
+        )
+    )
+    resid = _ivf_residuals(normed, cents)
+    books = pq_codebooks(
+        resid, m=m, k_codes=k_codes, iters=iters,
+        vec_col="rv", id_col="neighbor_id", normalize=False,
+    )
+    return cents, books
+
+
 def ivf_pq_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -533,6 +592,8 @@ def ivf_pq_ann_topk(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the billion-vector composition — a coarse k-means
     quantizer routes vectors into cells, product quantization encodes
@@ -550,41 +611,53 @@ def ivf_pq_ann_topk(
     IVF/PQ alone); cell-assign and encode are map-only corpus passes;
     the probe is an equi-join on cell id against broadcast per-(query,
     cell) LUTs; ranking is a per-query window over the probed subset.
-    Deterministic end to end (seeded k-means, no RNG) but iterative —
-    rows-only at any SQL oracle gate; recall is pytest-asserted.
+    Deterministic end to end (seeded k-means, no RNG). With frozen
+    ``centroids``/``books`` (functions/pq_frozen.py) the operator is
+    non-iterative and a SQL oracle replays it bit-for-bit; trained
+    in-line it is rows-only at any SQL oracle gate (recall is
+    pytest-asserted either way).
     """
     nv = _l2_normalize(as_double(F.col(vec_col)))
     normed = emb.select(F.col(id_col).alias("neighbor_id"), nv.alias("nv"))
-    cents = kmeans_centroids(
-        normed, k=n_centroids, iters=iters, vec_col="nv", id_col="neighbor_id"
+    if centroids is not None and books is not None:
+        cents = centroids
+    else:
+        cents, books = ivf_pq_train(
+            emb, n_centroids=n_centroids, m=m, k_codes=k_codes, iters=iters,
+            vec_col=vec_col, id_col=id_col, centroids=centroids,
+        )
+    n_centroids = len(cents)
+    m = len(books)
+    sub = len(books[0][0])
+    resid = _ivf_residuals(normed, cents)
+    # inline encode that CARRIES the cell id through the explode →
+    # groupBy (cell is functionally dependent on neighbor_id, so
+    # grouping on both is free): one corpus pass builds the inverted
+    # lists directly. The earlier pq_encode + join-back-on-id shape
+    # duplicated the whole assign+residual expression tree into two
+    # plan branches — 2× the (literal-heavy) codegen and 2× the scan.
+    bl = _books_literal(books)
+    slices = F.array(*[F.slice(F.col("rv"), j * sub + 1, sub) for j in range(m)])
+    per_sub = resid.select(
+        "neighbor_id", "cell", F.posexplode(slices)
+    ).toDF("neighbor_id", "cell", "j", "sv")
+    inv_lists = (
+        per_sub.select(
+            "neighbor_id",
+            "cell",
+            "j",
+            _argmin_book(F.element_at(bl, F.col("j") + 1), F.col("sv")).alias("c"),
+        )
+        .groupBy("neighbor_id", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]
+            ).alias("codes")
+        )
     )
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
-
-    # map-only: cell id, then residual vs the cell's centroid literal
-    with_cell = normed.select(
-        "neighbor_id", "nv", _argmin_centroid(F.col("nv"), cents).alias("cell")
-    )
-    resid = with_cell.select(
-        "neighbor_id",
-        "cell",
-        F.zip_with(
-            F.col("nv"),
-            F.element_at(cents_lit, F.col("cell") + 1),
-            lambda a, b: a - b,
-        ).alias("rv"),
-    )
-    books = pq_codebooks(
-        resid, m=m, k_codes=k_codes, iters=iters,
-        vec_col="rv", id_col="neighbor_id", normalize=False,
-    )
-    encoded = pq_encode(
-        resid, books, vec_col="rv", id_col="neighbor_id", normalize=False
-    ).withColumnRenamed("vec_id", "neighbor_id")
-    inv_lists = encoded.join(resid.select("neighbor_id", "cell"), "neighbor_id")
 
     # query side: probe cells + per-(query, cell) ADC LUTs, driver-side
     # (bounded query batches — same contract as pq_ann_topk)
-    sub = len(books[0][0])
     q_rows = queries.select(
         F.col(id_col).alias("qid"), _l2_normalize(as_double(F.col(vec_col))).alias("nv")
     ).collect()

@@ -238,7 +238,12 @@ class TxDenormBatchProcessor:
             carryover_orders=carry_orders,
             carryover_lines=carry_lines,
         )
-        emitted = res.emitted_txs.select(
+        # emitted_txs feeds three consumers (the tx_keep anti-join, the
+        # committed-tx metric, and new_applied in _store_all); cache it
+        # once so the full emission lineage — which reads the PRE-swap
+        # state files — is evaluated a single time per micro-batch
+        emitted_txs = res.emitted_txs.cache()
+        emitted = emitted_txs.select(
             F.col("tx_id").cast("string").alias("_emitted_tx")
         )
         tx_keep = tx_all.join(
@@ -262,7 +267,7 @@ class TxDenormBatchProcessor:
         # state dirs: emitted_txs' lineage reads the pre-swap state
         # files, so a post-swap action would re-evaluate against the
         # wrong (or deleted) state — same ordering hazard as the sink
-        n_committed = res.emitted_txs.count()
+        n_committed = emitted_txs.count()
         self.metrics.total_events_seen += n_events
         max_ts = (
             order_events.select(F.max("ts_ms")).first()[0]
@@ -281,7 +286,7 @@ class TxDenormBatchProcessor:
                 .write.mode("append")
                 .parquet(self.output_dir)
             )
-        new_applied = res.emitted_txs.withColumn(
+        new_applied = emitted_txs.withColumn(
             "applied_in_batch", F.lit(batch_id).cast("long")
         )
         if applied is not None:
@@ -311,6 +316,9 @@ class TxDenormBatchProcessor:
         # committed txs = txs that cleared the emission barrier this
         # batch (NumberOfCommittedTransactions analog)
         self.metrics.observe_batch(n_events, _time.time() - _batch_t0, n_committed)
+        # new_applied was materialized by _store_all's parquet write;
+        # nothing reads emitted_txs after this point
+        emitted_txs.unpersist()
         return emissions
 
 

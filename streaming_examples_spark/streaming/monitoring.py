@@ -31,7 +31,7 @@ class PipelineMetrics:
     total_events_seen: int = 0
     rows_scanned: dict[str, int] = field(default_factory=dict)
     ms_behind_source: float | None = None
-    ms_since_last_event: float | None = None
+    # ms_since_last_event is a derived property (see below), not a field
     committed_transactions: int = 0
     last_batch_events_per_sec: float | None = None
     backlog_rows: int = 0
@@ -59,15 +59,22 @@ class PipelineMetrics:
     def observe_event_time(self, max_event_ts_ms: int | None) -> None:
         """Lag = wall clock − newest processed source timestamp (the
         MilliSecondsBehindSource analog; event ts_ms is Debezium's
-        source clock). An empty batch instead advances
-        ms_since_last_event — the idle-source signal (S14 heartbeats)."""
-        now_ms = time.time() * 1000
+        source clock). Records the wall time of the last non-empty
+        batch; ms_since_last_event is derived LAZILY in snapshot() so
+        an idle source keeps ticking like Debezium's continuously-
+        updating MilliSecondsSinceLastEvent gauge (storing it here
+        would freeze the value — stale 0.0 forever — the moment
+        batches stop arriving)."""
         if max_event_ts_ms is not None:
+            now_ms = time.time() * 1000
             self.ms_behind_source = max(0.0, now_ms - max_event_ts_ms)
             self._last_event_wall_ms = now_ms
-            self.ms_since_last_event = 0.0
-        elif self._last_event_wall_ms is not None:
-            self.ms_since_last_event = now_ms - self._last_event_wall_ms
+
+    @property
+    def ms_since_last_event(self) -> float | None:
+        if self._last_event_wall_ms is None:
+            return None
+        return max(0.0, time.time() * 1000 - self._last_event_wall_ms)
 
     def observe_batch(self, n_events: int, duration_sec: float, n_committed_txs: int) -> None:
         """Per-batch throughput + committed-transaction counter (the

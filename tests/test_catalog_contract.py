@@ -9,10 +9,10 @@ registry checks: no SparkSession needed.
 
 from __future__ import annotations
 
-#: the only entry that is rows-only by design: its k-means codebooks
-#: are iterative artifacts no portable SQL can reproduce (recall is
-#: pytest-asserted instead)
-ROWS_ONLY_BY_DESIGN = {"ann_pq"}
+#: entries that are rows-only by design: none since round 4 — the PQ
+#: and IVF-PQ quantizer artifacts are frozen literals now
+#: (functions/pq_frozen.py), so even those replay in portable SQL
+ROWS_ONLY_BY_DESIGN: set[str] = set()
 
 DRIVER_WINDOW = 50
 

@@ -150,22 +150,63 @@ def test_lang_id_markers(spark):
     assert got[3] == "und"
 
 
-def test_multimodal_plumbing(spark, tables):
+def test_multimodal_decode_roundtrip(spark, tables):
+    """The SIMG payloads built by with_binary_payload decode back to
+    the exact dims/stats the generator implies — a genuine parse of
+    the header + band-interleaved pixel region, not a fake."""
     docs = with_binary_payload(tables["documents"].limit(50))
     meta = payload_meta(docs)
     m = meta.first()
-    assert m["n_bytes"] > 0 and len(m["prefix_hex"]) == 16
-    feats = decode_and_featurize(docs)
-    rows = feats.collect()
+    assert m["n_bytes"] >= 10 and len(m["prefix_hex"]) == 16
+    assert m["prefix_hex"].startswith("53494d4701")  # magic + version
+    rows = decode_and_featurize(docs).collect()
     assert len(rows) == 50
-    for r in rows[:5]:
-        assert len(r["feature"]) == 8
-        assert all(0.0 <= x <= 1.0 for x in r["feature"])
-        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
-    # determinism: same input → same features
-    again = {r["doc_id"]: r["feature"] for r in decode_and_featurize(docs).collect()}
+    src = {r["doc_id"]: r["text"] for r in tables["documents"].limit(50).collect()}
     for r in rows:
-        assert again[r["doc_id"]] == r["feature"]
+        assert r["valid"]
+        assert r["width"] == 8 + r["doc_id"] % 9
+        assert r["n_bands"] == 1 + r["doc_id"] % 3
+        tb = src[r["doc_id"]].encode("utf-8")
+        w, h, b = r["width"], r["height"], r["n_bands"]
+        assert h == min(len(tb) // (w * b), 65535)
+        pix = tb[: w * h * b]
+        assert r["checksum"] == sum(pix)
+        # python-side reference band stats over the interleaved layout
+        for band in range(b):
+            vals = pix[band::b]
+            assert r["band_max"][band] == max(vals)
+            assert abs(r["band_mean"][band] - sum(vals) / (w * h)) < 1e-9
+    # determinism: same input → same stats
+    again = {r["doc_id"]: r["band_mean"] for r in decode_and_featurize(docs).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["band_mean"]
+
+
+def test_multimodal_decode_rejects_malformed(spark):
+    """Corrupt blobs are data (valid=false rows), never exceptions —
+    one bad payload cannot kill a corpus-wide scan."""
+    import struct as _s
+
+    good = b"SIMG" + b"\x01" + _s.pack(">H", 2) + b"\x02" + _s.pack(">H", 1) + b"\x0a\x14\x1e\x28"
+    cases = [
+        (1, None),                       # null payload
+        (2, b"SIM"),                     # shorter than the header
+        (3, b"JUNK" + good[4:]),         # wrong magic
+        (4, b"SIMG\x02" + good[5:]),     # unknown version
+        (5, good[:-2]),                  # truncated pixel region
+        (6, good),                       # control: well-formed
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_and_featurize(df).collect()}
+    assert len(got) == 6
+    for bad_id in (1, 2, 3, 4, 5):
+        assert not got[bad_id]["valid"]
+        assert got[bad_id]["checksum"] is None
+    ok = got[6]
+    assert ok["valid"] and (ok["width"], ok["height"], ok["n_bands"]) == (2, 1, 2)
+    assert ok["checksum"] == 10 + 20 + 30 + 40
+    assert ok["band_mean"] == [20.0, 30.0]  # bands interleaved: (10,30), (20,40)
+    assert ok["band_max"] == [30, 40]
 
 
 def test_multimodal_resize_fixed_output_size(spark, tables):

@@ -33,9 +33,14 @@ def test_lag_and_idle_metrics():
     now_ms = time.time() * 1000
     m.observe_event_time(int(now_ms - 5_000))  # newest event 5s old
     assert 4_000 <= m.ms_behind_source <= 60_000
-    assert m.ms_since_last_event == 0.0
+    # derived gauge: near-zero right after an event, and it keeps
+    # TICKING while the source is idle (Debezium's continuously-
+    # updating MilliSecondsSinceLastEvent), with no observe call needed
+    assert 0.0 <= m.ms_since_last_event < 1_000
+    first = m.ms_since_last_event
+    time.sleep(0.01)
     m.observe_event_time(None)  # idle batch (S14 heartbeat analog)
-    assert m.ms_since_last_event is not None and m.ms_since_last_event >= 0.0
+    assert m.ms_since_last_event > first
     assert 4_000 <= m.ms_behind_source <= 60_000  # unchanged by idle batch
 
 

@@ -53,6 +53,30 @@ def test_batch_processor_across_micro_batches(spark, tmp_path):
     assert [str(l["price"]) for l in docs[0]["lines"]] == ["19.99", "40.00"]
 
 
+def test_single_batch_metrics_populated(spark, tmp_path):
+    """Fast-tier smoke: one process_batch drive populates the metrics
+    counters (committed txs, throughput, events seen) — the slow tier
+    covers multi-batch semantics, but the metrics wiring (n_committed
+    taken BEFORE the state-dir swap) must not go uncovered in the
+    default CI run."""
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    assert proc.process(o, l, x, 0).count() == 1
+    snap = proc.metrics.snapshot()
+    assert snap["committed_transactions"] == 1
+    assert snap["total_events_seen"] == 2  # one order + one line event
+    assert snap["last_batch_events_per_sec"] is not None
+    assert snap["ms_behind_source"] is not None
+    assert snap["batches"] == 0  # observe_progress is the stream's job
+    assert snap["backlog_rows"] == 0  # tx complete, no carryover
+
+
 @pytest.mark.slow
 def test_exactly_once_under_redelivery(spark, tmp_path):
     """At-least-once replay: re-sending a fully-processed batch must
