@@ -24,6 +24,8 @@ boilerplate shingle) are exactly what AQE skew-join splitting handles.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from streaming_examples_spark.functions.hashing import (
@@ -142,7 +144,11 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, *, id_cols: tuple[str, str] = ("d1", "d2"), max_iters: int = 25
+    pairs: DataFrame,
+    *,
+    id_cols: tuple[str, str] = ("d1", "d2"),
+    max_iters: int = 25,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list via min-label
     propagation: every node converges to the minimum doc id reachable
@@ -184,8 +190,12 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    if stats_out is not None:
+        stats_out.update(n_edges=n_edges, n_partitions=nparts, round_wall_s=[])
     prev_sum: object = object()
+    iters = 0
     for _ in range(max_iters):
+        t0 = time.time()
         nbr_min = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("nbr_node"))
@@ -200,15 +210,24 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        iters += 1
+        if stats_out is not None:
+            stats_out["round_wall_s"].append(round(time.time() - t0, 3))
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
+    if stats_out is not None:
+        stats_out["iterations"] = iters
     edges.unpersist()  # labels is checkpointed; edge lineage not needed
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
 def connected_components_star(
-    pairs: DataFrame, *, id_cols: tuple[str, str] = ("d1", "d2"), max_iters: int = 25
+    pairs: DataFrame,
+    *,
+    id_cols: tuple[str, str] = ("d1", "d2"),
+    max_iters: int = 25,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star edge
     rewrites (Kiveris et al., "Connected Components in MapReduce and
@@ -260,9 +279,13 @@ def connected_components_star(
             out = out.union(m.select(F.col("u"), F.col("m").alias("v")))
         return out.filter(F.col("u") != F.col("v")).distinct()
 
+    if stats_out is not None:
+        stats_out.update(round_wall_s=[])
     prev_sig: object = object()
     converged = False
+    iters = 0
     for _ in range(max_iters):
+        t0 = time.time()
         edges = _rewrite(edges, large=True)
         edges = _rewrite(edges, large=False).localCheckpoint(eager=True)
         # scalar fixpoint probe: (count, bit_xor over xxhash64(u, v)) —
@@ -277,10 +300,15 @@ def connected_components_star(
                 F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
             ).collect()[0]
         )
+        iters += 1
+        if stats_out is not None:
+            stats_out["round_wall_s"].append(round(time.time() - t0, 3))
         if sig == prev_sig:
             converged = True
             break
         prev_sig = sig
+    if stats_out is not None:
+        stats_out.update(iterations=iters, converged=converged)
     if not converged:
         # never mask non-convergence: the min-agg below still returns
         # A component labeling, but it may not be the true component
@@ -317,6 +345,7 @@ def dedup_groups(
     id_col: str = "doc_id",
     threshold: float = 0.9,
     cc_algorithm: str = "label",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Full-corpus duplicate-cluster map: MinHash-LSH near-dup pairs →
     connected components → one row per document with its cluster id
@@ -343,7 +372,7 @@ def dedup_groups(
         raise ValueError(f"cc_algorithm must be 'label' or 'star', got {cc_algorithm!r}")
     cc = connected_components if cc_algorithm == "label" else connected_components_star
     pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
-    comp = cc(pairs)
+    comp = cc(pairs, stats_out=stats_out)
     full = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")

@@ -99,40 +99,39 @@ def complete_tx_ids(norm_frames: list[DataFrame], tx_events: DataFrame) -> DataF
     """Transaction ids whose every declared table count matches the
     observed count across all participating event streams (T0).
 
-    One aggregate per stream (map-side combined), a union of tiny
-    count frames, a full-outer join against the declared counts —
-    no per-channel watermark state.
+    Signed-balance formulation: every observed event contributes +1 to
+    its (tx, table) balance and the END declaration contributes
+    −declared_count; a tx is complete iff every per-table balance is
+    exactly 0. One union + two map-side-combined aggregates replace the
+    former per-frame counts + full-outer join + per-tx aggregate —
+    two fewer exchanges on the emission-gate critical path. Edge cases
+    preserved: events from an undeclared table → balance > 0 → never
+    complete; a declared-0 table with no events → balance 0 →
+    vacuously satisfied (doesn't wedge the emission barrier); a
+    declared table with missing events → balance < 0 → incomplete.
     """
-    counts = None
+    deltas = None
     for frame in norm_frames:
-        c = frame.groupBy("tx_id", "qualified_table").agg(
-            F.count(F.lit(1)).alias("observed")
+        d = frame.select(
+            "tx_id", "qualified_table", F.lit(1).cast("long").alias("delta")
         )
-        counts = c if counts is None else counts.unionByName(c)
-    observed = counts.groupBy("tx_id", "qualified_table").agg(
-        F.sum("observed").alias("observed")
-    )
+        deltas = d if deltas is None else deltas.unionByName(d)
     declared = (
         tx_end_events(tx_events)
         .select("tx_id", F.explode("data_collections").alias("dc"))
         .select(
             "tx_id",
             F.col("dc.data_collection").alias("qualified_table"),
-            F.col("dc.event_count").alias("declared"),
+            (-F.col("dc.event_count")).cast("long").alias("delta"),
         )
     )
-    per_table = observed.join(declared, ["tx_id", "qualified_table"], "full_outer")
-    # declared NULL → events from an undeclared table: never complete.
-    # observed NULL with declared 0 → a (non-Debezium-standard but
-    # harmless) zero-count declaration: vacuously satisfied rather than
-    # blocking the tx (and with it the emission barrier) forever.
-    tx_ok = per_table.groupBy("tx_id").agg(
-        F.min(
-            (F.col("declared").isNotNull())
-            & (F.coalesce(F.col("observed"), F.lit(0)) == F.col("declared"))
-        ).alias("ok")
+    balance = (
+        deltas.unionByName(declared)
+        .groupBy("tx_id", "qualified_table")
+        .agg(F.sum("delta").alias("bal"))
     )
-    return tx_ok.filter(F.col("ok")).select("tx_id")
+    tx_ok = balance.groupBy("tx_id").agg(F.max(F.abs(F.col("bal"))).alias("worst"))
+    return tx_ok.filter(F.col("worst") == 0).select("tx_id")
 
 
 def complete_transactions(norm_events: DataFrame, tx_events: DataFrame) -> TxSplit:

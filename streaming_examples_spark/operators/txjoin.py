@@ -138,12 +138,20 @@ def tx_denormalize(
     from streaming_examples_spark.operators.txgroup import tx_end_events
 
     ends = tx_end_events(tx_events).select("tx_id", "tx_commit_lsn")
-    incomplete_ends = ends.join(ok, "tx_id", "left_anti")
-    barrier = incomplete_ends.agg(
-        F.coalesce(F.min("tx_commit_lsn"), F.lit(2**63 - 1)).alias("barrier")
+    # one outer join tags each END complete/incomplete; the barrier agg
+    # and the emit filter both read it (AQE reuses the exchange), where
+    # a semi + anti join pair would run the completeness lineage twice.
+    status = ends.join(
+        ok.withColumn("_complete", F.lit(True)), "tx_id", "left"
+    )
+    barrier = status.agg(
+        F.coalesce(
+            F.min(F.when(F.col("_complete").isNull(), F.col("tx_commit_lsn"))),
+            F.lit(2**63 - 1),
+        ).alias("barrier")
     )
     emit_txs = (
-        ends.join(ok, "tx_id", "left_semi")
+        status.filter(F.col("_complete"))
         .crossJoin(F.broadcast(barrier))
         .filter(F.col("tx_commit_lsn") < F.col("barrier"))
         .select("tx_id")
@@ -162,9 +170,13 @@ def tx_denormalize(
         l_versions = l_versions.unionByName(line_state)
 
     # -- 2. touched (order, tx) pairs: the emission contract ------------
+    # gate the union once (one semi join) instead of reusing the
+    # full-width o_complete/l_complete gates — narrower build input
+    # and one fewer join in the plan.
     touched = (
-        o_complete.select("key", "commit_lsn", "tx_id")
-        .unionByName(l_complete.select("key", "commit_lsn", "tx_id"))
+        norm_o.select("key", "commit_lsn", "tx_id")
+        .unionByName(norm_l.select("key", "commit_lsn", "tx_id"))
+        .join(F.broadcast(emit_txs), "tx_id", "left_semi")
         .where(F.col("key").isNotNull() & F.col("commit_lsn").isNotNull())
         .groupBy(F.col("key").alias("t_key"), F.col("commit_lsn").alias("t_lsn"))
         .agg(F.max("tx_id").alias("tx_id"))
