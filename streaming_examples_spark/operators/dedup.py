@@ -120,7 +120,11 @@ def minhash_lsh_pairs(
         "doc_id",
         "band_idx",
         F.concat_ws("|", *[perm_min(r) for r in range(rows)]).alias("band_key"),
-    )
+    # persisted so the band self-join below reads the stored signatures
+    # instead of computing the bands×rows minhash permutations once PER
+    # SIDE — self-joins evaluate each side's lineage independently, and
+    # at 250k docs the second signature pass was ~half the pair-gen wall
+    ).persist()
     cand = (
         buckets.alias("a")
         .join(
@@ -170,12 +174,16 @@ def connected_components(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        # persist: EVERY iteration joins against edges — without this
-        # the whole upstream pair pipeline (e.g. MinHash banding) is
-        # recomputed once per round
-        .persist()
+        # EVERY iteration joins against edges, and round 1's join is a
+        # SELF-join (labels derives from edges). localCheckpoint, not
+        # persist: self-join disambiguation rewrites attribute ids and
+        # misses the cache, so a persist here re-ran the whole upstream
+        # pair pipeline (MinHash banding over the corpus) once per
+        # consumer — measured 62s vs 0.2s for round 1 at 100k docs.
+        # On a real cluster this is checkpoint() to durable storage.
+        .localCheckpoint(eager=True)
     )
-    n_edges = edges_raw.count()  # materializes the persist; sizes the loop
+    n_edges = edges_raw.count()  # cheap post-checkpoint; sizes the loop
     # adaptive parallelism for the iteration frames: the label frame is
     # O(nodes) ≤ O(edges); spreading a few hundred edges over 32+
     # shuffle partitions makes each round's fixed job overhead dominate.
@@ -184,9 +192,7 @@ def connected_components(
     spark = pairs.sparkSession
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     nparts = max(1, min(max_parts, n_edges // 50_000 + 1))
-    edges = edges_raw.repartition(nparts, "src").persist()
-    edges.count()
-    edges_raw.unpersist()
+    edges = edges_raw.repartition(nparts, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -218,7 +224,7 @@ def connected_components(
         prev_sum = label_sum
     if stats_out is not None:
         stats_out["iterations"] = iters
-    edges.unpersist()  # labels is checkpointed; edge lineage not needed
+    # edges is a checkpointed RDD; its blocks free when the ref is GC'd
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -550,7 +556,11 @@ def embedding_near_dup_lsh(
             for t in range(n_tables)
         ]
     )
-    b = e.select("id", "v", F.posexplode(buckets).alias("tbl", "bkt"))
+    # persisted: both sides of the bucket self-join read the stored
+    # (id, v, tbl, bkt) rows instead of re-running the n_tables×n_planes
+    # hyperplane dot products per side (self-join sides evaluate their
+    # lineage independently)
+    b = e.select("id", "v", F.posexplode(buckets).alias("tbl", "bkt")).persist()
     a, bb = b.alias("a"), b.alias("b")
     cand = (
         a.join(
