@@ -140,7 +140,13 @@ class IncrementalNearDup:
             .withColumn("keys", band_keys_from_hashes(F.col("hs")))
             .withColumn("n_sh", F.size("hs"))
             .drop("hs")
-            .persist()  # feeds probe, self-join, verify, and the store append
+            # feeds probe, self-join, verify, and the store append.
+            # localCheckpoint, not persist: the within-batch peer join is
+            # a SELF-join on this frame, and self-join disambiguation
+            # rewrites attribute ids so a cache lookup can miss — which
+            # would re-shingle and re-sign the batch once per consumer
+            # (same failure measured in dedup.connected_components)
+            .localCheckpoint(eager=True)
         )
         with_bands = enriched.filter(F.col("n_sh") > 0).select(
             "doc_id", "sig", F.posexplode("keys").alias("band_id", "band_key")
@@ -211,7 +217,7 @@ class IncrementalNearDup:
         # permanent recall loss for all its future duplicates.
         new_bands.write.mode("append").parquet(os.path.join(self.state_dir, "bands"))
         new_sigs.write.mode("append").parquet(os.path.join(self.state_dir, "sigs"))
-        enriched.unpersist()
+        # enriched is a checkpointed RDD; blocks free when the ref drops
         return report
 
     # -- maintenance ----------------------------------------------------
