@@ -68,6 +68,10 @@ class TxDenormResult:
     carryover_orders: DataFrame  # incomplete/held-tx order events
     carryover_lines: DataFrame  # incomplete/held-tx line events
     emitted_txs: DataFrame  # (tx_id) of txs emitted this batch
+    # frames the operator persisted for intra-batch reuse (emit_txs,
+    # touched); a long-running caller unpersists them once the batch
+    # is fully committed so cache entries don't accumulate per batch
+    pinned: tuple = ()
 
 
 def _order_versions(norm_orders: DataFrame) -> DataFrame:
@@ -155,6 +159,11 @@ def tx_denormalize(
         .crossJoin(F.broadcast(barrier))
         .filter(F.col("tx_commit_lsn") < F.col("barrier"))
         .select("tx_id")
+        # one long per emitted tx, persisted: it gates four joins below
+        # (and three more consumers in cdc_stream), so the completeness
+        # machinery evaluates once per batch; cdc_stream unpersists
+        # after the batch commits. Bounded: |txs in batch|.
+        .persist()
     )
 
     o_complete = norm_o.join(F.broadcast(emit_txs), "tx_id", "left_semi")
@@ -180,6 +189,10 @@ def tx_denormalize(
         .where(F.col("key").isNotNull() & F.col("commit_lsn").isNotNull())
         .groupBy(F.col("key").alias("t_key"), F.col("commit_lsn").alias("t_lsn"))
         .agg(F.max("tx_id").alias("tx_id"))
+        # three narrow columns, one row per (order, tx) pair; persisted
+        # because both as-of joins consume it — and its lineage (the
+        # event union + gate) is the second-most recomputed subtree
+        .persist()
     )
 
     version = F.struct(F.col("commit_lsn").alias("v0"), F.col("event_lsn").alias("v1"))
@@ -324,4 +337,5 @@ def tx_denormalize(
         carryover_orders=o_carry,
         carryover_lines=l_carry,
         emitted_txs=emit_txs,
+        pinned=(emit_txs, touched),
     )

@@ -239,10 +239,11 @@ class TxDenormBatchProcessor:
             carryover_lines=carry_lines,
         )
         # emitted_txs feeds three consumers (the tx_keep anti-join, the
-        # committed-tx metric, and new_applied in _store_all); cache it
-        # once so the full emission lineage — which reads the PRE-swap
-        # state files — is evaluated a single time per micro-batch
-        emitted_txs = res.emitted_txs.cache()
+        # committed-tx metric, and new_applied in _store_all); it comes
+        # pre-persisted from tx_denormalize so the full emission lineage
+        # — which reads the PRE-swap state files — is evaluated a single
+        # time per micro-batch; unpersisted below once the batch commits
+        emitted_txs = res.emitted_txs
         emitted = emitted_txs.select(
             F.col("tx_id").cast("string").alias("_emitted_tx")
         )
@@ -317,8 +318,9 @@ class TxDenormBatchProcessor:
         # batch (NumberOfCommittedTransactions analog)
         self.metrics.observe_batch(n_events, _time.time() - _batch_t0, n_committed)
         # new_applied was materialized by _store_all's parquet write;
-        # nothing reads emitted_txs after this point
-        emitted_txs.unpersist()
+        # nothing reads the operator's pinned frames after this point
+        for frame in res.pinned:
+            frame.unpersist()
         return emissions
 
 
