@@ -235,3 +235,51 @@ def test_declared_zero_collection_is_complete(spark):
     )
     ok = complete_tx_ids([no, nl], x)
     assert ok.count() == 1  # the zero declaration is vacuously satisfied
+
+
+def test_undeclared_and_overdelivered_events_block_completeness(spark):
+    """The signed-balance completeness formulation must preserve the
+    strict edges: events from a table the END never declared (balance
+    > 0) and duplicate delivery of a declared event (observed >
+    declared) both mark the tx incomplete — only an exact per-table
+    balance of 0 clears the gate."""
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.model.fixtures import TxLog
+    from streaming_examples_spark.operators.txgroup import (
+        complete_tx_ids,
+        normalize_events,
+        stamp_commit_lsn,
+    )
+
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(16001), lambda t: t.insert_line(160001, 16001))
+    x = log.tx_events_df(spark)
+    no = stamp_commit_lsn(
+        normalize_events(log.order_events_df(spark), "orders", "id"), x
+    )
+    nl = stamp_commit_lsn(
+        normalize_events(log.line_events_df(spark), "order_lines", "order_id"), x
+    )
+
+    # baseline: the tx is complete
+    assert complete_tx_ids([no, nl], x).count() == 1
+
+    # over-delivery: the line event arrives twice -> balance +1 -> blocked
+    assert complete_tx_ids([no, nl.unionByName(nl)], x).count() == 0
+
+    # undeclared table: same events, but the END only declares orders
+    x_undeclared = x.withColumn(
+        "data_collections",
+        F.when(
+            F.col("status") == "END",
+            F.filter(
+                F.col("data_collections"),
+                lambda dc: dc["data_collection"] == "public.orders",
+            ),
+        ),
+    )
+    assert complete_tx_ids([no, nl], x_undeclared).count() == 0
+
+    # missing events: declared order_lines count never observed
+    assert complete_tx_ids([no], x).count() == 0
