@@ -68,6 +68,24 @@ def normalized_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _cap_buckets(frame: DataFrame, key_cols: list[str], cap: int | None) -> DataFrame:
+    """Viral-bucket guard shared by the LSH family: drop candidate
+    buckets holding more than ``cap`` members before the self-join (a
+    bucket of n contributes n²/2 pairs; boilerplate keys explode the
+    join at corpus scale). One count-agg on the key shuffle the join
+    performs anyway + a semi-join — O(buckets) extra state, never
+    O(pairs). ``None`` disables (the small-SF / oracle default)."""
+    if cap is None:
+        return frame
+    sane = (
+        frame.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= cap)
+        .select(*key_cols)
+    )
+    return frame.join(sane, key_cols, "left_semi")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -77,6 +95,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact verification.
 
@@ -86,6 +105,16 @@ def minhash_lsh_pairs(
 
     Deterministic (md5-based minhashes): the DuckDB oracle runs the
     identical algorithm and must match bit-for-bit.
+
+    ``max_bucket_size`` is the viral-bucket guard for web-scale runs: a
+    boilerplate band key shared by n docs contributes n²/2 candidate
+    pairs (one 100k-doc template bucket → 5 × 10⁹ pairs), so production
+    MinHash dedup caps the bucket size and skips buckets above it —
+    the docs still pair through their OTHER (more selective) bands, so
+    recall degrades gracefully instead of the join exploding. None (the
+    default, used by the driver-checked catalog entry at test SF)
+    disables the cap; at 100 TB set it to a few hundred. Skipped-bucket
+    volume is observable via the band-count aggregate this adds.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -125,6 +154,7 @@ def minhash_lsh_pairs(
     # SIDE — self-joins evaluate each side's lineage independently, and
     # at 250k docs the second signature pass was ~half the pair-gen wall
     ).persist()
+    buckets = _cap_buckets(buckets, ["band_idx", "band_key"], max_bucket_size)
     cand = (
         buckets.alias("a")
         .join(
@@ -351,6 +381,7 @@ def dedup_groups(
     id_col: str = "doc_id",
     threshold: float = 0.9,
     cc_algorithm: str = "label",
+    max_bucket_size: int | None = None,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Full-corpus duplicate-cluster map: MinHash-LSH near-dup pairs →
@@ -377,7 +408,13 @@ def dedup_groups(
     if cc_algorithm not in ("label", "star"):
         raise ValueError(f"cc_algorithm must be 'label' or 'star', got {cc_algorithm!r}")
     cc = connected_components if cc_algorithm == "label" else connected_components_star
-    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, threshold=threshold)
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
     comp = cc(pairs, stats_out=stats_out)
     full = (
         docs.select(F.col(id_col).alias("doc_id"))
@@ -433,7 +470,12 @@ def simhash64(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 
 
 def simhash_near_pairs(
-    docs: DataFrame, *, max_hamming: int = 8, n_blocks: int = 6, **kw
+    docs: DataFrame,
+    *,
+    max_hamming: int = 8,
+    n_blocks: int = 6,
+    max_bucket_size: int | None = None,
+    **kw,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -464,6 +506,7 @@ def simhash_near_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
+    blocks = _cap_buckets(blocks, ["block_idx", "block_val"], max_bucket_size)
     cand = (
         blocks.alias("a")
         .join(
@@ -530,6 +573,7 @@ def embedding_near_dup_lsh(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup with LSH-table blocking — the 100 TB path.
 
@@ -561,6 +605,7 @@ def embedding_near_dup_lsh(
     # hyperplane dot products per side (self-join sides evaluate their
     # lineage independently)
     b = e.select("id", "v", F.posexplode(buckets).alias("tbl", "bkt")).persist()
+    b = _cap_buckets(b, ["tbl", "bkt"], max_bucket_size)
     a, bb = b.alias("a"), b.alias("b")
     cand = (
         a.join(

@@ -542,3 +542,31 @@ def test_ivf_pq_recall_and_determinism(spark, tables):
         emb, queries, k=k, n_centroids=16, n_probe=4, m=8, k_codes=16, iters=2
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_minhash_viral_bucket_cap(spark, near_dup_docs):
+    """The max_bucket_size guard drops band buckets larger than the cap
+    (a boilerplate template shared by n docs would otherwise emit n²/2
+    candidate pairs) while planted SMALL clusters pair exactly as
+    before — recall degrades only inside the viral cluster."""
+    from pyspark.sql import functions as F
+
+    # 40 identical copies of one template: every band bucket they share
+    # has size 40 >= any sane cap
+    viral = spark.range(40).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.lit(" ".join(f"tmpl{j}" for j in range(100))).alias("text"),
+    )
+    docs = near_dup_docs.unionByName(viral)
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5)
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+
+    # uncapped: the viral cluster contributes C(40,2) = 780 pairs
+    viral_pairs = uncapped.filter(F.col("d1") >= 5000).count()
+    assert viral_pairs == 780
+    # capped: viral buckets (size 40 > 10) are skipped entirely
+    assert capped.filter(F.col("d1") >= 5000).count() == 0
+    # the planted small pairs survive the cap untouched
+    found = {(r["d1"], r["d2"]) for r in capped.filter(F.col("d1") < 5000).collect()}
+    assert {(i, 1000 + i) for i in range(10)} <= found
