@@ -61,12 +61,24 @@ def _multimodal_frames(spark, sf_dir):
     return sample_frames(with_binary_payload(load_table(spark, sf_dir, "documents")))
 
 
-#: timed alongside the catalog: the full mapInPandas Arrow decode path
-#: (real SIMG parse since round 4, hash-checked inside multimodal_meta)
-#: and the 1→N frame sampler, timed standalone for throughput
+def _multimodal_audio(spark, sf_dir):
+    from streaming_examples_spark.operators.multimodal import (
+        decode_audio,
+        with_audio_payload,
+    )
+    from streaming_examples_spark.tables import load_table
+
+    return decode_audio(with_audio_payload(load_table(spark, sf_dir, "documents")))
+
+
+#: timed alongside the catalog: the full mapInPandas Arrow decode paths
+#: (real SIMG/SAUD parses since round 4, SIMG hash-checked inside
+#: multimodal_meta) and the 1→N frame sampler, timed standalone for
+#: throughput
 EXTRA = {
     "multimodal_decode": _multimodal_decode,
     "multimodal_frames": _multimodal_frames,
+    "multimodal_audio": _multimodal_audio,
 }
 
 

@@ -260,6 +260,115 @@ def sample_frames(
     )
 
 
+SAUD_MAGIC = b"SAUD"
+SAUD_HEADER_LEN = 9
+
+
+def with_audio_payload(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a structured audio binary column (the audio leg of the
+    image/audio/video triad; on real data this column comes from the
+    source). SAUD layout (big-endian, 9-byte header):
+
+        bytes 0-3  magic "SAUD"
+        byte  4    version (0x01)
+        bytes 5-6  sample_rate_hz uint16 (8000/16000/44100 by doc id)
+        bytes 7-8  n_samples uint16
+        bytes 9+   n_samples int16 big-endian PCM samples
+
+    Samples are the leading ``2*n_samples`` bytes of the UTF-8 text —
+    synthetic waveform, genuine byte layout. Pure Catalyst (hex
+    assembly + unhex + concat), map-only."""
+    tb = F.encode(F.col(text_col), "utf-8")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    n_samples = F.least(F.floor(F.octet_length(tb) / 2), F.lit(65535)).cast("int")
+    header_hex = F.concat(
+        F.lit("53415544"),  # "SAUD"
+        F.lit("01"),
+        F.lpad(F.hex(rate), 4, "0"),
+        F.lpad(F.hex(n_samples), 4, "0"),
+    )
+    payload = F.concat(F.unhex(header_hex), tb.substr(F.lit(1), n_samples * 2))
+    return docs.withColumn("audio", payload)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio(docs_with_audio: DataFrame) -> DataFrame:
+    """Decode each SAUD payload: validate magic/version, parse the
+    header, and compute the classic audio-curation features — duration,
+    RMS energy, peak amplitude, zero-crossing count (the cheap
+    speech/noise/silence discriminators a pipeline filters on before
+    any expensive ASR pass). numpy int16 vectorized over Arrow batches;
+    malformed payloads become ``valid = false`` rows, not exceptions.
+    """
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in AUDIO_SCHEMA.fields}
+
+            def emit(doc_id, valid, rate=None, n=None, dur=None, rms=None,
+                     peak=None, zc=None):
+                rows["doc_id"].append(doc_id)
+                rows["valid"].append(valid)
+                rows["sample_rate_hz"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(dur)
+                rows["rms"].append(rms)
+                rows["peak"].append(peak)
+                rows["zero_crossings"].append(zc)
+
+            for doc_id, raw in zip(pdf["doc_id"], pdf["audio"]):
+                if raw is None or len(raw) < SAUD_HEADER_LEN:
+                    emit(doc_id, False)
+                    continue
+                buf = bytes(raw)
+                if buf[:4] != SAUD_MAGIC or buf[4] != 1:
+                    emit(doc_id, False)
+                    continue
+                rate, n = struct.unpack(">HH", buf[5:9])
+                body = buf[SAUD_HEADER_LEN : SAUD_HEADER_LEN + 2 * n]
+                if len(body) < 2 * n or rate == 0:
+                    emit(doc_id, False, rate, n)
+                    continue
+                if n == 0:
+                    emit(doc_id, True, rate, 0, 0.0, None, None, 0)
+                    continue
+                s = np.frombuffer(body, dtype=">i2").astype(np.int64)
+                emit(
+                    doc_id,
+                    True,
+                    rate,
+                    n,
+                    n * 1000.0 / rate,
+                    float(np.sqrt((s * s).sum() / n)),
+                    int(np.abs(s).max()),
+                    int((np.signbit(s[1:]) != np.signbit(s[:-1])).sum()),
+                )
+            yield pd.DataFrame(rows)
+
+    return docs_with_audio.select("doc_id", "audio").mapInPandas(
+        decode, schema=AUDIO_SCHEMA
+    )
+
+
 def payload_meta(docs_with_payload: DataFrame) -> DataFrame:
     """Pure-SQL metadata over binary payloads (no decode): byte length
     + prefix hex — pushdown-friendly filtering before any decode."""

@@ -570,3 +570,55 @@ def test_minhash_viral_bucket_cap(spark, near_dup_docs):
     # the planted small pairs survive the cap untouched
     found = {(r["d1"], r["d2"]) for r in capped.filter(F.col("d1") < 5000).collect()}
     assert {(i, 1000 + i) for i in range(10)} <= found
+
+
+def test_audio_decode_roundtrip(spark, tables):
+    """SAUD payloads built by with_audio_payload decode back to the
+    features a NumPy reference computes from the same text bytes."""
+    import numpy as np
+
+    from streaming_examples_spark.operators.multimodal import (
+        decode_audio,
+        with_audio_payload,
+    )
+
+    src = tables["documents"].limit(30)
+    decoded = {r["doc_id"]: r for r in decode_audio(with_audio_payload(src)).collect()}
+    for doc_id, text in src.select("doc_id", "text").collect():
+        r = decoded[doc_id]
+        assert r["valid"]
+        tb = text.encode("utf-8")
+        n = min(len(tb) // 2, 65535)
+        assert r["n_samples"] == n
+        assert r["sample_rate_hz"] in (8000, 16000, 44100)
+        s = np.frombuffer(tb[: 2 * n], dtype=">i2").astype(np.int64)
+        assert abs(r["rms"] - float(np.sqrt((s * s).sum() / n))) < 1e-9
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["zero_crossings"] == int(
+            (np.signbit(s[1:]) != np.signbit(s[:-1])).sum()
+        )
+        assert abs(r["duration_ms"] - n * 1000.0 / r["sample_rate_hz"]) < 1e-9
+
+
+def test_audio_decode_rejects_malformed(spark):
+    """Wrong magic, truncated sample region, and short blobs surface as
+    valid=false rows — decode errors are data, not exceptions."""
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.operators.multimodal import decode_audio
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"NOPE\x01\x3e\x80\x00\x04")),      # wrong magic
+         (2, bytearray(b"SAUD\x01\x3e\x80\x00\x10abcd")),  # declares 16, has 2
+         (3, bytearray(b"SA")),                             # shorter than header
+         (4, None)],
+        "doc_id long, audio binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(bad).collect()}
+    assert len(rows) == 4 and not any(r["valid"] for r in rows.values())
+    # zero-sample payload is VALID with zero duration
+    empty = spark.createDataFrame(
+        [(5, bytearray(b"SAUD\x01\x3e\x80\x00\x00"))], "doc_id long, audio binary"
+    )
+    r = decode_audio(empty).collect()[0]
+    assert r["valid"] and r["n_samples"] == 0 and r["duration_ms"] == 0.0
