@@ -261,3 +261,31 @@ def test_sampling_suite_entry_bounded_shuffles(spark, tables):
     df = entries()["sampling_suite"].fn(spark, sf)
     assert not has_cartesian(df)
     assert exchange_count(df) <= 6
+
+
+def test_tx_denorm_join_strategy(spark, tables):
+    """The flagship's joins keep their designed physical strategies:
+    the tx gates broadcast the tiny emit_txs set, the only
+    nested-loop join is the single-row barrier broadcast, and every
+    data-sized join (as-of reconstruction) is an equi-join — a raw
+    CartesianProduct anywhere means the LSN range predicate stopped
+    being paired with the order-key equality."""
+    from streaming_examples_spark.catalog_cdc import q_tx_denorm_orders
+    from streaming_examples_spark.plans.inspect import count_occurrences
+
+    from tests.conftest import SF_DIR
+    from streaming_examples_spark.plans.inspect import formatted_plan
+
+    df = q_tx_denorm_orders(spark, SF_DIR)
+    # the tx gates broadcast (LeftSemi BroadcastHashJoins)
+    assert count_occurrences(df, r"BroadcastHashJoin.*LeftSemi") >= 3
+    # no unbounded cartesian anywhere; every nested-loop join in the
+    # (pre-AQE, subtree-duplicated) plan is the single-row barrier
+    # broadcast - its build side is the one-row barrier aggregate
+    assert count_occurrences(df, r"CartesianProduct") == 0
+    plan = formatted_plan(df)
+    import re as _re
+    bnlj = _re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan)
+    assert bnlj and all("Cross BuildRight" in b for b in bnlj)
+    # the as-of joins stay shuffled equi-joins on the order key
+    assert count_occurrences(df, r"SortMergeJoin|ShuffledHashJoin") >= 2
