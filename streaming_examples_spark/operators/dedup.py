@@ -230,6 +230,7 @@ def connected_components(
         stats_out.update(n_edges=n_edges, n_partitions=nparts, round_wall_s=[])
     prev_sum: object = object()
     iters = 0
+    converged = False
     for _ in range(max_iters):
         t0 = time.time()
         nbr_min = (
@@ -245,15 +246,32 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # labels only ever decrease, so an unchanged sum IS a fixpoint
         label_sum = labels.agg(F.sum("label")).collect()[0][0]
         iters += 1
         if stats_out is not None:
             stats_out["round_wall_s"].append(round(time.time() - t0, 3))
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # never mask non-convergence: with rounds = graph diameter, a
+        # component wider than max_iters returns labels that have not
+        # finished propagating — the caller must raise max_iters or
+        # switch to connected_components_star (O(log n) rounds)
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint within {max_iters} "
+            "iterations (graph diameter exceeds the round budget); "
+            "labels may split true components — raise max_iters or use "
+            "cc_algorithm='star'",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if stats_out is not None:
-        stats_out["iterations"] = iters
+        stats_out.update(iterations=iters, converged=converged)
     # edges is a checkpointed RDD; its blocks free when the ref is GC'd
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 

@@ -622,3 +622,28 @@ def test_audio_decode_rejects_malformed(spark):
     )
     r = decode_audio(empty).collect()[0]
     assert r["valid"] and r["n_samples"] == 0 and r["duration_ms"] == 0.0
+
+
+def test_label_cc_warns_on_max_iters_exhaustion(spark):
+    """A component wider than the round budget must WARN, not silently
+    return half-propagated labels (the star variant already does; this
+    pins the same contract on the label variant)."""
+    import warnings
+
+    from streaming_examples_spark.operators.dedup import connected_components
+
+    # one path of length 40: diameter 40 > max_iters 3
+    chain = spark.range(40).selectExpr("id AS d1", "id + 1 AS d2")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        stats = {}
+        connected_components(chain, max_iters=3, stats_out=stats).collect()
+    assert not stats["converged"]
+    assert any("no fixpoint" in str(w.message) for w in caught)
+
+    # with budget, same graph converges to ONE component, no warning
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iters=50)
+        assert out.select("component").distinct().count() == 1
+    assert not any("no fixpoint" in str(w.message) for w in caught)
