@@ -425,7 +425,6 @@ def dedup_groups(
     """
     if cc_algorithm not in ("label", "star"):
         raise ValueError(f"cc_algorithm must be 'label' or 'star', got {cc_algorithm!r}")
-    cc = connected_components if cc_algorithm == "label" else connected_components_star
     pairs = minhash_lsh_pairs(
         docs,
         text_col=text_col,
@@ -433,7 +432,21 @@ def dedup_groups(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
-    comp = cc(pairs, stats_out=stats_out)
+    if stats_out is None:
+        stats_out = {}
+    if cc_algorithm == "label":
+        comp = connected_components(pairs, stats_out=stats_out)
+        if not stats_out.get("converged", True):
+            # self-heal: a dup graph with a giant-diameter component
+            # (template drifting revision-by-revision) outran the label
+            # solver's round budget — its half-propagated labels would
+            # SPLIT true clusters. Star contraction converges in
+            # O(log n) rounds regardless of shape; escalate rather than
+            # return a wrong-but-plausible clustering.
+            stats_out["escalated_to_star"] = True
+            comp = connected_components_star(pairs, stats_out=stats_out)
+    else:
+        comp = connected_components_star(pairs, stats_out=stats_out)
     full = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")

@@ -647,3 +647,31 @@ def test_label_cc_warns_on_max_iters_exhaustion(spark):
         out = connected_components(chain, max_iters=50)
         assert out.select("component").distinct().count() == 1
     assert not any("no fixpoint" in str(w.message) for w in caught)
+
+
+def test_dedup_groups_escalates_to_star_on_chain_graph(spark):
+    """A template drifting one word per revision yields a near-dup
+    CHAIN (each doc pairs only with its neighbors) — diameter beyond
+    the label solver's round budget. dedup_groups must detect the
+    non-convergence and self-heal via star contraction, returning ONE
+    cluster instead of half-propagated fragments."""
+    from streaming_examples_spark.operators.dedup import dedup_groups
+
+    # sliding window over a word stream: doc i and i+m share 100-m
+    # contiguous words, so near-dup links reach only ~5 docs out and
+    # the 200-doc chain has diameter ~40 > the 25-round budget
+    stream = [f"w{j}" for j in range(310)]
+    docs = [(i, " ".join(stream[i : i + 100])) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    import warnings
+
+    stats: dict = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out = dedup_groups(df, threshold=0.9, stats_out=stats).collect()
+    assert stats.get("escalated_to_star") is True
+    assert stats["converged"]  # the star pass converged
+    comps = {r["component"] for r in out}
+    assert comps == {0}  # one drifting template = ONE cluster
+    assert all(r["n_docs"] == 200 for r in out)
