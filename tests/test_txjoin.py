@@ -283,3 +283,60 @@ def test_undeclared_and_overdelivered_events_block_completeness(spark):
 
     # missing events: declared order_lines count never observed
     assert complete_tx_ids([no], x).count() == 0
+
+
+def test_completeness_random_bulk_vs_python_reference(spark):
+    """200 seeded-random transactions with every completeness hazard
+    mixed in (missing events, duplicate delivery, undeclared tables,
+    zero declarations) — the signed-balance gate must agree with a
+    direct per-tx Python evaluation of the spec: complete iff every
+    declared table's observed count equals its declaration and no
+    undeclared table produced events."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.operators.txgroup import complete_tx_ids
+
+    rng = random.Random(42)
+    tables = ["public.orders", "public.order_lines"]
+    obs_rows, end_rows, expected = [], [], set()
+    for tx in range(1, 201):
+        declared = {t: rng.randint(0, 3) for t in rng.sample(tables, rng.randint(1, 2))}
+        observed: dict[str, int] = {}
+        for t, n in declared.items():
+            k = n
+            r = rng.random()
+            if r < 0.2 and n > 0:
+                k = n - 1  # missing event
+            elif r < 0.3:
+                k = n + 1  # duplicate delivery
+            observed[t] = k
+        if rng.random() < 0.15:
+            observed["public.rogue"] = 1  # undeclared table
+        ok = all(observed.get(t, 0) == n for t, n in declared.items()) and all(
+            t in declared for t in observed if observed[t] > 0
+        )
+        if ok:
+            expected.add(tx)
+        for t, k in observed.items():
+            obs_rows += [(tx, t)] * k
+        end_rows.append(
+            (
+                "END",
+                f"{tx}:{tx * 100}",
+                sum(declared.values()),
+                [{"data_collection": t, "event_count": n} for t, n in declared.items()],
+                0,
+            )
+        )
+
+    norm = spark.createDataFrame(obs_rows, "tx_id long, qualified_table string")
+    ends = spark.createDataFrame(
+        end_rows,
+        "status string, id string, event_count long, "
+        "data_collections array<struct<data_collection:string,event_count:long>>, "
+        "ts_ms long",
+    )
+    got = {r["tx_id"] for r in complete_tx_ids([norm], ends).collect()}
+    assert got == expected
