@@ -8,13 +8,13 @@ processing-poc.md:180-266) with a set-oriented formulation:
     with its transaction's commit LSN by joining the (small) tx
     END-event stream on txId. In Spark this is a broadcast hash join,
     not a buffering operator.
-  * ``complete_transactions`` — the WatermarkInjector's condition as a
+  * ``complete_tx_ids`` — the WatermarkInjector's condition as a
     predicate: a tx is processable when, for every table it declares,
     the observed event count equals the declared ``data_collections``
     count (TransactionEvent.countFor, TransactionEvent.java:41-49).
-    Computed with one groupBy — no per-channel watermark, which also
-    removes the reference's parallelism=1 limitation
-    (poc.md:264-266,318-319).
+    Computed as a signed balance with two aggregates — no per-channel
+    watermark, which also removes the reference's parallelism=1
+    limitation (poc.md:264-266,318-319).
 
 Incomplete transactions (split across micro-batches — "mini-batching
 is insufficient", poc.md:343) are returned as carry-over for the next
@@ -25,8 +25,6 @@ completeness groupBy shuffles one count row per (tx, table).
 """
 
 from __future__ import annotations
-
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -86,15 +84,6 @@ def stamp_commit_lsn(norm_events: DataFrame, tx_events: DataFrame) -> DataFrame:
     )
 
 
-@dataclass
-class TxSplit:
-    """Events partitioned by transaction completeness."""
-
-    complete: DataFrame  # events of complete txs (commit_lsn stamped)
-    carryover: DataFrame  # events of incomplete txs — reprocess next batch
-    complete_txs: DataFrame  # (tx_id, commit_lsn) of complete txs
-
-
 def complete_tx_ids(norm_frames: list[DataFrame], tx_events: DataFrame) -> DataFrame:
     """Transaction ids whose every declared table count matches the
     observed count across all participating event streams (T0).
@@ -132,47 +121,3 @@ def complete_tx_ids(norm_frames: list[DataFrame], tx_events: DataFrame) -> DataF
     )
     tx_ok = balance.groupBy("tx_id").agg(F.max(F.abs(F.col("bal"))).alias("worst"))
     return tx_ok.filter(F.col("worst") == 0).select("tx_id")
-
-
-def complete_transactions(norm_events: DataFrame, tx_events: DataFrame) -> TxSplit:
-    """Split events into complete-tx and carry-over sets (T0).
-
-    A tx is complete iff for each declared table the observed count
-    matches ``data_collections`` — evaluated per qualified table name
-    with one aggregate on each side, joined on (tx_id, table).
-    """
-    stamped = stamp_commit_lsn(norm_events, tx_events)
-
-    observed = stamped.groupBy("tx_id", "qualified_table").agg(
-        F.count(F.lit(1)).alias("observed")
-    )
-    declared = (
-        tx_end_events(tx_events)
-        .select(
-            "tx_id",
-            F.explode("data_collections").alias("dc"),
-        )
-        .select(
-            "tx_id",
-            F.col("dc.data_collection").alias("qualified_table"),
-            F.col("dc.event_count").alias("declared"),
-        )
-    )
-    # full outer: a table declared but unseen (or seen but undeclared,
-    # e.g. duplicated delivery) both mark the tx incomplete/broken
-    per_table = observed.join(declared, ["tx_id", "qualified_table"], "full_outer")
-    tx_ok = per_table.groupBy("tx_id").agg(
-        F.min(
-            (F.col("observed").isNotNull())
-            & (F.col("declared").isNotNull())
-            & (F.col("observed") == F.col("declared"))
-        ).alias("ok")
-    )
-    complete_ids = tx_ok.filter(F.col("ok")).select("tx_id")
-
-    complete = stamped.join(F.broadcast(complete_ids), "tx_id", "left_semi")
-    carryover = stamped.join(F.broadcast(complete_ids), "tx_id", "left_anti")
-    complete_txs = (
-        complete.select("tx_id", "commit_lsn").distinct()
-    )
-    return TxSplit(complete=complete, carryover=carryover, complete_txs=complete_txs)
