@@ -197,9 +197,15 @@ def tx_denormalize(
 
     version = F.struct(F.col("commit_lsn").alias("v0"), F.col("event_lsn").alias("v1"))
 
+    # Both as-of joins hint SHUFFLE_HASH with touched as the build
+    # side: three narrow columns, one row per (order, tx) pair, so a
+    # partition of it hashes in bounded memory — and skipping
+    # sort-merge's per-partition sort of the WIDE versions side is the
+    # same measured win as the north-star denormalize join. AQE skew
+    # splitting still applies to shuffled hash joins.
     # -- 3a. as-of latest order image per touched pair -------------------
     order_asof = (
-        touched.join(
+        touched.hint("SHUFFLE_HASH").join(
             o_versions,
             (o_versions["order_key"] == touched["t_key"])
             & (o_versions["commit_lsn"] <= touched["t_lsn"]),
@@ -216,7 +222,7 @@ def tx_denormalize(
 
     # -- 3b. as-of line set per touched pair -----------------------------
     line_asof = (
-        touched.join(
+        touched.hint("SHUFFLE_HASH").join(
             l_versions,
             (l_versions["order_key"] == touched["t_key"])
             & (l_versions["commit_lsn"] <= touched["t_lsn"]),
