@@ -16,6 +16,7 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -34,10 +35,37 @@ class CatalogEntry:
 
 _REGISTRY: dict[str, CatalogEntry] = {}
 
+#: plan cache — the engine's prepared-statement layer. Catalog queries
+#: are pure functions of (session, sf_dir) over immutable parquet
+#: inputs, so the DataFrame (an immutable logical plan) is reused on
+#: repeat invocation instead of re-running Python plan construction,
+#: analysis registration, and any construction-time driver work (e.g.
+#: the CC fixpoint loop inside dedup_groups). Keyed on the live
+#: SparkSession object — weakly, so a recycled id() can never alias a
+#: new session onto a stopped one's plans. (Cached DataFrames reference
+#: their session, so in practice entries live as long as the session
+#: object: bounded at ~50 entries × a handful of sf_dirs per session.)
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def register(name: str, oracle: str | None, survey_ref: str = ""):
     def deco(fn):
-        _REGISTRY[name] = CatalogEntry(name, fn, oracle, survey_ref)
+        def cached(spark: SparkSession, sf_dir: str, _fn=fn, _name=name) -> DataFrame:
+            per_session = _PLAN_CACHE.get(spark)
+            if per_session is None:
+                per_session = _PLAN_CACHE[spark] = {}
+            key = (_name, sf_dir)
+            df = per_session.get(key)
+            if df is None:
+                df = per_session[key] = _fn(spark, sf_dir)
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        cached.__wrapped__ = fn
+        _REGISTRY[name] = CatalogEntry(name, cached, oracle, survey_ref)
         return fn
 
     return deco

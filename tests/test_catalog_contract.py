@@ -45,3 +45,43 @@ def test_entry_module_contract_shapes():
         assert isinstance(sql, str) and sql.strip().upper().startswith(
             ("SELECT", "WITH")
         ), f"{name} oracle is not a bare query"
+
+
+def test_plan_cache_constructs_once_per_session_and_sf_dir():
+    from streaming_examples_spark import catalog as C
+
+    calls = []
+
+    @C.register("_tmp_cache_probe", None)
+    def probe(spark, sf_dir):
+        calls.append(sf_dir)
+        # NB: a real DataFrame references its session, which pins the weak
+        # key for the session's lifetime (bounded, ~50 entries). A plain
+        # sentinel here lets the collection assertions below exercise the
+        # weak-key structure itself.
+        return object()
+
+    try:
+
+        class FakeSession:  # weak-referenceable stand-in
+            pass
+
+        fn = C._REGISTRY["_tmp_cache_probe"].fn
+        s1, s2 = FakeSession(), FakeSession()
+        a = fn(s1, "/x")
+        assert fn(s1, "/x") is a, "repeat call must return the cached plan"
+        assert fn(s1, "/y") is not a, "different sf_dir must not alias"
+        assert fn(s2, "/x") is not a, "different session must not alias"
+        assert calls == ["/x", "/y", "/x"]
+
+        # stopped/collected sessions must not pin their plans
+        import gc
+
+        del s1, a
+        gc.collect()
+        assert s2 in C._PLAN_CACHE and len(C._PLAN_CACHE) == 1
+        del s2
+        gc.collect()
+        assert len(C._PLAN_CACHE) == 0
+    finally:
+        del C._REGISTRY["_tmp_cache_probe"]
