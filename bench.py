@@ -54,11 +54,11 @@ def _multimodal_decode(spark, sf_dir):
 def _multimodal_frames(spark, sf_dir):
     from streaming_examples_spark.operators.multimodal import (
         sample_frames,
-        with_binary_payload,
+        with_video_payload,
     )
     from streaming_examples_spark.tables import load_table
 
-    return sample_frames(with_binary_payload(load_table(spark, sf_dir, "documents")))
+    return sample_frames(with_video_payload(load_table(spark, sf_dir, "documents")))
 
 
 def _multimodal_audio(spark, sf_dir):
@@ -73,8 +73,8 @@ def _multimodal_audio(spark, sf_dir):
 
 #: timed alongside the catalog: the full mapInPandas Arrow decode paths
 #: (real SIMG/SAUD parses since round 4, SIMG hash-checked inside
-#: multimodal_meta) and the 1→N frame sampler, timed standalone for
-#: throughput
+#: multimodal_meta) and the real SVID demux → SIMG frame sampler,
+#: timed standalone for throughput
 EXTRA = {
     "multimodal_decode": _multimodal_decode,
     "multimodal_frames": _multimodal_frames,

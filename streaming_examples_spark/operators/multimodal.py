@@ -8,14 +8,15 @@ duration) is typed columns; decode/resize/frame-sample run as
 bounded batch of bytes. Partitioning stays row-count based
 (``maxRecordsPerBatch`` keeps batches memory-safe for large blobs).
 
-The payload is a REAL structured format (SIMG below — the container
-has no image libs, so the codec is synthetic, but the byte layout,
-header parsing, validation, and per-band statistics are genuine
-binary decoding, oracle-checked byte-for-byte in DuckDB). Only
-``resize_payloads``/``sample_frames`` keep stand-in transform bodies
-(real resampling is PIL/ffmpeg territory); their Arrow plumbing —
-schema, batching, 1→N cardinality, null handling — is real and
-tested.
+The payloads are REAL structured formats (SIMG/SAUD/SVID below — the
+container has no image/video libs, so the codecs are synthetic, but
+the byte layouts, header parsing, validation, per-band statistics,
+nearest-neighbor resampling, and frame demuxing are genuine binary
+processing, the image decode oracle-checked byte-for-byte in DuckDB).
+``resize_payloads`` really resamples the SIMG pixel grid and re-emits
+valid SIMG bytes; ``sample_frames`` really demuxes the SVID container
+into per-frame SIMG payloads that feed straight back into
+``decode_and_featurize``.
 
 SIMG payload layout (big-endian, 10-byte header):
 
@@ -163,8 +164,10 @@ def decode_and_featurize(docs_with_payload: DataFrame, *, batch_hint: int = 1024
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("n_bands", T.IntegerType()),
         T.StructField("resized", T.BinaryType()),
     ]
 )
@@ -173,39 +176,117 @@ RESIZED_SCHEMA = T.StructType(
 def resize_payloads(
     docs_with_payload: DataFrame, *, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """"Resize" each image payload to a fixed ``width``×``height``.
+    """Resize each SIMG payload to ``width``×``height`` by
+    nearest-neighbor resampling of the band-interleaved pixel grid —
+    REAL resampling (numpy integer index maps, the same arithmetic
+    PIL's NEAREST uses), re-emitted as a valid SIMG byte string so the
+    output feeds straight back into :func:`decode_and_featurize`.
 
-    STUB RESIZER: a real pipeline calls PIL/torchvision here — not in
-    this container — so the body deterministically truncates/tiles the
-    source bytes to exactly ``width*height`` bytes (grayscale-plane
-    stand-in). The real, scale-relevant parts: the binary column rides
-    Arrow batches (bounded by ``maxRecordsPerBatch``), output bytes
-    are fixed-size (so downstream batch memory is predictable — the
-    reason training pipelines resize BEFORE shuffling samples), and
-    empty payloads pass through as empty bytes, not nulls.
+    Output payloads are fixed-size per band count
+    (``header + width*height*n_bands`` bytes) — the property that
+    makes downstream Arrow batch memory predictable, and the reason
+    training pipelines resize BEFORE shuffling samples. Malformed or
+    zero-pixel sources (nothing to sample from) emit
+    ``valid = false`` rows with a null blob — decode errors are data,
+    not exceptions. Resizing to the source's own dims is the identity
+    (byte-identical payload).
     """
-    target = width * height
+    import numpy as np
+
+    tw, th = width, height
+    ys_for = {}  # source height -> target row index map (tiny, reused)
+    xs_for = {}
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def fake_resize(b: bytes) -> bytes:
-                if not b:
-                    return b""
-                reps = -(-target // len(b))  # ceil-divide, then trim
-                return (b * reps)[:target]
+            rows: dict[str, list] = {f.name: [] for f in RESIZED_SCHEMA.fields}
 
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pd.Series([width] * len(pdf), dtype="int32"),
-                    "height": pd.Series([height] * len(pdf), dtype="int32"),
-                    "resized": pdf["payload"].map(fake_resize),
-                }
-            )
+            def emit(doc_id, valid, n_bands=None, blob=None):
+                rows["doc_id"].append(doc_id)
+                rows["valid"].append(valid)
+                rows["width"].append(tw)
+                rows["height"].append(th)
+                rows["n_bands"].append(n_bands)
+                rows["resized"].append(blob)
+
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                if raw is None or len(raw) < SIMG_HEADER_LEN:
+                    emit(doc_id, False)
+                    continue
+                buf = bytes(raw)
+                if buf[:4] != SIMG_MAGIC or buf[4] != 1:
+                    emit(doc_id, False)
+                    continue
+                sw, = struct.unpack(">H", buf[5:7])
+                nb = buf[7]
+                sh, = struct.unpack(">H", buf[8:10])
+                npx = sw * sh * nb
+                pix = buf[SIMG_HEADER_LEN : SIMG_HEADER_LEN + npx]
+                if len(pix) < npx or nb == 0 or sw == 0 or sh == 0:
+                    emit(doc_id, False, nb)
+                    continue
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(sh, sw, nb)
+                ys = ys_for.get(sh)
+                if ys is None:
+                    ys = ys_for[sh] = (np.arange(th) * sh) // th
+                xs = xs_for.get(sw)
+                if xs is None:
+                    xs = xs_for[sw] = (np.arange(tw) * sw) // tw
+                out = arr[ys][:, xs]  # nearest-neighbor gather
+                header = SIMG_MAGIC + b"\x01" + struct.pack(">H", tw) + bytes(
+                    [nb]
+                ) + struct.pack(">H", th)
+                emit(doc_id, True, nb, header + out.tobytes())
+            yield pd.DataFrame(rows)
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         resize, schema=RESIZED_SCHEMA
     )
+
+
+SVID_MAGIC = b"SVID"
+SVID_HEADER_LEN = 14
+
+
+def with_video_payload(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a structured video binary column (the video leg of the
+    image/audio/video triad; on real data this column comes from the
+    source). SVID layout (big-endian, 14-byte header):
+
+        bytes 0-3    magic "SVID"
+        byte  4      version (0x01)
+        bytes 5-6    width  uint16
+        byte  7      n_bands uint8
+        bytes 8-9    height uint16
+        bytes 10-11  n_frames uint16
+        bytes 12-13  frame_interval_ms uint16 (40/80/120 by doc id)
+        bytes 14+    n_frames planes of width*height*n_bands bytes,
+                     frame-major, band-interleaved within a frame —
+                     i.e. each plane is exactly a SIMG pixel region
+
+    Planes are the leading ``w*h*b*n_frames`` bytes of the UTF-8 text —
+    synthetic footage, genuine byte layout. Pure Catalyst (hex
+    assembly + unhex + concat), map-only."""
+    tb = F.encode(F.col(text_col), "utf-8")
+    n = F.octet_length(tb)
+    w = (F.pmod(F.col(id_col), F.lit(5)) + 4).cast("int")
+    b = (F.pmod(F.col(id_col), F.lit(2)) + 1).cast("int")
+    nf = (F.pmod(F.col(id_col), F.lit(4)) + 2).cast("int")
+    h = F.least(F.floor(n / (w * b * nf)), F.lit(65535)).cast("int")
+    interval = ((F.pmod(F.col(id_col), F.lit(3)) + 1) * 40).cast("int")
+    header_hex = F.concat(
+        F.lit("53564944"),  # "SVID"
+        F.lit("01"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lpad(F.hex(b), 2, "0"),
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(nf), 4, "0"),
+        F.lpad(F.hex(interval), 4, "0"),
+    )
+    payload = F.concat(F.unhex(header_hex), tb.substr(F.lit(1), w * h * b * nf))
+    return docs.withColumn("video", payload)
 
 
 FRAMES_SCHEMA = T.StructType(
@@ -218,34 +299,53 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(
-    docs_with_payload: DataFrame, *, n_frames: int = 4, frame_interval_ms: int = 1000
-) -> DataFrame:
-    """Sample ``n_frames`` evenly-spaced "frames" from each video
-    payload — the 1-to-N shape (one input row → several frame rows).
+def sample_frames(docs_with_video: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Demux each SVID payload and keep ``n_frames`` evenly-spaced
+    frames — REAL container parsing, the 1-to-N shape (one input row →
+    several frame rows).
 
-    STUB DECODER: real frame extraction is ffmpeg — not in this
-    container — so each frame is the i-th of ``n_frames`` even byte
-    slices. The scale-relevant parts are real: ``mapInPandas`` emits
-    MORE rows than it receives (the Arrow iterator contract allows
-    any output cardinality, so no explode-then-decode double pass),
-    frame timestamps are typed columns ready for windowed sampling
-    downstream, and payloads too short to slice yield zero rows
-    (skip, not null-explode).
+    Each kept frame is re-emitted as a valid SIMG byte string
+    (header + that frame's plane), so sampled frames feed straight
+    into :func:`decode_and_featurize`/:func:`resize_payloads` — the
+    demux→decode→resize chain a video curation pipeline runs.
+    ``frame_idx`` is the frame's index IN THE SOURCE CLIP and
+    ``frame_ts_ms = frame_idx * frame_interval_ms`` comes from the
+    container's own timing metadata. Clips with fewer frames than
+    requested keep them all; malformed/truncated payloads yield zero
+    rows (skip, not null-explode — one bad clip cannot kill the scan).
+
+    ``mapInPandas`` emits MORE rows than it receives (the Arrow
+    iterator contract allows any output cardinality), so there is no
+    explode-then-decode double pass over the blob column.
     """
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, tss, blobs = [], [], [], []
-            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                if not b or len(b) < n_frames:
+            for doc_id, raw in zip(pdf["doc_id"], pdf["video"]):
+                if raw is None or len(raw) < SVID_HEADER_LEN:
                     continue
-                step = len(b) // n_frames
-                for i in range(n_frames):
+                buf = bytes(raw)
+                if buf[:4] != SVID_MAGIC or buf[4] != 1:
+                    continue
+                sw, = struct.unpack(">H", buf[5:7])
+                nb = buf[7]
+                sh, = struct.unpack(">H", buf[8:10])
+                total, interval = struct.unpack(">HH", buf[10:14])
+                plane = sw * sh * nb
+                if plane == 0 or total == 0:
+                    continue
+                if len(buf) < SVID_HEADER_LEN + plane * total:
+                    continue  # truncated footage
+                simg_header = SIMG_MAGIC + b"\x01" + buf[5:10]
+                k = min(n_frames, total)
+                for i in range(k):
+                    fi = (i * total) // k  # evenly spaced, first frame kept
+                    off = SVID_HEADER_LEN + fi * plane
                     ids.append(doc_id)
-                    idxs.append(i)
-                    tss.append(i * frame_interval_ms)
-                    blobs.append(bytes(b[i * step : (i + 1) * step]))
+                    idxs.append(fi)
+                    tss.append(fi * interval)
+                    blobs.append(simg_header + buf[off : off + plane])
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -255,7 +355,7 @@ def sample_frames(
                 }
             )
 
-    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+    return docs_with_video.select("doc_id", "video").mapInPandas(
         frames, schema=FRAMES_SCHEMA
     )
 
