@@ -270,6 +270,30 @@ def test_multimodal_resize_is_real_nearest_neighbor(spark, tables):
     assert all(got[i]["resized"] is None for i in (1, 2, 3, 4))
 
 
+def test_multimodal_widen_gate(spark, tables):
+    """The mapInPandas fan-out is adaptive: KB-scale inputs are not
+    worth an extra stage (decode stays on the source splits), while
+    resize — whose output expansion the input stats cannot see —
+    always widens a narrow input to full parallelism."""
+    from streaming_examples_spark.operators.multimodal import (
+        _widen_for_python,
+        resize_payloads,
+    )
+
+    docs = with_binary_payload(tables["documents"].limit(50)).coalesce(1)
+    src = docs.select("doc_id", "payload")
+    par = spark.sparkContext.defaultParallelism
+    # small input, shrink-op path: stats gate rejects the widen
+    assert _widen_for_python(src).rdd.getNumPartitions() == 1
+    # same input, zero threshold: the stats path itself widens
+    assert _widen_for_python(src, min_bytes_per_task=0).rdd.getNumPartitions() == par
+    # resize forces the widen regardless of input size
+    assert resize_payloads(docs, width=8, height=8).rdd.getNumPartitions() == par
+    # already-wide inputs pass through untouched (no extra shuffle)
+    wide = src.repartition(par)
+    assert _widen_for_python(wide, force=True) is wide
+
+
 def test_multimodal_frame_sampling_demuxes_svid(spark, tables):
     """sample_frames really parses the SVID container: evenly-spaced
     source frame indices, timestamps from the container's own
