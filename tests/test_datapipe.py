@@ -270,6 +270,48 @@ def test_multimodal_resize_is_real_nearest_neighbor(spark, tables):
     assert all(got[i]["resized"] is None for i in (1, 2, 3, 4))
 
 
+def test_multimodal_parsers_never_raise_on_garbage(spark):
+    """Fuzz the binary parsers: arbitrary bytes — random garbage, valid
+    magics with lying headers, truncated everything — must come back as
+    valid=false rows or skips, never exceptions (a 100 TB scan meets
+    every corruption eventually)."""
+    import random
+    import struct as _s
+
+    from streaming_examples_spark.operators.multimodal import (
+        decode_audio,
+        resize_payloads,
+        sample_frames,
+    )
+
+    rng = random.Random(0x5EED)
+    blobs = []
+    for i in range(200):
+        kind = i % 5
+        if kind == 0:
+            blobs.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64))))
+        elif kind == 1:  # right magic, random rest
+            magic = [b"SIMG", b"SAUD", b"SVID"][i % 3]
+            blobs.append(magic + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40))))
+        elif kind == 2:  # header promises more bytes than present
+            blobs.append(b"SIMG\x01" + _s.pack(">H", 60000) + b"\xff" + _s.pack(">H", 60000))
+        elif kind == 3:  # huge frame count, no footage
+            blobs.append(b"SVID\x01" + _s.pack(">H", 100) + b"\x03" + _s.pack(">HHH", 100, 65535, 40))
+        else:
+            blobs.append(None)
+    rows = [(i, b, b, b) for i, b in enumerate(blobs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, audio binary, video binary"
+    )
+    decoded = decode_and_featurize(df).collect()
+    assert len(decoded) == 200 and not any(r["valid"] for r in decoded)
+    resized = resize_payloads(df, width=8, height=8).collect()
+    assert len(resized) == 200 and not any(r["valid"] for r in resized)
+    audio = decode_audio(df).collect()
+    assert len(audio) == 200
+    assert sample_frames(df, n_frames=4).count() == 0
+
+
 def test_multimodal_widen_gate(spark, tables):
     """The mapInPandas fan-out is adaptive: KB-scale inputs are not
     worth an extra stage (decode stays on the source splits), while
