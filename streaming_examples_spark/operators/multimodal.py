@@ -43,7 +43,7 @@ SIMG_HEADER_LEN = 10
 
 
 def _widen_for_python(
-    df: DataFrame, *, force: bool = False, min_bytes_per_task: int = 4 << 20
+    df: DataFrame, *, widen: bool | None = None, min_bytes_per_task: int = 4 << 20
 ) -> DataFrame:
     """A ``mapInPandas`` stage is only as parallel as its input split
     count. Corpus-scale inputs arrive in thousands of parquet splits
@@ -53,24 +53,26 @@ def _widen_for_python(
     (doc_id, payload) projection is strictly cheaper than decoding
     terabytes of blobs one core deep.
 
-    ``force=False`` (the decode/demux ops, whose output is smaller than
-    their input): widen only when Catalyst's pre-execution size
-    estimate says each widened task would get ≥ ``min_bytes_per_task``
-    of blobs — a KB-scale input is not worth an extra stage.
-    ``force=True`` (resize, whose OUTPUT is a fixed ``w*h*bands`` per
-    row regardless of input size): the input estimate cannot see the
-    output expansion, and the shuffle always pays for itself — measured
-    local[32] on the single-file sf0.1 documents table: 224² resize
-    5.6 s → 0.9 s. Streaming frames pass through (micro-batch sizing
-    governs there).
+    ``widen=None`` (auto — the decode/demux default): widen only when
+    Catalyst's pre-execution size estimate says each widened task would
+    get ≥ ``min_bytes_per_task`` of blobs — a KB-scale input is not
+    worth an extra stage. CAVEAT: the estimate follows the SCAN, so it
+    cannot see in-flight expression expansion or heavy parquet
+    compression; for such estimate-blind inputs pass ``widen=True``
+    through the operator.
+    ``widen=True`` (resize's default — its fixed ``w*h*bands`` output
+    per row means the shuffle always pays for itself: measured
+    local[32] on the single-file sf0.1 documents table, 224² resize
+    5.6 s → 0.9 s). ``widen=False`` never repartitions. Streaming
+    frames pass through (micro-batch sizing governs there).
     """
-    if df.isStreaming:
+    if df.isStreaming or widen is False:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    if not force:
+    if widen is not True:
         try:
             est = int(
                 df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -129,7 +131,12 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def decode_and_featurize(docs_with_payload: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
+def decode_and_featurize(
+    docs_with_payload: DataFrame,
+    *,
+    batch_hint: int = 1024,
+    widen: bool | None = None,
+) -> DataFrame:
     """Decode each SIMG payload: validate magic/version, parse the
     header, and compute per-band pixel statistics (mean, max) plus a
     whole-image checksum — REAL binary parsing over Arrow batches (the
@@ -197,7 +204,7 @@ def decode_and_featurize(docs_with_payload: DataFrame, *, batch_hint: int = 1024
             yield pd.DataFrame(rows)
 
     return _widen_for_python(
-        docs_with_payload.select("doc_id", "payload")
+        docs_with_payload.select("doc_id", "payload"), widen=widen
     ).mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
@@ -214,7 +221,11 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_payloads(
-    docs_with_payload: DataFrame, *, width: int = 224, height: int = 224
+    docs_with_payload: DataFrame,
+    *,
+    width: int = 224,
+    height: int = 224,
+    widen: bool | None = True,
 ) -> DataFrame:
     """Resize each SIMG payload to ``width``×``height`` by
     nearest-neighbor resampling of the band-interleaved pixel grid —
@@ -280,7 +291,7 @@ def resize_payloads(
             yield pd.DataFrame(rows)
 
     return _widen_for_python(
-        docs_with_payload.select("doc_id", "payload"), force=True
+        docs_with_payload.select("doc_id", "payload"), widen=widen
     ).mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
@@ -339,7 +350,9 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(docs_with_video: DataFrame, *, n_frames: int = 4) -> DataFrame:
+def sample_frames(
+    docs_with_video: DataFrame, *, n_frames: int = 4, widen: bool | None = None
+) -> DataFrame:
     """Demux each SVID payload and keep ``n_frames`` evenly-spaced
     frames — REAL container parsing, the 1-to-N shape (one input row →
     several frame rows).
@@ -396,7 +409,7 @@ def sample_frames(docs_with_video: DataFrame, *, n_frames: int = 4) -> DataFrame
             )
 
     return _widen_for_python(
-        docs_with_video.select("doc_id", "video")
+        docs_with_video.select("doc_id", "video"), widen=widen
     ).mapInPandas(frames, schema=FRAMES_SCHEMA)
 
 
@@ -450,7 +463,7 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
-def decode_audio(docs_with_audio: DataFrame) -> DataFrame:
+def decode_audio(docs_with_audio: DataFrame, *, widen: bool | None = None) -> DataFrame:
     """Decode each SAUD payload: validate magic/version, parse the
     header, and compute the classic audio-curation features — duration,
     RMS energy, peak amplitude, zero-crossing count (the cheap
@@ -505,7 +518,7 @@ def decode_audio(docs_with_audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return _widen_for_python(
-        docs_with_audio.select("doc_id", "audio")
+        docs_with_audio.select("doc_id", "audio"), widen=widen
     ).mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 

@@ -331,9 +331,13 @@ def test_multimodal_widen_gate(spark, tables):
     assert _widen_for_python(src, min_bytes_per_task=0).rdd.getNumPartitions() == par
     # resize forces the widen regardless of input size
     assert resize_payloads(docs, width=8, height=8).rdd.getNumPartitions() == par
+    # explicit overrides beat the auto gate in both directions — the
+    # escape hatch for estimate-blind inputs (compressed/expression-built)
+    assert decode_and_featurize(docs, widen=True).rdd.getNumPartitions() == par
+    assert resize_payloads(docs, width=8, height=8, widen=False).rdd.getNumPartitions() == 1
     # already-wide inputs pass through untouched (no extra shuffle)
     wide = src.repartition(par)
-    assert _widen_for_python(wide, force=True) is wide
+    assert _widen_for_python(wide, widen=True) is wide
 
 
 def test_multimodal_frame_sampling_demuxes_svid(spark, tables):
