@@ -16,7 +16,6 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
-import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -40,22 +39,68 @@ _REGISTRY: dict[str, CatalogEntry] = {}
 #: inputs, so the DataFrame (an immutable logical plan) is reused on
 #: repeat invocation instead of re-running Python plan construction,
 #: analysis registration, and any construction-time driver work (e.g.
-#: the CC fixpoint loop inside dedup_groups). Keyed on the live
-#: SparkSession object — weakly, so a recycled id() can never alias a
-#: new session onto a stopped one's plans. (Cached DataFrames reference
-#: their session, so in practice entries live as long as the session
-#: object: bounded at ~50 entries × a handful of sf_dirs per session.)
-_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+#: the CC fixpoint loop inside dedup_groups).
+#:
+#: Lifecycle: cached DataFrames hold a strong ref to their session, so
+#: weak keying alone cannot evict (the values pin the keys). Instead
+#: every lookup lazily purges entries whose session has been STOPPED
+#: (the JVM-side state is gone then anyway), and ``release`` lets a
+#: long-lived session drop entries — and unpersist any frames the
+#: query pinned — without a global ``clearCache()``. Bounded either
+#: way at ~#entries × #sf_dirs per live session.
+_PLAN_CACHE: dict[int, tuple[SparkSession, dict[tuple[str, str], DataFrame]]] = {}
+
+
+def _is_stopped(spark: SparkSession) -> bool:
+    try:
+        sc = spark.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
+
+
+def _purge_stopped() -> None:
+    for sid in [sid for sid, (s, _) in _PLAN_CACHE.items() if _is_stopped(s)]:
+        del _PLAN_CACHE[sid]
+
+
+def release(spark: SparkSession, name: str | None = None, sf_dir: str | None = None) -> int:
+    """Drop plan-cache entries for ``spark`` (all, or those matching
+    ``name``/``sf_dir``), unpersisting any frames the query registered
+    as pinned (``df._sg_pinned`` — e.g. tx_denormalize's emit/touched
+    gates). localCheckpoint blocks held by dropped entries free on GC.
+    Returns the number of entries released."""
+    slot = _PLAN_CACHE.get(id(spark))
+    if slot is None:
+        return 0
+    _, per_session = slot
+    victims = [
+        k
+        for k in per_session
+        if (name is None or k[0] == name) and (sf_dir is None or k[1] == sf_dir)
+    ]
+    for k in victims:
+        df = per_session.pop(k)
+        for pinned in getattr(df, "_sg_pinned", ()) or ():
+            try:
+                pinned.unpersist()
+            except Exception:
+                pass
+    if not per_session:
+        _PLAN_CACHE.pop(id(spark), None)
+    return len(victims)
 
 
 def register(name: str, oracle: str | None, survey_ref: str = ""):
     def deco(fn):
         def cached(spark: SparkSession, sf_dir: str, _fn=fn, _name=name) -> DataFrame:
-            per_session = _PLAN_CACHE.get(spark)
-            if per_session is None:
-                per_session = _PLAN_CACHE[spark] = {}
+            _purge_stopped()
+            slot = _PLAN_CACHE.get(id(spark))
+            if slot is None or slot[0] is not spark:
+                # id() recycling: a different live object under a stale
+                # id gets a fresh slot (the stale one was purged above)
+                slot = _PLAN_CACHE[id(spark)] = (spark, {})
+            per_session = slot[1]
             key = (_name, sf_dir)
             df = per_session.get(key)
             if df is None:

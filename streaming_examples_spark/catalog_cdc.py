@@ -440,7 +440,7 @@ def q_tx_denorm_orders(spark, sf_dir):
 
     order_env, line_env, tx_env = _orders_as_envelopes(spark, sf_dir)
     res = tx_denormalize(order_env, line_env, tx_env)
-    return res.emissions.select(
+    out = res.emissions.select(
         "order_key",
         "commit_lsn",
         "deleted",
@@ -451,3 +451,8 @@ def q_tx_denorm_orders(spark, sf_dir):
             "lines", F.lit(0).cast("long"), lambda acc, l: acc + l["quantity"]
         ).alias("sum_qty"),
     )
+    # the batch pipeline persists its emit/touched gates; expose them so
+    # catalog.release() can unpersist without a global clearCache()
+    # (the streaming caller unpersists per batch via the same tuple)
+    out._sg_pinned = res.pinned
+    return out

@@ -121,9 +121,15 @@ def minhash_lsh_pairs(
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).filter(F.size("sh") > 0)
     # the shingle frame feeds three branches (bucketing + both sides of
-    # the verify join); persist so tokenization runs once — at corpus
-    # scale this is the frame you would checkpoint to storage
-    sh = sh.persist()
+    # the verify join); localCheckpoint so tokenization runs once. Not
+    # persist: (a) two of the consumers are a self-join, and persist's
+    # canonicalized-plan cache lookup is fragile under self-join
+    # attribute rewrites (the CC edges lesson, measured 62 s of silent
+    # recompute there); (b) checkpoint blocks free when this frame is
+    # GC'd, so repeated operator calls cannot accumulate CacheManager
+    # entries forever (persist here had no unpersist path). On a real
+    # cluster this is checkpoint() to durable storage.
+    sh = sh.localCheckpoint(eager=True)
     # base hashes computed once per doc; the Generate (explode) below
     # is an optimizer barrier, so per-band expressions reference the
     # materialized `hs` attribute instead of re-inlining the md5 pass
@@ -149,11 +155,13 @@ def minhash_lsh_pairs(
         "doc_id",
         "band_idx",
         F.concat_ws("|", *[perm_min(r) for r in range(rows)]).alias("band_key"),
-    # persisted so the band self-join below reads the stored signatures
-    # instead of computing the bands×rows minhash permutations once PER
-    # SIDE — self-joins evaluate each side's lineage independently, and
-    # at 250k docs the second signature pass was ~half the pair-gen wall
-    ).persist()
+    # localCheckpoint so the band self-join below reads the stored
+    # signatures instead of computing the bands×rows minhash
+    # permutations once PER SIDE — self-joins evaluate each side's
+    # lineage independently, and at 250k docs the second signature pass
+    # was ~half the pair-gen wall. Blocks free on GC (no unpersist-path
+    # leak across calls, unlike persist).
+    ).localCheckpoint(eager=True)
     buckets = _cap_buckets(buckets, ["band_idx", "band_key"], max_bucket_size)
     cand = (
         buckets.alias("a")
@@ -517,12 +525,13 @@ def simhash_near_pairs(
     n_blocks this is a heuristic recall tradeoff (as in practice);
     for < n_blocks it is exact.
     """
-    # persist the (doc_id, simhash) frame: it feeds the block explode
-    # AND both sides of the self-join — without it CollapseProject
-    # inlines the 60-vote expression tree into every reference (the
-    # MinHash band-key trap; measured ~7× recompute). Two narrow
-    # columns, so the cache is tiny even at corpus scale.
-    sh = simhash64(docs, **kw).persist()
+    # localCheckpoint the (doc_id, simhash) frame: it feeds the block
+    # explode AND both sides of the self-join — without it
+    # CollapseProject inlines the 60-vote expression tree into every
+    # reference (the MinHash band-key trap; measured ~7× recompute).
+    # Two narrow columns, so the stored blocks are tiny even at corpus
+    # scale, and they free on GC (persist had no unpersist path).
+    sh = simhash64(docs, **kw).localCheckpoint(eager=True)
     width = SIMHASH_BITS // n_blocks
     blocks = sh.select(
         "doc_id",
@@ -631,11 +640,14 @@ def embedding_near_dup_lsh(
             for t in range(n_tables)
         ]
     )
-    # persisted: both sides of the bucket self-join read the stored
-    # (id, v, tbl, bkt) rows instead of re-running the n_tables×n_planes
-    # hyperplane dot products per side (self-join sides evaluate their
-    # lineage independently)
-    b = e.select("id", "v", F.posexplode(buckets).alias("tbl", "bkt")).persist()
+    # localCheckpoint: both sides of the bucket self-join read the
+    # stored (id, v, tbl, bkt) rows instead of re-running the
+    # n_tables×n_planes hyperplane dot products per side (self-join
+    # sides evaluate their lineage independently); blocks free on GC so
+    # repeated calls don't accumulate cache entries
+    b = e.select("id", "v", F.posexplode(buckets).alias("tbl", "bkt")).localCheckpoint(
+        eager=True
+    )
     b = _cap_buckets(b, ["tbl", "bkt"], max_bucket_size)
     a, bb = b.alias("a"), b.alias("b")
     cand = (

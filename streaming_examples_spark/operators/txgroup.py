@@ -58,13 +58,26 @@ def normalize_events(events: DataFrame, table: str, key_field: str) -> DataFrame
 def tx_end_events(tx_events: DataFrame) -> DataFrame:
     """END metadata events with parsed ids: (tx_id, commit_lsn,
     declared per-table counts). Only END carries a usable commit LSN
-    (TransactionEvent.java:33-39)."""
+    (TransactionEvent.java:33-39).
+
+    Deduped on tx_id: an END redelivered at-least-once would otherwise
+    subtract its declared counts twice in ``complete_tx_ids``'s signed
+    balance, marking the tx permanently incomplete and wedging the
+    emission barrier for every later transaction. The streaming caller
+    dedupes upstream on (status, id); this guards direct batch callers.
+    The END frame is tiny (one row per tx), so the extra exchange is
+    noise — and AQE reuses it across the three consumers.
+    """
     parts = F.split(F.col("id"), ":")
-    return tx_events.filter(F.col("status") == "END").select(
-        parts.getItem(0).cast("long").alias("tx_id"),
-        parts.getItem(1).cast("long").alias("tx_commit_lsn"),
-        "event_count",
-        "data_collections",
+    return (
+        tx_events.filter(F.col("status") == "END")
+        .select(
+            parts.getItem(0).cast("long").alias("tx_id"),
+            parts.getItem(1).cast("long").alias("tx_commit_lsn"),
+            "event_count",
+            "data_collections",
+        )
+        .dropDuplicates(["tx_id"])
     )
 
 

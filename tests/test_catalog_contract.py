@@ -47,6 +47,39 @@ def test_entry_module_contract_shapes():
         ), f"{name} oracle is not a bare query"
 
 
+class _FakeJsc:
+    """Mimics the py4j JavaSparkContext surface `_is_stopped` touches."""
+
+    def __init__(self):
+        self.stopped = False
+
+    def sc(self):
+        return self
+
+    def isStopped(self):
+        return self.stopped
+
+
+class _FakeSession:
+    def __init__(self):
+        class _SC:
+            pass
+
+        self.sparkContext = _SC()
+        self.sparkContext._jsc = _FakeJsc()
+
+    def stop(self):
+        self.sparkContext._jsc.stopped = True
+
+
+class _FakePinned:
+    def __init__(self):
+        self.unpersisted = 0
+
+    def unpersist(self):
+        self.unpersisted += 1
+
+
 def test_plan_cache_constructs_once_per_session_and_sf_dir():
     from streaming_examples_spark import catalog as C
 
@@ -55,33 +88,57 @@ def test_plan_cache_constructs_once_per_session_and_sf_dir():
     @C.register("_tmp_cache_probe", None)
     def probe(spark, sf_dir):
         calls.append(sf_dir)
-        # NB: a real DataFrame references its session, which pins the weak
-        # key for the session's lifetime (bounded, ~50 entries). A plain
-        # sentinel here lets the collection assertions below exercise the
-        # weak-key structure itself.
         return object()
 
     try:
-
-        class FakeSession:  # weak-referenceable stand-in
-            pass
-
         fn = C._REGISTRY["_tmp_cache_probe"].fn
-        s1, s2 = FakeSession(), FakeSession()
+        s1, s2 = _FakeSession(), _FakeSession()
         a = fn(s1, "/x")
         assert fn(s1, "/x") is a, "repeat call must return the cached plan"
         assert fn(s1, "/y") is not a, "different sf_dir must not alias"
         assert fn(s2, "/x") is not a, "different session must not alias"
         assert calls == ["/x", "/y", "/x"]
 
-        # stopped/collected sessions must not pin their plans
-        import gc
-
-        del s1, a
-        gc.collect()
-        assert s2 in C._PLAN_CACHE and len(C._PLAN_CACHE) == 1
-        del s2
-        gc.collect()
-        assert len(C._PLAN_CACHE) == 0
+        # a STOPPED session's plans must not stay pinned: cached
+        # DataFrames strongly reference their session, so eviction keys
+        # on liveness, not weak refs (the values would pin weak keys)
+        s1.stop()
+        fn(s2, "/x")  # any lookup lazily purges stopped sessions
+        assert id(s1) not in C._PLAN_CACHE
+        assert id(s2) in C._PLAN_CACHE and len(C._PLAN_CACHE) == 1
     finally:
         del C._REGISTRY["_tmp_cache_probe"]
+        C._PLAN_CACHE.clear()
+
+
+def test_plan_cache_release_unpersists_pinned_frames():
+    from streaming_examples_spark import catalog as C
+
+    pins: list[_FakePinned] = []
+
+    @C.register("_tmp_release_probe", None)
+    def probe(spark, sf_dir):
+        df = _FakePinned()  # stands in for the returned DataFrame
+        df._sg_pinned = (_FakePinned(),)
+        pins.append(df._sg_pinned[0])
+        return df
+
+    try:
+        fn = C._REGISTRY["_tmp_release_probe"].fn
+        s = _FakeSession()
+        fn(s, "/x")
+        fn(s, "/y")
+        assert C.release(s, "_tmp_release_probe", "/x") == 1
+        assert pins[0].unpersisted == 1 and pins[1].unpersisted == 0
+        # released entry reconstructs; surviving entry stays cached
+        n0 = len(pins)
+        fn(s, "/y")
+        assert len(pins) == n0
+        fn(s, "/x")
+        assert len(pins) == n0 + 1
+        assert C.release(s) == 2  # drop everything for the session
+        assert id(s) not in C._PLAN_CACHE
+        assert C.release(s) == 0
+    finally:
+        del C._REGISTRY["_tmp_release_probe"]
+        C._PLAN_CACHE.clear()

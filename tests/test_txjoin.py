@@ -268,6 +268,13 @@ def test_undeclared_and_overdelivered_events_block_completeness(spark):
     # over-delivery: the line event arrives twice -> balance +1 -> blocked
     assert complete_tx_ids([no, nl.unionByName(nl)], x).count() == 0
 
+    # duplicate END delivery (at-least-once metadata redelivery): the
+    # declaration must count ONCE — tx_end_events dedupes on tx_id, so
+    # the balance stays 0 instead of observed − 2×declared wedging the
+    # barrier for every later tx
+    x_dup_end = x.unionByName(x.filter(F.col("status") == "END"))
+    assert complete_tx_ids([no, nl], x_dup_end).count() == 1
+
     # undeclared table: same events, but the END only declares orders
     x_undeclared = x.withColumn(
         "data_collections",
