@@ -32,6 +32,7 @@ SIMG payload layout (big-endian, 10-byte header):
 from __future__ import annotations
 
 import struct
+import warnings
 from typing import Iterator
 
 import pandas as pd
@@ -41,10 +42,16 @@ from pyspark.sql import types as T
 SIMG_MAGIC = b"SIMG"
 SIMG_HEADER_LEN = 10
 
+#: one Arrow task realizing this many payload bytes, on a stage the
+#: auto gate declined to widen, means the size estimate was badly wrong
+#: (compressed/expression-built blobs) — warn loudly (16× the gate)
+LOUD_BYTES_PER_TASK = 64 << 20
+
+
 
 def _widen_for_python(
     df: DataFrame, *, widen: bool | None = None, min_bytes_per_task: int = 4 << 20
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     """A ``mapInPandas`` stage is only as parallel as its input split
     count. Corpus-scale inputs arrive in thousands of parquet splits
     and pass through here untouched; a few-file input (one giant file,
@@ -53,35 +60,118 @@ def _widen_for_python(
     (doc_id, payload) projection is strictly cheaper than decoding
     terabytes of blobs one core deep.
 
+    Returns ``(frame, status)``; status ∈ {"passthrough", "explicit",
+    "shuffled-input", "wide-enough", "declined-small", "widened"}.
+    ``"declined-small"`` is the estimate-blind case the caller arms the
+    realized-bytes monitor for (:func:`_loud_monitor`).
+
     ``widen=None`` (auto — the decode/demux default): widen only when
     Catalyst's pre-execution size estimate says each widened task would
     get ≥ ``min_bytes_per_task`` of blobs — a KB-scale input is not
     worth an extra stage. CAVEAT: the estimate follows the SCAN, so it
     cannot see in-flight expression expansion or heavy parquet
     compression; for such estimate-blind inputs pass ``widen=True``
-    through the operator.
+    through the operator (the monitor warns at runtime if this bites).
     ``widen=True`` (resize's default — its fixed ``w*h*bands`` output
     per row means the shuffle always pays for itself: measured
     local[32] on the single-file sf0.1 documents table, 224² resize
     5.6 s → 0.9 s). ``widen=False`` never repartitions. Streaming
     frames pass through (micro-batch sizing governs there).
+
+    Inputs whose plan already contains a shuffle exchange pass through
+    untouched WITHOUT inspecting ``.rdd``: their parallelism is set by
+    ``spark.sql.shuffle.partitions``/AQE, and touching ``.rdd`` on an
+    adaptive plan finalizes it — executing every upstream query stage
+    once for the probe and again for the real run. On exchange-free
+    plans (a narrow chain over a scan) there are no query stages to
+    pre-execute, so the exact ``.rdd`` split count is free.
     """
     if df.isStreaming or widen is False:
-        return df
+        return df, "passthrough"
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        adaptive = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .startswith("AdaptiveSparkPlan")
+        )
+    except Exception:
+        adaptive = True  # can't tell → don't probe (safe)
+    if adaptive:
+        # AQE only wraps plans containing exchanges (or subqueries):
+        # parallelism is already the shuffle's business (shuffle
+        # partitions / AQE coalescing, which only shrinks counts when
+        # the data is small enough not to care), and probing .rdd would
+        # FINALIZE the adaptive plan — executing every upstream query
+        # stage once for the probe and again for the real run. Even
+        # explicit widen=True adds nothing but a second shuffle here.
+        return df, "shuffled-input"
+    # exchange-free plan: no query stages exist, so the exact .rdd
+    # split count is free to read
     if df.rdd.getNumPartitions() >= target:
-        return df
-    if widen is not True:
-        try:
-            est = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            est = None  # stats unavailable → assume heavy (safe at scale)
-        if est is not None and est // target < min_bytes_per_task:
-            return df
-    return df.repartition(target)
+        return df, "wide-enough"
+    if widen is True:
+        return df.repartition(target), "explicit"
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = None  # stats unavailable → assume heavy (safe at scale)
+    if est is not None and est // target < min_bytes_per_task:
+        return df, "declined-small"
+    return df.repartition(target), "widened"
+
+
+def _loud_monitor(fn, payload_col: str, sc):
+    """Wrap an Arrow batch function with a realized-bytes watchdog for
+    the estimate-blind gate case: the auto widen gate declined because
+    the SCAN estimate looked tiny, but compressed or expression-built
+    blob columns can expand orders of magnitude in flight. Each task
+    counts the payload bytes it actually sees; past
+    ``LOUD_BYTES_PER_TASK`` it warns once (worker-side) and bumps a
+    driver-visible accumulator (``df._sg_widen_monitor``) so the
+    under-parallelization is loud instead of silently serializing a
+    100 TB decode. Counting stops after firing — overhead is one
+    ``len`` per blob until then, nothing after."""
+    acc = sc.accumulator(0)
+
+    def wrapped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        fired = False
+        for pdf in batches:
+            if not fired:
+                seen += int(sum(len(v) for v in pdf[payload_col] if v is not None))
+                if seen > LOUD_BYTES_PER_TASK:
+                    fired = True
+                    acc.add(1)
+                    warnings.warn(
+                        f"multimodal: one task realized {seen >> 20} MiB of "
+                        f"'{payload_col}' bytes on a stage the auto widen gate "
+                        "left narrow (the scan estimate could not see the "
+                        "payload size). Pass widen=True through the operator "
+                        "to parallelize the decode.",
+                        RuntimeWarning,
+                    )
+            yield from fn(iter([pdf]))
+
+    return wrapped, acc
+
+
+def _arrow_map(
+    df: DataFrame, fn, schema, *, widen: bool | None, payload_col: str
+) -> DataFrame:
+    """Shared tail for the four decode operators: widen-gate the
+    projection, arm the realized-bytes monitor on the estimate-blind
+    path, run the Arrow stage."""
+    base, status = _widen_for_python(df, widen=widen)
+    monitor = None
+    if status == "declined-small":
+        fn, monitor = _loud_monitor(fn, payload_col, base.sparkSession.sparkContext)
+    out = base.mapInPandas(fn, schema=schema)
+    if monitor is not None:
+        out._sg_widen_monitor = monitor
+    return out
 
 
 def with_binary_payload(
@@ -203,9 +293,13 @@ def decode_and_featurize(
                      int(arr.sum(dtype=np.int64)))
             yield pd.DataFrame(rows)
 
-    return _widen_for_python(
-        docs_with_payload.select("doc_id", "payload"), widen=widen
-    ).mapInPandas(decode, schema=DECODED_SCHEMA)
+    return _arrow_map(
+        docs_with_payload.select("doc_id", "payload"),
+        decode,
+        DECODED_SCHEMA,
+        widen=widen,
+        payload_col="payload",
+    )
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -290,9 +384,13 @@ def resize_payloads(
                 emit(doc_id, True, nb, header + out.tobytes())
             yield pd.DataFrame(rows)
 
-    return _widen_for_python(
-        docs_with_payload.select("doc_id", "payload"), widen=widen
-    ).mapInPandas(resize, schema=RESIZED_SCHEMA)
+    return _arrow_map(
+        docs_with_payload.select("doc_id", "payload"),
+        resize,
+        RESIZED_SCHEMA,
+        widen=widen,
+        payload_col="payload",
+    )
 
 
 SVID_MAGIC = b"SVID"
@@ -408,9 +506,13 @@ def sample_frames(
                 }
             )
 
-    return _widen_for_python(
-        docs_with_video.select("doc_id", "video"), widen=widen
-    ).mapInPandas(frames, schema=FRAMES_SCHEMA)
+    return _arrow_map(
+        docs_with_video.select("doc_id", "video"),
+        frames,
+        FRAMES_SCHEMA,
+        widen=widen,
+        payload_col="video",
+    )
 
 
 SAUD_MAGIC = b"SAUD"
@@ -517,9 +619,13 @@ def decode_audio(docs_with_audio: DataFrame, *, widen: bool | None = None) -> Da
                 )
             yield pd.DataFrame(rows)
 
-    return _widen_for_python(
-        docs_with_audio.select("doc_id", "audio"), widen=widen
-    ).mapInPandas(decode, schema=AUDIO_SCHEMA)
+    return _arrow_map(
+        docs_with_audio.select("doc_id", "audio"),
+        decode,
+        AUDIO_SCHEMA,
+        widen=widen,
+        payload_col="audio",
+    )
 
 
 def payload_meta(docs_with_payload: DataFrame) -> DataFrame:

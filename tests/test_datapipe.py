@@ -322,22 +322,66 @@ def test_multimodal_widen_gate(spark, tables):
         resize_payloads,
     )
 
-    docs = with_binary_payload(tables["documents"].limit(50)).coalesce(1)
+    # a pushed-down filter keeps the plan a bare narrow chain over the
+    # single-file scan (1 split); limit() would wrap the plan in AQE
+    # (Exchange SinglePartition), which the gate deliberately refuses
+    # to probe
+    docs = with_binary_payload(tables["documents"].filter(F.col("doc_id") < 50))
     src = docs.select("doc_id", "payload")
     par = spark.sparkContext.defaultParallelism
     # small input, shrink-op path: stats gate rejects the widen
-    assert _widen_for_python(src).rdd.getNumPartitions() == 1
+    out, status = _widen_for_python(src)
+    assert status == "declined-small" and out.rdd.getNumPartitions() == 1
     # same input, zero threshold: the stats path itself widens
-    assert _widen_for_python(src, min_bytes_per_task=0).rdd.getNumPartitions() == par
+    out, status = _widen_for_python(src, min_bytes_per_task=0)
+    assert status == "widened" and out.rdd.getNumPartitions() == par
     # resize forces the widen regardless of input size
     assert resize_payloads(docs, width=8, height=8).rdd.getNumPartitions() == par
     # explicit overrides beat the auto gate in both directions — the
     # escape hatch for estimate-blind inputs (compressed/expression-built)
     assert decode_and_featurize(docs, widen=True).rdd.getNumPartitions() == par
     assert resize_payloads(docs, width=8, height=8, widen=False).rdd.getNumPartitions() == 1
-    # already-wide inputs pass through untouched (no extra shuffle)
+    # shuffled inputs pass through untouched WITHOUT touching .rdd —
+    # probing .rdd finalizes an adaptive plan, silently executing every
+    # upstream query stage once for the probe and again for the real
+    # run; their parallelism is the shuffle's business anyway
     wide = src.repartition(par)
-    assert _widen_for_python(wide, widen=True) is wide
+    out, status = _widen_for_python(wide, widen=True)
+    assert out is wide and status == "shuffled-input"
+    out, status = _widen_for_python(wide)
+    assert out is wide and status == "shuffled-input"
+
+
+def test_multimodal_blind_gate_warns_on_realized_bytes(spark, tables):
+    """The auto widen gate follows the SCAN estimate, which cannot see
+    expression-built (or heavily compressed) blob columns. When a task
+    then realizes far more payload bytes than the gate assumed, the
+    operator must get LOUD — a worker warning plus a driver-visible
+    accumulator — instead of silently serializing the decode."""
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.operators.multimodal import (
+        decode_and_featurize,
+        with_binary_payload,
+    )
+
+    # fixture-sized payloads: gate declines (tiny), monitor stays quiet
+    quiet_docs = with_binary_payload(tables["documents"]).coalesce(1)
+    quiet = decode_and_featurize(quiet_docs)
+    quiet.write.format("noop").mode("overwrite").save()
+    mon = getattr(quiet, "_sg_widen_monitor", None)
+    assert mon is not None and mon.value == 0
+
+    # expression-built 500× payload: the scan estimate is unchanged, so
+    # the gate still declines — but one task realizes >64 MiB of blobs
+    # and the monitor must fire
+    big_docs = with_binary_payload(
+        tables["documents"].withColumn("text", F.repeat(F.col("text"), 500))
+    ).coalesce(1)
+    loud = decode_and_featurize(big_docs)
+    loud.write.format("noop").mode("overwrite").save()
+    mon = getattr(loud, "_sg_widen_monitor", None)
+    assert mon is not None and mon.value >= 1
 
 
 def test_multimodal_frame_sampling_demuxes_svid(spark, tables):
