@@ -1082,15 +1082,66 @@ def q_text_stats(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+#: unified column set for the fused multimodal entry: one row grain per
+#: operator family, discriminated by `kind`, columns null where a
+#: family has no value (nullable-int columns canonicalize identically
+#: through pandas on both engines)
+_MM_COLS: list[tuple[str, str]] = [
+    ("doc_id", "bigint"),
+    ("kind", "string"),
+    ("n_bytes", "bigint"),
+    ("prefix_hex", "string"),
+    ("width", "int"),
+    ("height", "int"),
+    ("n_bands", "int"),
+    ("band", "int"),
+    ("band_mean", "double"),
+    ("band_max", "int"),
+    ("checksum", "bigint"),
+    ("frame_idx", "int"),
+    ("frame_ts_ms", "bigint"),
+    ("frame_md5", "string"),
+    ("sample_rate_hz", "int"),
+    ("n_samples", "int"),
+    ("duration_ms", "double"),
+    ("rms", "double"),
+    ("peak", "int"),
+    ("zero_crossings", "int"),
+]
+
+
+def _mm_align(df, kind: str):
+    cols = []
+    for name, typ in _MM_COLS:
+        if name == "kind":
+            cols.append(F.lit(kind).alias("kind"))
+        elif name in df.columns:
+            cols.append(F.col(name).cast(typ).alias(name))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(name))
+    return df.select(*cols)
+
+
 @register(
     "multimodal_meta",
-    # fused since round 4: the pure-SQL payload metadata (pre-decode
-    # filter) AND the real SIMG binary decode (operators/multimodal.py
-    # module docstring) verified in one band-grain entry. The oracle
-    # re-derives the payload byte layout from the documents table —
-    # header hex assembly, band-interleaved byte extraction via
-    # hex-substr arithmetic — so the Arrow mapInPandas decoder is
-    # hash-checked byte-for-byte, not rows-only.
+    # the whole multimodal quartet, fused and driver-hashed since r5:
+    #   kind='image'  — payload metadata (pre-decode filter) + the real
+    #                   SIMG binary decode, band grain (as in r4);
+    #   kind='resize' — 8×8 nearest-neighbor resample RE-DECODED, band
+    #                   grain: the oracle replays numpy's index maps
+    #                   ((i*src)//dst) in SQL over the hex payload, so
+    #                   the resampling arithmetic AND the re-emitted
+    #                   SIMG byte layout are checked end to end;
+    #   kind='frame'  — SVID demux: per sampled frame the source index,
+    #                   container-derived timestamp, and an md5 over
+    #                   the emitted SIMG frame bytes (header + plane),
+    #                   byte-for-byte via hex-substring extraction;
+    #   kind='audio'  — SAUD PCM16 decode: duration/RMS/peak/zero-
+    #                   crossings from signed big-endian samples the
+    #                   oracle re-derives with hex arithmetic.
+    # All four Arrow mapInPandas decoders (operators/multimodal.py) are
+    # thereby hash-checked against an independent engine — closing the
+    # last oracle-less operator family (r4 verdict, next-round #1).
     oracle="""
     WITH dims AS (
       SELECT doc_id, encode(text) AS tb, octet_length(encode(text)) AS n,
@@ -1108,38 +1159,168 @@ def q_text_stats(spark, sf_dir):
                   [('0x' || substr(hex(tb), 2*i - 1, 2))::INT
                    FOR i IN range(1, w*h*b + 1)] AS pv
            FROM hdr),
-    bands AS (
+    img AS (
       SELECT doc_id, n_bytes, prefix_hex, width, height, n_bands,
              CAST(bb.band AS INT) AS band,
              [pv[1 + p * n_bands + bb.band] FOR p IN range(0, width*height)] AS bv,
              CAST(coalesce(list_sum(pv), 0) AS BIGINT) AS checksum
-      FROM px, range(0, 3) bb(band) WHERE bb.band < n_bands)
-    SELECT doc_id, n_bytes, prefix_hex, width, height, n_bands, band,
-           CASE WHEN width*height > 0
-                THEN round(list_sum(bv) / (width*height), 4) END AS band_mean,
-           CAST(list_max(bv) AS INT) AS band_max,
-           checksum
-    FROM bands
+      FROM px, range(0, 3) bb(band) WHERE bb.band < n_bands),
+    img_rows AS (
+      SELECT doc_id, 'image' AS kind, n_bytes, prefix_hex,
+             width, height, n_bands, band,
+             CASE WHEN width*height > 0
+                  THEN round(list_sum(bv) / (width*height), 4) END AS band_mean,
+             CAST(list_max(bv) AS INT) AS band_max,
+             checksum
+      FROM img),
+    rz AS (SELECT doc_id, width AS sw, height AS sh, n_bands, pv
+           FROM px WHERE width*height > 0),
+    rz_bands AS (
+      SELECT doc_id, n_bands, CAST(bb.band AS INT) AS band,
+             [pv[1 + ((((i//8)*sh)//8)*sw + (((i%8)*sw)//8))*n_bands + bb.band]
+              FOR i IN range(0, 64)] AS rv
+      FROM rz, range(0, 3) bb(band) WHERE bb.band < n_bands),
+    rz_rows AS (
+      SELECT doc_id, 'resize' AS kind,
+             CAST(NULL AS BIGINT) AS n_bytes, CAST(NULL AS VARCHAR) AS prefix_hex,
+             CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, n_bands, band,
+             round(list_sum(rv) / 64.0, 4) AS band_mean,
+             CAST(list_max(rv) AS INT) AS band_max,
+             CAST(sum(list_sum(rv)) OVER (PARTITION BY doc_id) AS BIGINT) AS checksum
+      FROM rz_bands),
+    vh AS (
+      SELECT doc_id, tb, n,
+             CAST(4 + doc_id % 5 AS INT) AS vw,
+             CAST(1 + doc_id % 2 AS INT) AS vb,
+             CAST(2 + doc_id % 4 AS INT) AS nf,
+             CAST((doc_id % 3 + 1) * 40 AS INT) AS iv,
+             CAST(least(floor(n / ((4 + doc_id % 5) * (1 + doc_id % 2)
+                                   * (2 + doc_id % 4))), 65535) AS INT) AS fh
+      FROM dims),
+    fr_rows AS (
+      SELECT doc_id, 'frame' AS kind,
+             CAST((ff.i * nf) // least(4, nf) AS INT) AS frame_idx,
+             CAST(((ff.i * nf) // least(4, nf)) * iv AS BIGINT) AS frame_ts_ms,
+             md5(lower('53494D4701'
+                 || lpad(hex(vw), 4, '0') || lpad(hex(vb), 2, '0')
+                 || lpad(hex(fh), 4, '0')
+                 || substr(hex(tb),
+                           2 * (((ff.i * nf) // least(4, nf)) * vw*fh*vb) + 1,
+                           2 * vw*fh*vb))) AS frame_md5
+      FROM vh, range(0, 4) ff(i)
+      WHERE vw*fh*vb > 0 AND ff.i < least(4, nf)),
+    asig AS (
+      SELECT doc_id,
+             CAST([8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS INT) AS rate,
+             CAST(least(floor(n / 2), 65535) AS INT) AS ns, tb
+      FROM dims),
+    asamp AS (
+      SELECT doc_id, rate, ns,
+             [CASE WHEN ('0x' || substr(hex(tb), 4*i - 3, 4))::INT >= 32768
+                   THEN ('0x' || substr(hex(tb), 4*i - 3, 4))::INT - 65536
+                   ELSE ('0x' || substr(hex(tb), 4*i - 3, 4))::INT END
+              FOR i IN range(1, ns + 1)] AS s
+      FROM asig),
+    au_rows AS (
+      SELECT doc_id, 'audio' AS kind, rate AS sample_rate_hz, ns AS n_samples,
+             round(ns * 1000.0 / rate, 4) AS duration_ms,
+             CASE WHEN ns > 0
+                  THEN round(sqrt(list_sum([x*x FOR x IN s]) / ns), 4) END AS rms,
+             CASE WHEN ns > 0 THEN CAST(list_max([abs(x) FOR x IN s]) AS INT) END AS peak,
+             CASE WHEN ns > 0
+                  THEN CAST(coalesce(list_sum(
+                         [CASE WHEN (s[i] < 0) != (s[i-1] < 0) THEN 1 ELSE 0 END
+                          FOR i IN range(2, ns + 1)]), 0) AS INT)
+                  ELSE 0 END AS zero_crossings
+      FROM asamp)
+    SELECT doc_id, kind, n_bytes, prefix_hex, width, height, n_bands, band,
+           band_mean, band_max, checksum,
+           CAST(NULL AS INT) AS frame_idx, CAST(NULL AS BIGINT) AS frame_ts_ms,
+           CAST(NULL AS VARCHAR) AS frame_md5, CAST(NULL AS INT) AS sample_rate_hz,
+           CAST(NULL AS INT) AS n_samples, CAST(NULL AS DOUBLE) AS duration_ms,
+           CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS INT) AS peak,
+           CAST(NULL AS INT) AS zero_crossings
+    FROM img_rows
+    UNION ALL
+    SELECT doc_id, kind, n_bytes, prefix_hex, width, height, n_bands, band,
+           band_mean, band_max, checksum,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM rz_rows
+    UNION ALL
+    SELECT doc_id, kind, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           frame_idx, frame_ts_ms, frame_md5, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM fr_rows
+    UNION ALL
+    SELECT doc_id, kind, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, sample_rate_hz, n_samples, duration_ms, rms, peak,
+           zero_crossings
+    FROM au_rows
     """,
-    survey_ref="training-data: binary payload metadata (pre-decode filter) + real SIMG header/band decode (Arrow mapInPandas)",
+    survey_ref=(
+        "training-data: multimodal quartet — payload metadata + SIMG "
+        "decode + 8×8 resize re-decode + SVID frame demux + SAUD audio "
+        "decode (Arrow mapInPandas), all hash-checked"
+    ),
 )
 def q_multimodal_meta(spark, sf_dir):
-    from streaming_examples_spark.operators.multimodal import decode_and_featurize
+    from streaming_examples_spark.operators.multimodal import (
+        decode_and_featurize,
+        decode_audio,
+        resize_payloads,
+        sample_frames,
+        with_audio_payload,
+        with_video_payload,
+    )
 
-    wp = with_binary_payload(t_wide(spark, sf_dir, "documents"))
+    docs = t_wide(spark, sf_dir, "documents")
+    wp = with_binary_payload(docs)
     meta = payload_meta(wp)
-    dec = (
-        decode_and_featurize(wp)
-        .filter(F.col("valid"))
-        .select(
-            "doc_id", "width", "height", "n_bands", "checksum",
-            F.posexplode(F.arrays_zip("band_mean", "band_max")).alias("band", "z"),
+
+    def band_grain(dec):
+        return (
+            dec.filter(F.col("valid"))
+            .select(
+                "doc_id", "width", "height", "n_bands", "checksum",
+                F.posexplode(F.arrays_zip("band_mean", "band_max")).alias("band", "z"),
+            )
+            .select(
+                "doc_id", "width", "height", "n_bands", "band",
+                F.round(F.col("z.band_mean"), 4).alias("band_mean"),
+                F.col("z.band_max").cast("int").alias("band_max"),
+                "checksum",
+            )
         )
-        .select(
-            "doc_id", "width", "height", "n_bands", "band",
-            F.round(F.col("z.band_mean"), 4).alias("band_mean"),
-            F.col("z.band_max").cast("int").alias("band_max"),
-            "checksum",
+
+    img = band_grain(decode_and_featurize(wp)).join(meta, "doc_id")
+    # resize → RE-DECODE: the resampled bytes go straight back through
+    # the image decoder, so the hash covers the emitted SIMG layout too
+    rz = band_grain(
+        decode_and_featurize(
+            resize_payloads(wp, width=8, height=8)
+            .filter(F.col("valid"))
+            .select("doc_id", F.col("resized").alias("payload"))
         )
     )
-    return meta.join(dec, "doc_id")
+    fr = sample_frames(with_video_payload(docs)).select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.md5(F.lower(F.hex(F.col("frame")))).alias("frame_md5"),
+    )
+    au = (
+        decode_audio(with_audio_payload(docs))
+        .filter(F.col("valid"))
+        .select(
+            "doc_id", "sample_rate_hz", "n_samples",
+            F.round("duration_ms", 4).alias("duration_ms"),
+            F.round("rms", 4).alias("rms"),
+            "peak",
+            "zero_crossings",
+        )
+    )
+    return (
+        _mm_align(img, "image")
+        .unionByName(_mm_align(rz, "resize"))
+        .unionByName(_mm_align(fr, "frame"))
+        .unionByName(_mm_align(au, "audio"))
+    )
