@@ -21,14 +21,16 @@ from streaming_examples_spark.model.envelope import (
 )
 
 
-def write_event_log(rows: list[dict], path: str, files: int = 1) -> None:
+def write_event_log(rows: list[dict], path: str, files: int = 1, *, offset: int = 0) -> None:
     """Write envelope dicts as NDJSON split into ``files`` chunks
     (ordered) — each chunk becomes one micro-batch under
-    ``maxFilesPerTrigger=1``."""
+    ``maxFilesPerTrigger=1``. ``offset`` shifts the chunk numbering so
+    a later call can APPEND new micro-batches to a live log (the
+    restart-from-checkpoint tests feed a source this way)."""
     os.makedirs(path, exist_ok=True)
     per = max(1, (len(rows) + files - 1) // files)
     for i in range(0, len(rows), per):
-        with open(os.path.join(path, f"chunk-{i // per:05d}.json"), "w") as f:
+        with open(os.path.join(path, f"chunk-{i // per + offset:05d}.json"), "w") as f:
             for r in rows[i : i + per]:
                 f.write(json.dumps(r) + "\n")
 
