@@ -113,8 +113,14 @@ def minhash_lsh_pairs(
     the docs still pair through their OTHER (more selective) bands, so
     recall degrades gracefully instead of the join exploding. None (the
     default, used by the driver-checked catalog entry at test SF)
-    disables the cap; at 100 TB set it to a few hundred. Skipped-bucket
-    volume is observable via the band-count aggregate this adds.
+    disables the cap; at 100 TB set **256** — measured, not guessed:
+    `tools/probe_bucket_cap.py` shows legitimate-cluster recall exactly
+    1.0 at cap 256 across 1×/10×/50× corpora while the planted viral
+    template's quadratic pair term (1.09 M pairs at 2k copies, growing
+    n²) is suppressed 99 % (SCALE_NOTES.md recall-vs-cap table; the
+    probe asserts the recall property and fails if it regresses).
+    Skipped-bucket volume is observable via the band-count aggregate
+    this adds.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -423,6 +429,12 @@ def dedup_groups(
     large/small-star contraction, O(log n) rounds — choose when the dup
     graph has long chains, e.g. a template drifting one revision at a
     time). Both return identical components (pytest-asserted).
+
+    ``max_bucket_size``: production default **256** (pass it; None here
+    only because the driver oracle is bit-exact uncapped at test SF) —
+    the recall-vs-cap probe (`tools/probe_bucket_cap.py`, SCALE_NOTES)
+    measured legitimate-cluster recall 1.0 at 256 across 1×/10×/50×
+    while a planted viral template's quadratic pair term is suppressed.
 
     Docs in no near-dup pair are their own singleton cluster (left join
     + coalesce). The component and size frames are NOT broadcast-hinted:
