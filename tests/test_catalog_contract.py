@@ -35,6 +35,18 @@ def test_every_entry_is_oracle_backed_except_design_exceptions():
     assert no_oracle == ROWS_ONLY_BY_DESIGN
 
 
+def test_bench_names_track_the_catalog():
+    """bench.py times catalog entries by name — a rename/retire there
+    must fail here, not as a KeyError in the driver's bench run."""
+    import bench
+
+    from streaming_examples_spark.catalog import entries
+
+    names = set(entries())
+    assert set(bench.HEADLINE) <= names
+    assert set(bench.EXTRA).isdisjoint(names)  # extras are non-catalog paths
+
+
 def test_entry_module_contract_shapes():
     import __spark_entry__ as E
 

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from streaming_examples_spark import get_spark  # noqa: E402
-from streaming_examples_spark.catalog import entries  # noqa: E402
+from streaming_examples_spark.catalog import entries, release  # noqa: E402
 from streaming_examples_spark.tables import TABLE_NAMES  # noqa: E402
 
 
@@ -103,6 +103,7 @@ def main() -> int:
             print(f"  {name:28s} rows-only: {len(spdf)} rows  ({spark_t:.1f}s)")
             if len(spdf) == 0:
                 failures.append((name, "zero rows"))
+            release(spark, name, sf_dir)
             continue
         t0 = time.time()
         opdf = con.execute(e.oracle).df()
@@ -126,6 +127,10 @@ def main() -> int:
               + ("  " + "; ".join(problems) if problems else ""))
         if problems:
             failures.append((name, "; ".join(problems)))
+        # drop this entry's cached plan + pinned frames before the next
+        # one: executor storage stays flat across the 50-entry sweep,
+        # and the release() lifecycle gets exercised on every real entry
+        release(spark, name, sf_dir)
     print()
     if failures:
         print(f"{len(failures)} FAILURES:")
