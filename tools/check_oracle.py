@@ -11,7 +11,11 @@ The pandas route matters: DuckDB returns HUGEINT (int128) for
 Round-2 lost ``mixture_weights`` (and round-1 ``sessionize_events``)
 to exactly that gap.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs on a bare ``SparkSession`` (no engine configs) —
+the driver's session shape. Catches configs the engine forgot to set
+defensively at runtime (the nanosAsLong class of bug).
 """
 
 from __future__ import annotations
@@ -82,9 +86,17 @@ def value_hash(lines: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check_oracle")
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
