@@ -292,6 +292,27 @@ def test_undeclared_and_overdelivered_events_block_completeness(spark):
     assert complete_tx_ids([no], x).count() == 0
 
 
+def test_catalog_release_frees_pinned_storage(spark):
+    """Integration half of the plan-cache lifecycle (the contract test
+    uses fake sessions): running the flagship catalog entry pins its
+    gate frames in executor storage; release() must free them without
+    a global clearCache()."""
+    import os
+
+    from streaming_examples_spark.catalog import entries, release
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    before = n_stored()
+    entries()["tx_denorm_orders"].fn(spark, sf_dir).count()
+    assert n_stored() > before  # emit/touched gates are pinned
+    assert release(spark, "tx_denorm_orders", sf_dir) == 1
+    assert n_stored() == before
+
+
 def test_completeness_random_bulk_vs_python_reference(spark):
     """200 seeded-random transactions with every completeness hazard
     mixed in (missing events, duplicate delivery, undeclared tables,
