@@ -71,6 +71,18 @@ def _multimodal_audio(spark, sf_dir):
     return decode_audio(with_audio_payload(load_table(spark, sf_dir, "documents")))
 
 
+def _multimodal_resize(spark, sf_dir):
+    from streaming_examples_spark.operators.multimodal import (
+        resize_payloads,
+        with_binary_payload,
+    )
+    from streaming_examples_spark.tables import load_table
+
+    return resize_payloads(
+        with_binary_payload(load_table(spark, sf_dir, "documents")), width=64, height=64
+    )
+
+
 #: timed alongside the catalog: the full mapInPandas Arrow decode paths
 #: (real SIMG/SAUD parses since round 4, SIMG hash-checked inside
 #: multimodal_meta) and the real SVID demux → SIMG frame sampler,
@@ -79,6 +91,7 @@ EXTRA = {
     "multimodal_decode": _multimodal_decode,
     "multimodal_frames": _multimodal_frames,
     "multimodal_audio": _multimodal_audio,
+    "multimodal_resize": _multimodal_resize,
 }
 
 
