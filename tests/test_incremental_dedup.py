@@ -71,6 +71,29 @@ def test_dup_of_dup_still_matches_canonical(spark, detector):
     assert r[3]["is_dup"] and r[3]["dup_of"] == 1
 
 
+def test_restart_fresh_detector_resumes_from_store(spark, detector, tmp_path):
+    """Kill-and-recreate: a FRESH IncrementalNearDup on the same state
+    dir must see everything the dead one stored — including a replayed
+    overlap batch producing no duplicate state rows — mirroring the tx
+    pipeline's restart guarantee for the dedup store."""
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    detector.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    del detector  # crash: nothing in-memory survives
+
+    fresh = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+    # at-least-once redelivery of batch 0 into the fresh instance:
+    # known ids fold away, state stays canonical-only
+    assert fresh.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 1).count() == 0
+    # cross-restart match: a near-dup of a doc stored BEFORE the crash
+    r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 2).collect()}
+    assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+    sigs = spark.read.parquet(os.path.join(fresh.state_dir, "sigs"))
+    assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
+
+
 def test_compaction_preserves_state_and_verdicts(spark, detector):
     import glob
     import os
