@@ -23,11 +23,17 @@ Design (all equi-joins, no pair space, state ∝ unique corpus):
     ``sigs`` before processing: re-delivery cannot duplicate state or
     flip an earlier verdict.
 
-At 100 TB the ``bands`` store should be written as a table bucketed
-by band_key (sources/writer.py:write_bucketed_table) so the per-batch
-probe join is shuffle-free on the state side; the append-only layout
-is compatible (buckets append). Kept as plain parquet here so tests
-run without a warehouse.
+At 100 TB pass ``bands_buckets=N``: the ``bands`` store becomes an
+EXTERNAL BUCKETED table on (band_id, band_key), so the per-batch probe join
+shuffles only the (small) batch side to the bucket count — the
+corpus-sized store is read in place, never shuffled (plan-asserted in
+tests/test_plans.py). The append-only layout is bucket-compatible
+(each batch appends one file set per bucket; ``compact`` restores one
+file per bucket), and a restart re-registers the table over the
+existing location — bucket ids live in the file names, so a fresh
+session's catalog recovers full bucket-awareness from DDL alone.
+The default (None) keeps plain append-only parquet for
+warehouse-free tests.
 
 Reference parity: the reference has no incremental near-dup operator —
 this extends its CDC-state patterns (bounded keyed state, replay
@@ -92,6 +98,7 @@ class IncrementalNearDup:
         n_perms: int = LSH_BANDS * LSH_ROWS,
         text_col: str = "text",
         id_col: str = "doc_id",
+        bands_buckets: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -100,8 +107,60 @@ class IncrementalNearDup:
         self.n_perms = n_perms
         self.text_col = text_col
         self.id_col = id_col
+        #: the 100 TB layout the module docstring promises: the probe
+        #: index as an EXTERNAL BUCKETED table on (band_id, band_key), so the
+        #: per-batch probe join shuffles only the (small) batch side to
+        #: the bucket count — the corpus-sized store is read in place,
+        #: never shuffled (Exchange elided; plan-asserted in
+        #: tests/test_plans.py). None keeps plain append-only parquet
+        #: (the no-warehouse test default).
+        self.bands_buckets = bands_buckets
+        if bands_buckets:
+            import hashlib
+
+            self._bands_table = (
+                "incdedup_bands_"
+                + hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+            )
 
     # -- state I/O ------------------------------------------------------
+    def _bands_path(self) -> str:
+        return os.path.join(self.state_dir, "bands")
+
+    def _ensure_bands_table(self) -> None:
+        """Re-register the external bucketed table after a restart: a
+        fresh session's catalog doesn't know it, but the bucket ids
+        live in the file names, so DDL over the existing location
+        restores a fully bucket-aware table."""
+        if self.spark.catalog.tableExists(self._bands_table):
+            return
+        if os.path.exists(self._bands_path()):
+            self.spark.sql(
+                f"CREATE TABLE {self._bands_table} "
+                "(band_id INT, band_key STRING, doc_id BIGINT) USING parquet "
+                f"CLUSTERED BY (band_id, band_key) INTO {self.bands_buckets} BUCKETS "
+                f"LOCATION '{self._bands_path()}'"
+            )
+
+    def _load_bands(self) -> DataFrame:
+        if not self.bands_buckets:
+            return self._load("bands", _BAND_SCHEMA)
+        self._ensure_bands_table()
+        if self.spark.catalog.tableExists(self._bands_table):
+            return self.spark.table(self._bands_table)
+        return self.spark.createDataFrame([], _BAND_SCHEMA)
+
+    def _append_bands(self, new_bands: DataFrame) -> None:
+        if not self.bands_buckets:
+            new_bands.write.mode("append").parquet(self._bands_path())
+            return
+        (
+            new_bands.write.mode("append")
+            .bucketBy(self.bands_buckets, "band_id", "band_key")
+            .option("path", self._bands_path())
+            .saveAsTable(self._bands_table)
+        )
+
     def _load(self, name: str, schema: str) -> DataFrame:
         """Missing store -> empty frame (first batch). A store that
         EXISTS but fails to read must raise: swallowing a corrupted
@@ -125,7 +184,7 @@ class IncrementalNearDup:
         batch operator ``dedup_groups``' job, not the stream's.
         """
         sigs_store = self._load("sigs", _SIG_SCHEMA)
-        bands_store = self._load("bands", _BAND_SCHEMA)
+        bands_store = self._load_bands()
 
         # replay protection: a doc_id already folded into the store is
         # a re-delivery — reprocessing could only repeat the verdict
@@ -215,7 +274,7 @@ class IncrementalNearDup:
         # collapse in the probe's .distinct()). The reverse order would
         # leave a canonical in sigs but invisible to the probe index —
         # permanent recall loss for all its future duplicates.
-        new_bands.write.mode("append").parquet(os.path.join(self.state_dir, "bands"))
+        self._append_bands(new_bands)
         new_sigs.write.mode("append").parquet(os.path.join(self.state_dir, "sigs"))
         # enriched is a checkpointed RDD; blocks free when the ref drops
         return report
@@ -237,6 +296,16 @@ class IncrementalNearDup:
 
         for name, schema in (("sigs", _SIG_SCHEMA), ("bands", _BAND_SCHEMA)):
             path = os.path.join(self.state_dir, name)
+            if name == "bands" and self.bands_buckets:
+                # bucketed store: pin the current rows off the files,
+                # then rewrite the table in place — one file per bucket
+                # again. (Per-bucket incremental rewrite is the 100 TB
+                # refinement; whole-store is correct at any size.)
+                cur = self._load_bands().localCheckpoint(eager=True)
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._bands_table}")
+                shutil.rmtree(path, ignore_errors=True)
+                self._append_bands(cur)
+                continue
             tmp = path + ".compact"
             cur = self._load(name, schema)
             cur.repartition(target_partitions).write.mode("overwrite").parquet(tmp)

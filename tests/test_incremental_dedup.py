@@ -94,6 +94,51 @@ def test_restart_fresh_detector_resumes_from_store(spark, detector, tmp_path):
     assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
 
 
+def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path):
+    """bands_buckets=N switches the probe index to an external bucketed
+    table (the 100 TB layout): verdicts must be identical to the plain
+    store, appends must accumulate across batches, a catalog-less
+    restart (fresh session ≈ dropped table) must re-register the table
+    over the existing files, and compaction must keep it queryable."""
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    try:
+        r1 = {r["doc_id"]: r for r in det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0).collect()}
+        assert not r1[1]["is_dup"] and not r1[2]["is_dup"]
+        r2 = {r["doc_id"]: r for r in det.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
+        assert r2[3]["is_dup"] and r2[3]["dup_of"] == 1
+
+        # restart with a cold catalog: drop ONLY the table metadata
+        # (external files stay), build a fresh detector — it must
+        # re-register from DDL and still match docs stored pre-restart
+        spark.sql(f"DROP TABLE {det._bands_table}")
+        fresh = IncrementalNearDup(
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+        )
+        NEAR2 = BASE.replace("warm fire", "cold fire")
+        r3 = {r["doc_id"]: r for r in fresh.process_batch(_docs(spark, [(4, NEAR2)]), 2).collect()}
+        assert r3[4]["is_dup"] and r3[4]["dup_of"] == 1
+
+        # compaction rewrites to one file set per bucket and the store
+        # keeps answering
+        fresh.compact(target_partitions=1)
+        r4 = {r["doc_id"]: r for r in fresh.process_batch(
+            _docs(spark, [(9, BASE.replace("green trees", "green woods"))]), 3).collect()}
+        assert r4[9]["is_dup"] and r4[9]["dup_of"] == 1
+        sigs = spark.read.parquet(os.path.join(fresh.state_dir, "sigs"))
+        assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
+    finally:
+        spark.sql(
+            "DROP TABLE IF EXISTS incdedup_bands_"
+            + __import__("hashlib").md5(
+                os.path.abspath(str(tmp_path / "state")).encode()
+            ).hexdigest()[:12]
+        )
+
+
 def test_compaction_preserves_state_and_verdicts(spark, detector):
     import glob
     import os

@@ -117,6 +117,38 @@ def test_bucketed_join_elides_shuffle(spark, tables, tmp_path):
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+def test_incremental_dedup_bucketed_probe_shuffles_batch_side_only(
+    spark, tables, tmp_path
+):
+    """The bucketed band store's whole point at 100 TB: the probe join
+    reads the corpus-sized store IN PLACE (its bucketing satisfies the
+    join's distribution) and shuffles only the small batch side — so
+    the plan must contain exactly one exchange, on the batch side."""
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+    )
+    try:
+        det.process_batch(
+            spark.createDataFrame(
+                [(1, "the quick brown fox jumps over the lazy dog today")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        store = spark.table(det._bands_table)
+        batch = spark.createDataFrame(
+            [(2, 0, "k")], "doc_id long, band_id int, band_key string"
+        )
+        probe = batch.hint("merge").join(store, ["band_id", "band_key"])
+        plan = formatted_plan(probe)
+        assert "Bucketed: true" in plan  # the store scan uses its buckets
+        assert exchange_count(probe) == 1  # batch side only; store elided
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
+
+
 def test_approx_distinct_error_bound(tables):
     ev = tables["events"]
     approx = {
