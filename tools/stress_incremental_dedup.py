@@ -4,7 +4,12 @@ micro-batches and reports per-batch wall time, dup yield, and state
 size — the evidence that per-batch cost tracks BATCH size (probe is an
 equi-join into the band store), not accumulated corpus size.
 
-Usage: python tools/stress_incremental_dedup.py [sf_dir] [n_batches]
+Usage: python tools/stress_incremental_dedup.py [--bucketed N] [sf_dir] [n_batches]
+
+``--bucketed N`` runs the external-bucketed-band-store layout
+(bands_buckets=N): the probe join reads the store in place instead of
+shuffling it each batch — the flat-wall claim measured under both
+layouts.
 """
 
 from __future__ import annotations
@@ -27,8 +32,14 @@ from streaming_examples_spark.tables import load_table  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = list(sys.argv[1:])
+    buckets = None
+    if "--bucketed" in argv:
+        i = argv.index("--bucketed")
+        buckets = int(argv[i + 1])
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    n_batches = int(argv[1]) if len(argv) > 1 else 10
 
     spark = get_spark("stress-incdedup")
     spark.sparkContext.setLogLevel("ERROR")
@@ -36,7 +47,9 @@ def main() -> int:
     n_docs = docs.count()
 
     state = tempfile.mkdtemp(prefix="incdedup_")
-    det = IncrementalNearDup(spark, os.path.join(state, "state"), threshold=0.7)
+    det = IncrementalNearDup(
+        spark, os.path.join(state, "state"), threshold=0.7, bands_buckets=buckets
+    )
 
     total_dups = 0
     t_all = time.time()
@@ -57,6 +70,8 @@ def main() -> int:
         f"total: {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/s), "
         f"{total_dups} dups, store={sigs.count()} canonicals"
     )
+    if buckets:
+        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
     shutil.rmtree(state, ignore_errors=True)
     return 0
 
