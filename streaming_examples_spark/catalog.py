@@ -73,6 +73,11 @@ def release(spark: SparkSession, name: str | None = None, sf_dir: str | None = N
     slot = _PLAN_CACHE.get(id(spark))
     if slot is None:
         return 0
+    if slot[0] is not spark:
+        # id() recycling: the slot belongs to a dead session that shared
+        # this address — stale state, not this caller's entries
+        del _PLAN_CACHE[id(spark)]
+        return 0
     _, per_session = slot
     victims = [
         k

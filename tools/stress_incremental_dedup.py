@@ -4,12 +4,17 @@ micro-batches and reports per-batch wall time, dup yield, and state
 size — the evidence that per-batch cost tracks BATCH size (probe is an
 equi-join into the band store), not accumulated corpus size.
 
-Usage: python tools/stress_incremental_dedup.py [--bucketed N] [sf_dir] [n_batches]
+Usage: python tools/stress_incremental_dedup.py [--bucketed N] [--seed M] [sf_dir] [n_batches]
 
 ``--bucketed N`` runs the external-bucketed-band-store layout
 (bands_buckets=N): the probe join reads the store in place instead of
 shuffling it each batch — the flat-wall claim measured under both
 layouts.
+
+``--seed M`` pre-folds M synthetic docs (the curation probe's
+generator) into the store before streaming the sf batches — the
+big-store regime where the bucketed layout's elided store-side
+shuffle should beat the plain layout's per-batch store shuffle.
 """
 
 from __future__ import annotations
@@ -34,9 +39,14 @@ from streaming_examples_spark.tables import load_table  # noqa: E402
 def main() -> int:
     argv = list(sys.argv[1:])
     buckets = None
+    seed = 0
     if "--bucketed" in argv:
         i = argv.index("--bucketed")
         buckets = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     n_batches = int(argv[1]) if len(argv) > 1 else 10
@@ -50,6 +60,18 @@ def main() -> int:
     det = IncrementalNearDup(
         spark, os.path.join(state, "state"), threshold=0.7, bands_buckets=buckets
     )
+
+    if seed:
+        from tools.scale_probe_curation import synth_docs
+
+        # seed ids offset past the sf corpus so they never collide
+        big = synth_docs(spark, seed).select(
+            (F.col("doc_id") + 10**9).alias("doc_id"), "text"
+        )
+        t0 = time.time()
+        det.process_batch(big, -1).count()
+        det.compact()  # one file set, the steady-state layout
+        print(f"seeded {seed} docs into the store in {time.time() - t0:.1f}s", flush=True)
 
     total_dups = 0
     t_all = time.time()
