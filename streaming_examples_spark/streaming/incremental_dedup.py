@@ -138,7 +138,8 @@ class IncrementalNearDup:
             self.spark.sql(
                 f"CREATE TABLE {self._bands_table} "
                 "(band_id INT, band_key STRING, doc_id BIGINT) USING parquet "
-                f"CLUSTERED BY (band_id, band_key) INTO {self.bands_buckets} BUCKETS "
+                f"CLUSTERED BY (band_id, band_key) SORTED BY (band_id, band_key) "
+                f"INTO {self.bands_buckets} BUCKETS "
                 f"LOCATION '{self._bands_path()}'"
             )
 
@@ -157,6 +158,10 @@ class IncrementalNearDup:
         (
             new_bands.write.mode("append")
             .bucketBy(self.bands_buckets, "band_id", "band_key")
+            # sorted buckets: after compact() leaves one file per
+            # bucket, the sort-merge probe reads the store pre-sorted
+            # and skips its per-batch O(store) sort entirely
+            .sortBy("band_id", "band_key")
             .option("path", self._bands_path())
             .saveAsTable(self._bands_table)
         )
