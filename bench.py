@@ -1,11 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": <sf>}
+    {"metric": "...", "value": <warm total sec>, "unit": "sec",
+     "queries": {"q": warm_sec, ...},
+     "value_cold": <cold total sec>, "queries_cold": {"q": cold_sec, ...},
+     "methodology": {...}, "sf": <sf>}
 
 Each query executes to a noop sink (full computation, no driver
 collect) so the numbers measure engine work, not result transfer.
+Two timings per query keep the engine-work and prepared-statement
+lineages separately comparable round over round: cold = caches
+cleared, uncached plan construction + first execution; warm = min of
+2 invocations through the catalog plan cache (steady state).
 """
 
 from __future__ import annotations
