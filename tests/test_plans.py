@@ -149,6 +149,26 @@ def test_incremental_dedup_bucketed_probe_shuffles_batch_side_only(
         spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
 
 
+def test_multimodal_meta_union_plan_shape(spark):
+    """The fused multimodal entry is a four-branch union of Arrow
+    stages over the same widened documents scan: all four decoders must
+    appear, nothing may degenerate to a cartesian product, and the
+    image branch's meta join must stay an equi-join."""
+    import os
+
+    from streaming_examples_spark.catalog import entries, release
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = entries()["multimodal_meta"].fn(spark, sf_dir)
+    try:
+        plan = formatted_plan(df)
+        assert not has_cartesian(df)
+        # decode, resize→re-decode (two stages), frames, audio
+        assert plan.count("MapInPandas") >= 5
+    finally:
+        release(spark, "multimodal_meta", sf_dir)
+
+
 def test_approx_distinct_error_bound(tables):
     ev = tables["events"]
     approx = {
