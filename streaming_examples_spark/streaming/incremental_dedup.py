@@ -22,17 +22,28 @@ Design (all equi-joins, no pair space, state ∝ unique corpus):
   * Replayed doc_ids (at-least-once sources) are dropped against
     ``sigs`` before processing: re-delivery cannot duplicate state or
     flip an earlier verdict.
+  * Viral band keys (boilerplate shared by thousands of docs) are
+    capped exactly like the batch LSH family (``dedup.py:_cap_buckets``,
+    measured default 256): a key whose combined store+batch membership
+    exceeds ``max_bucket_size`` is skipped by both the store probe and
+    the within-batch self-join, so one template key accumulated in the
+    store can never make every future batch pay its full fan-out.
 
-At 100 TB pass ``bands_buckets=N``: the ``bands`` store becomes an
-EXTERNAL BUCKETED table on (band_id, band_key), so the per-batch probe join
-shuffles only the (small) batch side to the bucket count — the
-corpus-sized store is read in place, never shuffled (plan-asserted in
-tests/test_plans.py). The append-only layout is bucket-compatible
-(each batch appends one file set per bucket; ``compact`` restores one
-file per bucket), and a restart re-registers the table over the
-existing location — bucket ids live in the file names, so a fresh
-session's catalog recovers full bucket-awareness from DDL alone.
-The default (None) keeps plain append-only parquet for
+At 100 TB pass ``bands_buckets=N``: BOTH stores become EXTERNAL
+BUCKETED tables — ``bands`` on (band_id, band_key), ``sigs`` on
+doc_id — so every per-batch store join (replay anti-join, band probe,
+signature verify) shuffles only the (small) batch side to the bucket
+count; the corpus-sized stores are read in place, never shuffled
+(plan-asserted in tests/test_plans.py). The append-only layout is
+bucket-compatible (each batch appends one file set per bucket;
+``compact`` restores one file per bucket), and a restart re-registers
+the tables over the existing files — bucket ids live in the file
+names, so a fresh session's catalog recovers full bucket-awareness
+from DDL alone. The bucket counts are persisted in
+``state_dir/_layout.json`` on first write and validated at init:
+re-opening a store with a different count would silently hash probes
+into the wrong buckets (permanent recall loss), so a mismatch raises
+instead. The default (None) keeps plain append-only parquet for
 warehouse-free tests.
 
 Reference parity: the reference has no incremental near-dup operator —
@@ -42,7 +53,11 @@ dedup: TxAware...Operator.java:357-430) to the training-data domain.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -58,6 +73,22 @@ from streaming_examples_spark.functions.hashing import (
 
 _SIG_SCHEMA = "doc_id long, sig array<long>"
 _BAND_SCHEMA = "band_id int, band_key string, doc_id long"
+
+#: per-store bucketing spec: (read schema, bucket/sort columns, DDL columns)
+_STORES = {
+    "sigs": (_SIG_SCHEMA, ("doc_id",), "(doc_id BIGINT, sig ARRAY<BIGINT>)"),
+    "bands": (
+        _BAND_SCHEMA,
+        ("band_id", "band_key"),
+        "(band_id INT, band_key STRING, doc_id BIGINT)",
+    ),
+}
+
+#: Spark bucketed data files carry their bucket id in the name
+#: (``part-00007-<uuid>_00003.c000.snappy.parquet`` → bucket 3); the
+#: per-bucket compactor groups files by this, the same convention the
+#: scan uses to map files to buckets.
+_BUCKET_ID_RE = re.compile(r"_(\d+)\.c\d+")
 
 
 def minhash_signature(hs, n_perms: int) -> F.Column:
@@ -99,6 +130,8 @@ class IncrementalNearDup:
         text_col: str = "text",
         id_col: str = "doc_id",
         bands_buckets: int | None = None,
+        sigs_buckets: int | None = None,
+        max_bucket_size: int | None = 256,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -107,74 +140,142 @@ class IncrementalNearDup:
         self.n_perms = n_perms
         self.text_col = text_col
         self.id_col = id_col
-        #: the 100 TB layout the module docstring promises: the probe
-        #: index as an EXTERNAL BUCKETED table on (band_id, band_key), so the
-        #: per-batch probe join shuffles only the (small) batch side to
-        #: the bucket count — the corpus-sized store is read in place,
-        #: never shuffled (Exchange elided; plan-asserted in
+        #: the 100 TB layout the module docstring promises: both stores
+        #: as EXTERNAL BUCKETED tables (bands on (band_id, band_key),
+        #: sigs on doc_id), so every per-batch store join shuffles only
+        #: the (small) batch side — the corpus-sized stores are read in
+        #: place, never shuffled (Exchange elided; plan-asserted in
         #: tests/test_plans.py). None keeps plain append-only parquet
-        #: (the no-warehouse test default).
+        #: (the no-warehouse test default). ``sigs_buckets`` defaults to
+        #: ``bands_buckets`` — one dial covers both stores.
         self.bands_buckets = bands_buckets
-        if bands_buckets:
+        self.sigs_buckets = sigs_buckets if sigs_buckets is not None else bands_buckets
+        #: viral-band guard, same measured default as the batch LSH
+        #: family (``operators/dedup.py:_cap_buckets`` / SCALE_NOTES
+        #: recall-vs-cap table): keys whose combined store+batch
+        #: membership exceeds this are skipped by probe AND self-join;
+        #: near-dups still pair through their other, selective bands.
+        self.max_bucket_size = max_bucket_size
+        if self.bands_buckets or self.sigs_buckets:
             import hashlib
 
-            self._bands_table = (
-                "incdedup_bands_"
-                + hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+            tag = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:12]
+            self._bands_table = "incdedup_bands_" + tag
+            self._sigs_table = "incdedup_sigs_" + tag
+        self._check_layout()
+
+    # -- state layout ---------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def _buckets(self, name: str) -> int | None:
+        return self.bands_buckets if name == "bands" else self.sigs_buckets
+
+    def _table(self, name: str) -> str:
+        return self._bands_table if name == "bands" else self._sigs_table
+
+    def _layout_path(self) -> str:
+        return os.path.join(self.state_dir, "_layout.json")
+
+    def _check_layout(self) -> None:
+        """A store hashed into N buckets read back as M buckets probes
+        the wrong files — silent, permanent recall loss. The layout file
+        written with the first append makes the mismatch loud instead.
+        A pre-layout (legacy) store adopts the constructor's declaration
+        on its next append."""
+        declared = {"bands_buckets": self.bands_buckets, "sigs_buckets": self.sigs_buckets}
+        if not os.path.exists(self._layout_path()):
+            return
+        with open(self._layout_path()) as fh:
+            stored = json.load(fh)
+        for key, want in declared.items():
+            have = stored.get(key)
+            if have != want:
+                raise ValueError(
+                    f"incremental-dedup state at {self.state_dir} was written "
+                    f"with {key}={have} but this detector declares {key}={want}; "
+                    "re-opening with a different bucket count would probe the "
+                    "wrong buckets (silent recall loss). Pass the stored count, "
+                    "or compact()+migrate the store explicitly."
+                )
+
+    def _write_layout(self) -> None:
+        if os.path.exists(self._layout_path()):
+            return
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self._layout_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"bands_buckets": self.bands_buckets, "sigs_buckets": self.sigs_buckets},
+                fh,
             )
+        os.rename(tmp, self._layout_path())
 
     # -- state I/O ------------------------------------------------------
-    def _bands_path(self) -> str:
-        return os.path.join(self.state_dir, "bands")
+    def _recover(self, name: str) -> None:
+        """Heal a crash inside ``compact``'s swap: the new copy is fully
+        written before the live dir is touched, so the only bad window
+        is between the two renames — live dir missing, ``.old`` present.
+        Restore the old copy (the compaction is simply lost). An ``.old``
+        next to a live dir is leftover garbage from a crash after the
+        second rename — drop it."""
+        path, old = self._path(name), self._path(name) + ".old"
+        if os.path.exists(old):
+            if not os.path.exists(path):
+                os.rename(old, path)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
 
-    def _ensure_bands_table(self) -> None:
+    def _ensure_table(self, name: str) -> None:
         """Re-register the external bucketed table after a restart: a
         fresh session's catalog doesn't know it, but the bucket ids
         live in the file names, so DDL over the existing location
         restores a fully bucket-aware table."""
-        if self.spark.catalog.tableExists(self._bands_table):
+        if self.spark.catalog.tableExists(self._table(name)):
             return
-        if os.path.exists(self._bands_path()):
+        if os.path.exists(self._path(name)):
+            _, cols, ddl_cols = _STORES[name]
+            key_list = ", ".join(cols)
             self.spark.sql(
-                f"CREATE TABLE {self._bands_table} "
-                "(band_id INT, band_key STRING, doc_id BIGINT) USING parquet "
-                f"CLUSTERED BY (band_id, band_key) SORTED BY (band_id, band_key) "
-                f"INTO {self.bands_buckets} BUCKETS "
-                f"LOCATION '{self._bands_path()}'"
+                f"CREATE TABLE {self._table(name)} {ddl_cols} USING parquet "
+                f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+                f"INTO {self._buckets(name)} BUCKETS "
+                f"LOCATION '{self._path(name)}'"
             )
 
-    def _load_bands(self) -> DataFrame:
-        if not self.bands_buckets:
-            return self._load("bands", _BAND_SCHEMA)
-        self._ensure_bands_table()
-        if self.spark.catalog.tableExists(self._bands_table):
-            return self.spark.table(self._bands_table)
-        return self.spark.createDataFrame([], _BAND_SCHEMA)
-
-    def _append_bands(self, new_bands: DataFrame) -> None:
-        if not self.bands_buckets:
-            new_bands.write.mode("append").parquet(self._bands_path())
-            return
-        (
-            new_bands.write.mode("append")
-            .bucketBy(self.bands_buckets, "band_id", "band_key")
-            # sorted buckets: after compact() leaves one file per
-            # bucket, the sort-merge probe reads the store pre-sorted
-            # and skips its per-batch O(store) sort entirely
-            .sortBy("band_id", "band_key")
-            .option("path", self._bands_path())
-            .saveAsTable(self._bands_table)
-        )
-
-    def _load(self, name: str, schema: str) -> DataFrame:
+    def _load_store(self, name: str) -> DataFrame:
         """Missing store -> empty frame (first batch). A store that
         EXISTS but fails to read must raise: swallowing a corrupted
         parquet would silently reset the dedup state (every known doc
         re-admitted as canonical)."""
-        path = os.path.join(self.state_dir, name)
-        if not os.path.exists(path):
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(path)
+        self._recover(name)
+        schema = _STORES[name][0]
+        if not self._buckets(name):
+            path = self._path(name)
+            if not os.path.exists(path):
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(path)
+        self._ensure_table(name)
+        if self.spark.catalog.tableExists(self._table(name)):
+            return self.spark.table(self._table(name))
+        return self.spark.createDataFrame([], schema)
+
+    def _append_store(self, name: str, rows: DataFrame) -> None:
+        self._write_layout()
+        if not self._buckets(name):
+            rows.write.mode("append").parquet(self._path(name))
+            return
+        _, cols, _ = _STORES[name]
+        (
+            rows.write.mode("append")
+            .bucketBy(self._buckets(name), *cols)
+            # sorted buckets: after compact() leaves one file per
+            # bucket, the sort-merge probe reads the store pre-sorted
+            # and skips its per-batch O(store) sort entirely
+            .sortBy(*cols)
+            .option("path", self._path(name))
+            .saveAsTable(self._table(name))
+        )
 
     # -- the batch step -------------------------------------------------
     def process_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
@@ -188,11 +289,13 @@ class IncrementalNearDup:
         match it directly (one hop); full transitive closure is the
         batch operator ``dedup_groups``' job, not the stream's.
         """
-        sigs_store = self._load("sigs", _SIG_SCHEMA)
-        bands_store = self._load_bands()
+        sigs_store = self._load_store("sigs")
+        bands_store = self._load_store("bands")
 
         # replay protection: a doc_id already folded into the store is
-        # a re-delivery — reprocessing could only repeat the verdict
+        # a re-delivery — reprocessing could only repeat the verdict.
+        # With sigs_buckets the store side satisfies the anti-join's
+        # distribution from its bucketing: only the batch side shuffles.
         fresh = docs.select(
             F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
         ).join(sigs_store.select("doc_id"), "doc_id", "left_anti")
@@ -215,6 +318,33 @@ class IncrementalNearDup:
         with_bands = enriched.filter(F.col("n_sh") > 0).select(
             "doc_id", "sig", F.posexplode("keys").alias("band_id", "band_key")
         )
+        if self.max_bucket_size is not None:
+            # viral-band cap over the UNION of store+batch membership: a
+            # boilerplate key with n store members fans every future
+            # batch's probe out n-fold (and a within-batch template key
+            # n²-fold in the self-join). Count the store side only for
+            # keys the batch actually carries (broadcast semi-join — one
+            # extra store SCAN, no store shuffle, output O(batch keys)),
+            # add the batch's own counts, and drop keys over the cap
+            # from probe and self-join alike. Near-dups still pair via
+            # their other, selective bands (recall measured at the batch
+            # family's cap: tools/probe_bucket_cap.py).
+            batch_keys = with_bands.select("band_id", "band_key")
+            store_keys = bands_store.join(
+                F.broadcast(batch_keys.distinct()), ["band_id", "band_key"], "left_semi"
+            ).select("band_id", "band_key")
+            sane = (
+                batch_keys.unionByName(store_keys)
+                .groupBy("band_id", "band_key")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") <= self.max_bucket_size)
+                .drop("n")
+            )
+            with_bands = with_bands.join(sane, ["band_id", "band_key"], "left_semi")
+            # the cap path pulled a store scan into this lineage; pin the
+            # (batch-sized) result so the peer SELF-join below doesn't
+            # evaluate it once per side
+            with_bands = with_bands.localCheckpoint(eager=True)
 
         # candidates vs the stored corpus + within the batch itself
         hist = (
@@ -279,43 +409,106 @@ class IncrementalNearDup:
         # collapse in the probe's .distinct()). The reverse order would
         # leave a canonical in sigs but invisible to the probe index —
         # permanent recall loss for all its future duplicates.
-        self._append_bands(new_bands)
-        new_sigs.write.mode("append").parquet(os.path.join(self.state_dir, "sigs"))
+        self._append_store("bands", new_bands)
+        self._append_store("sigs", new_sigs)
         # enriched is a checkpointed RDD; blocks free when the ref drops
         return report
 
     # -- maintenance ----------------------------------------------------
-    def compact(self, target_partitions: int = 4) -> None:
-        """Rewrite both stores into ``target_partitions`` files each.
+    def compact(
+        self, target_partitions: int = 4, *, hot_bucket_threshold: int | None = None
+    ) -> None:
+        """Rewrite the stores into O(1) files each.
 
         Append-only parquet accumulates one file-set per batch; after N
         micro-batches the probe join opens O(N) small files. Periodic
         compaction (call it every ~100 batches, or from a maintenance
         job) restores O(1) file count. The rewrite is atomic per store:
-        write to a temp dir, then swap — a concurrent reader sees the
-        old or the new layout, never a partial one. At 100 TB this is
-        the compaction pass of any LSM-ish table format; with the
-        bucketed-store variant it rewrites per bucket.
-        """
-        import shutil
+        the new copy is FULLY written to a temp location before the live
+        one is touched, then swapped in two renames — a crash at any
+        point leaves either the old or the new complete layout on disk
+        (``_recover`` heals the one bad window between the renames by
+        restoring the old copy). At 100 TB this is the compaction pass
+        of any LSM-ish table format.
 
-        for name, schema in (("sigs", _SIG_SCHEMA), ("bands", _BAND_SCHEMA)):
-            path = os.path.join(self.state_dir, name)
-            if name == "bands" and self.bands_buckets:
-                # bucketed store: pin the current rows off the files,
-                # then rewrite the table in place — one file per bucket
-                # again. (Per-bucket incremental rewrite is the 100 TB
-                # refinement; whole-store is correct at any size.)
-                cur = self._load_bands().localCheckpoint(eager=True)
-                self.spark.sql(f"DROP TABLE IF EXISTS {self._bands_table}")
-                shutil.rmtree(path, ignore_errors=True)
-                self._append_bands(cur)
+        ``hot_bucket_threshold`` (bucketed stores only) is the 100 TB
+        refinement: rewrite ONLY buckets holding more than that many
+        files, leaving cold buckets untouched — a full-store rewrite per
+        ~100 batches is itself a scale event. Per-bucket rewrites append
+        the merged file before deleting the inputs, so a crash mid-pass
+        leaves duplicate rows at worst (collapsed by the probe's
+        ``.distinct()`` and healed by the next full compact's
+        ``dropDuplicates``), never missing rows.
+        """
+        for name, (schema, cols, _) in _STORES.items():
+            self._recover(name)
+            path = self._path(name)
+            if not os.path.exists(path):
+                continue
+            if self._buckets(name):
+                if hot_bucket_threshold is not None:
+                    self._compact_hot_buckets(name, schema, hot_bucket_threshold)
+                    continue
+                # full rewrite, crash-atomic: write the re-bucketed copy
+                # to a temp TABLE over a temp path; only after it is
+                # durably complete, swap directories and re-register.
+                tmp_table = self._table(name) + "_compact"
+                tmp_path = path + ".compact"
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+                shutil.rmtree(tmp_path, ignore_errors=True)
+                (
+                    self._load_store(name)
+                    .dropDuplicates()  # heal any append-retry duplicates
+                    .write.mode("overwrite")
+                    .bucketBy(self._buckets(name), *cols)
+                    .sortBy(*cols)
+                    .option("path", tmp_path)
+                    .saveAsTable(tmp_table)
+                )
+                # metadata-only drops: external tables keep their files
+                self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name)}")
+                old = path + ".old"
+                os.rename(path, old)
+                os.rename(tmp_path, path)
+                shutil.rmtree(old, ignore_errors=True)
+                self._ensure_table(name)
                 continue
             tmp = path + ".compact"
-            cur = self._load(name, schema)
-            cur.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+            cur = self._load_store(name)
+            cur.dropDuplicates().repartition(target_partitions).write.mode(
+                "overwrite"
+            ).parquet(tmp)
             old = path + ".old"
-            if os.path.exists(path):
-                os.rename(path, old)
+            os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old, ignore_errors=True)
+
+    def _compact_hot_buckets(self, name: str, schema: str, threshold: int) -> None:
+        """Merge each over-fragmented bucket's files into one, touching
+        O(hot buckets) files: read that bucket's files directly, append
+        the merged set through the bucketed writer (the rows hash back
+        to the same bucket; coalesce(1) → one output file), then delete
+        the inputs. Append-before-delete makes the pass crash-safe at
+        the cost of transient duplicates (see :meth:`compact`)."""
+        by_bucket: dict[int, list[str]] = {}
+        for f in glob.glob(os.path.join(self._path(name), "*.parquet")):
+            m = _BUCKET_ID_RE.search(os.path.basename(f))
+            if m:
+                by_bucket.setdefault(int(m.group(1)), []).append(f)
+        for files in by_bucket.values():
+            if len(files) <= threshold:
+                continue
+            merged = (
+                self.spark.read.schema(schema)
+                .parquet(*files)
+                .dropDuplicates()
+                .coalesce(1)
+            )
+            self._append_store(name, merged)
+            for f in files:
+                os.remove(f)
+        # the bucketed scan lists files at plan time; invalidate any
+        # cached listing of the just-rewritten location
+        if self.spark.catalog.tableExists(self._table(name)):
+            self.spark.catalog.refreshTable(self._table(name))

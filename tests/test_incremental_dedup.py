@@ -94,9 +94,18 @@ def test_restart_fresh_detector_resumes_from_store(spark, detector, tmp_path):
     assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
 
 
+def _drop_store_tables(spark, state_dir):
+    import hashlib
+    import os
+
+    tag = hashlib.md5(os.path.abspath(str(state_dir)).encode()).hexdigest()[:12]
+    spark.sql(f"DROP TABLE IF EXISTS incdedup_bands_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS incdedup_sigs_{tag}")
+
+
 def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path):
-    """bands_buckets=N switches the probe index to an external bucketed
-    table (the 100 TB layout): verdicts must be identical to the plain
+    """bands_buckets=N switches BOTH stores to external bucketed tables
+    (the 100 TB layout): verdicts must be identical to the plain
     store, appends must accumulate across batches, a catalog-less
     restart (fresh session ≈ dropped table) must re-register the table
     over the existing files, and compaction must keep it queryable."""
@@ -115,6 +124,7 @@ def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path):
         # (external files stay), build a fresh detector — it must
         # re-register from DDL and still match docs stored pre-restart
         spark.sql(f"DROP TABLE {det._bands_table}")
+        spark.sql(f"DROP TABLE {det._sigs_table}")
         fresh = IncrementalNearDup(
             spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
         )
@@ -131,12 +141,203 @@ def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path):
         sigs = spark.read.parquet(os.path.join(fresh.state_dir, "sigs"))
         assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
     finally:
-        spark.sql(
-            "DROP TABLE IF EXISTS incdedup_bands_"
-            + __import__("hashlib").md5(
-                os.path.abspath(str(tmp_path / "state")).encode()
-            ).hexdigest()[:12]
+        _drop_store_tables(spark, tmp_path / "state")
+
+
+def test_layout_mismatch_raises_on_restart(spark, tmp_path):
+    """Re-opening a store with a different bucket count would hash
+    probes into the wrong buckets — silent recall loss. The persisted
+    layout makes it raise at init instead."""
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    try:
+        det.process_batch(_docs(spark, [(1, BASE)]), 0)
+        with pytest.raises(ValueError, match="bands_buckets=4"):
+            IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=8)
+        with pytest.raises(ValueError, match="bands_buckets=4"):
+            IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+        # the declared layout still opens fine
+        again = IncrementalNearDup(
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
         )
+        r = {x["doc_id"]: x for x in again.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
+        assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
+
+
+def test_plain_layout_mismatch_raises_when_reopened_bucketed(spark, tmp_path):
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+    det.process_batch(_docs(spark, [(1, BASE)]), 0)
+    with pytest.raises(ValueError, match="bands_buckets=None"):
+        IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+
+
+def test_viral_bucket_cap_gates_probe_and_peer(spark, tmp_path):
+    """The cap counts the UNION of store+batch members per band key and
+    gates both the store probe and the within-batch self-join: with
+    cap=1 every shared key has ≥2 members, so no candidate survives;
+    with the default cap the same pairs match."""
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    capped = IncrementalNearDup(
+        spark, str(tmp_path / "capped"), threshold=0.5, max_bucket_size=1
+    )
+    # within-batch peers share band keys (count 2 > 1) -> peer path gated
+    r = {x["doc_id"]: x for x in capped.process_batch(
+        _docs(spark, [(10, BASE), (11, NEAR)]), 0).collect()}
+    assert not r[10]["is_dup"] and not r[11]["is_dup"] and r[11]["n_candidates"] == 0
+    # cross-batch: stored key + batch key (count 2 > 1) -> hist path gated
+    r2 = {x["doc_id"]: x for x in capped.process_batch(
+        _docs(spark, [(12, BASE.replace("warm fire", "cold fire"))]), 1).collect()}
+    assert not r2[12]["is_dup"]
+
+    # same inputs under the measured default cap: both paths match
+    open_det = IncrementalNearDup(spark, str(tmp_path / "open"), threshold=0.5)
+    r3 = {x["doc_id"]: x for x in open_det.process_batch(
+        _docs(spark, [(10, BASE), (11, NEAR)]), 0).collect()}
+    assert r3[11]["is_dup"] and r3[11]["dup_of"] == 10
+
+
+def test_bucketed_compact_crash_before_swap_loses_nothing(spark, tmp_path, monkeypatch):
+    """Crash-atomicity of the bucketed compact: the new copy is fully
+    written BEFORE the live store is touched, so failing at the first
+    swap rename leaves the original store intact — a fresh detector
+    still matches every pre-compact canonical."""
+    import os as _os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    try:
+        det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+
+        real_rename = _os.rename
+
+        def crash_on_swap(src, dst):
+            if str(dst).endswith(".old"):
+                raise RuntimeError("injected crash before swap")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr("os.rename", crash_on_swap)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            det.compact()
+        monkeypatch.setattr("os.rename", real_rename)
+
+        fresh = IncrementalNearDup(
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+        )
+        r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
+        assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+        # and a later compact (no crash) completes and stays queryable
+        fresh.compact()
+        r2 = {x["doc_id"]: x for x in fresh.process_batch(
+            _docs(spark, [(4, BASE.replace("green trees", "green woods"))]), 2).collect()}
+        assert r2[4]["is_dup"] and r2[4]["dup_of"] == 1
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
+
+
+def test_bucketed_compact_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
+    """The one bad window: live dir renamed away, new dir not yet in
+    place. ``_recover`` must restore the ``.old`` copy on next load."""
+    import os as _os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    try:
+        det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+
+        real_rename = _os.rename
+
+        def crash_mid_swap(src, dst):
+            if str(src).endswith(".compact"):
+                raise RuntimeError("injected crash mid-swap")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr("os.rename", crash_mid_swap)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            det.compact()
+        monkeypatch.setattr("os.rename", real_rename)
+
+        fresh = IncrementalNearDup(
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+        )
+        r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
+        assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
+
+
+def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
+    """hot_bucket_threshold compaction must rewrite ONLY buckets whose
+    file count exceeds the threshold (at 100 TB a full-store rewrite is
+    itself a scale event), leave cold buckets' files byte-identical,
+    and keep verdicts intact."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    try:
+        def synth(ids):
+            return _docs(spark, [
+                (i, f"document number {i} talks about subject s{i} using "
+                    f"unique words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g")
+                for i in ids
+            ])
+
+        det.process_batch(synth(range(1, 9)), 0)
+        det.process_batch(synth(range(9, 17)), 1)
+
+        # heat up ONE sigs bucket: ids hashing to bucket 0 (the bucketed
+        # writer's id = pmod(murmur3(doc_id), n_buckets), same as F.hash)
+        cand = spark.range(100, 200).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.hash(F.col("id").cast("long")), F.lit(4)).alias("b"),
+        )
+        hot_ids = [r["doc_id"] for r in cand.filter("b = 0").limit(12).collect()]
+        det.process_batch(synth(hot_ids[:6]), 2)
+        det.process_batch(synth(hot_ids[6:]), 3)
+
+        def files_per_bucket(store):
+            out = {}
+            for f in glob.glob(os.path.join(det.state_dir, store, "*.parquet")):
+                import re
+                m = re.search(r"_(\d+)\.c\d+", os.path.basename(f))
+                out.setdefault(int(m.group(1)), set()).add(os.path.basename(f))
+            return out
+
+        before = files_per_bucket("sigs")
+        counts = {b: len(fs) for b, fs in before.items()}
+        thr = min(counts.values())
+        assert max(counts.values()) > thr, f"need a hot bucket, got {counts}"
+
+        det.compact(hot_bucket_threshold=thr)
+
+        after = files_per_bucket("sigs")
+        for b, fs in before.items():
+            if len(fs) <= thr:
+                assert after[b] == fs, f"cold bucket {b} was touched"
+            else:
+                assert len(after[b]) == 1, f"hot bucket {b} not merged: {after[b]}"
+
+        # store still answers: canonical set unchanged, probe works
+        sigs = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+        assert sigs.count() == sigs.select("doc_id").distinct().count()
+        dup_of_one = synth([1]).collect()[0]["text"]
+        r = {x["doc_id"]: x for x in det.process_batch(
+            _docs(spark, [(5000, dup_of_one)]), 4).collect()}
+        assert r[5000]["is_dup"] and r[5000]["dup_of"] == 1
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
 
 
 def test_compaction_preserves_state_and_verdicts(spark, detector):

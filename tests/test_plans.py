@@ -147,6 +147,55 @@ def test_incremental_dedup_bucketed_probe_shuffles_batch_side_only(
         assert exchange_count(probe) == 1  # batch side only; store elided
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
+
+
+def test_incremental_dedup_bucketed_sigs_joins_shuffle_batch_side_only(
+    spark, tables, tmp_path
+):
+    """The sigs store mirrors the bands store's 100 TB layout: the
+    per-batch replay-protection anti-join and the signature-verify join
+    both read the corpus-sized store IN PLACE (its doc_id bucketing
+    satisfies the join distribution) and shuffle only the batch side —
+    exactly one exchange each, on the batch side."""
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+    )
+    try:
+        det.process_batch(
+            spark.createDataFrame(
+                [(1, "the quick brown fox jumps over the lazy dog today")],
+                "doc_id long, text string",
+            ),
+            0,
+        )
+        store = spark.table(det._sigs_table)
+
+        # replay-protection shape: batch LEFT ANTI store on doc_id
+        batch = spark.createDataFrame([(2, "t")], "doc_id long, text string")
+        anti = batch.hint("merge").join(store.select("doc_id"), "doc_id", "left_anti")
+        plan = formatted_plan(anti)
+        assert "Bucketed: true" in plan
+        assert exchange_count(anti) == 1  # batch side only; store elided
+
+        # signature-verify shape: candidates JOIN store on old_id — the
+        # store side keeps its bucketing through the rename (alias-aware
+        # output partitioning), so again one exchange, batch side only
+        cands = spark.createDataFrame([(2, 1)], "doc_id long, old_id long")
+        verify = cands.hint("merge").join(
+            store.select(
+                F.col("doc_id").alias("old_id"), F.col("sig").alias("old_sig")
+            ),
+            "old_id",
+        )
+        plan_v = formatted_plan(verify)
+        assert "Bucketed: true" in plan_v
+        assert exchange_count(verify) == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
 
 
 def test_multimodal_meta_union_plan_shape(spark):

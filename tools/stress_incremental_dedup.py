@@ -93,7 +93,37 @@ def main() -> int:
         f"{total_dups} dups, store={sigs.count()} canonicals"
     )
     if buckets:
+        # the 100 TB contract, checked against the LIVE (big) store:
+        # every store join — band probe, replay anti-join, signature
+        # verify — must read the store in place with exactly ONE
+        # exchange, on the batch side (store-side Exchange elided)
+        from streaming_examples_spark.plans.inspect import exchange_count
+
+        bands_t = spark.table(det._bands_table)
+        sigs_t = spark.table(det._sigs_table)
+        b_batch = spark.createDataFrame(
+            [(0, 0, "k")], "doc_id long, band_id int, band_key string"
+        )
+        s_batch = spark.createDataFrame([(0, "t")], "doc_id long, text string")
+        c_batch = spark.createDataFrame([(0, 1)], "doc_id long, old_id long")
+        probes = {
+            "bands probe": b_batch.hint("merge").join(bands_t, ["band_id", "band_key"]),
+            "sigs anti (replay)": s_batch.hint("merge").join(
+                sigs_t.select("doc_id"), "doc_id", "left_anti"
+            ),
+            "sigs verify": c_batch.hint("merge").join(
+                sigs_t.select(
+                    F.col("doc_id").alias("old_id"), F.col("sig").alias("old_sig")
+                ),
+                "old_id",
+            ),
+        }
+        for label, join in probes.items():
+            n = exchange_count(join)
+            assert n == 1, f"{label}: {n} exchanges (store side must be elided)"
+            print(f"plan check: {label} -> 1 exchange (batch side only)", flush=True)
         spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
     shutil.rmtree(state, ignore_errors=True)
     return 0
 
