@@ -122,8 +122,22 @@ def main() -> int:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE + sorted(EXTRA):
-        cold_fn = cat[name].fn.__wrapped__ if name in cat else EXTRA[name]
-        warm_fn = cat[name].fn if name in cat else EXTRA[name]
+        if name in cat:
+            cold_fn = cat[name].fn.__wrapped__
+            warm_fn = cat[name].fn
+        else:
+            # EXTRA entries get the same cached-construction warm path
+            # the catalog's plan cache gives registered queries: build
+            # the DataFrame once, re-execute it on repeat invocations —
+            # so warm measures EXECUTION, not py4j plan construction
+            # (pre-r6 the extras rebuilt the plan per warm run, which
+            # made their warm deltas read as execution regressions)
+            cold_fn = EXTRA[name]
+
+            def warm_fn(spark, sf_dir, _f=EXTRA[name], _memo={}):  # noqa: B006
+                if "df" not in _memo:
+                    _memo["df"] = _f(spark, sf_dir)
+                return _memo["df"]
 
         spark.catalog.clearCache()
         t0 = time.time()
@@ -160,7 +174,8 @@ def main() -> int:
         "value_cold": round(sum(cold.values()), 3),
         "queries_cold": cold,
         "methodology": {
-            "warm": "min of 2 invocations via the catalog plan cache (steady state)",
+            "warm": "min of 2 invocations via a cached plan (catalog plan cache; "
+            "extras memoize their DataFrame the same way since r6)",
             "cold": "caches cleared, uncached construction + first execution",
         },
         "sf": sf_val,
