@@ -90,6 +90,14 @@ def _widen_for_python(
         return df, "passthrough"
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if widen is True:
+        # the documented contract: explicit overrides beat the auto
+        # gate, on EVERY plan shape. repartition needs no .rdd probe,
+        # so it is safe on adaptive plans too — an AQE-coalesced narrow
+        # partition feeding an expanding decode (the estimate-blind
+        # case arriving through a join) is exactly when the caller
+        # reaches for widen=True.
+        return df.repartition(target), "explicit"
     try:
         adaptive = (
             df._jdf.queryExecution()
@@ -105,8 +113,11 @@ def _widen_for_python(
         # partitions / AQE coalescing, which only shrinks counts when
         # the data is small enough not to care), and probing .rdd would
         # FINALIZE the adaptive plan — executing every upstream query
-        # stage once for the probe and again for the real run. Even
-        # explicit widen=True adds nothing but a second shuffle here.
+        # stage once for the probe and again for the real run. The
+        # caller arms the realized-bytes monitor on this status: AQE
+        # coalescing is estimate-driven, so a coalesced-narrow split
+        # feeding an expanding decode warns instead of silently
+        # serializing (escape hatch: widen=True, handled above).
         return df, "shuffled-input"
     # exchange-free plan: no query stages exist, so the exact .rdd
     # split count is free to read
@@ -141,7 +152,10 @@ def _loud_monitor(fn, payload_col: str, sc):
         fired = False
         for pdf in batches:
             if not fired:
-                seen += int(sum(len(v) for v in pdf[payload_col] if v is not None))
+                # vectorized: pandas maps len() over the object column
+                # C-side; the per-blob Python loop this replaces was a
+                # measurable tax on narrow-batch stages
+                seen += int(pdf[payload_col].str.len().sum())
                 if seen > LOUD_BYTES_PER_TASK:
                     fired = True
                     acc.add(1)
@@ -166,7 +180,12 @@ def _arrow_map(
     path, run the Arrow stage."""
     base, status = _widen_for_python(df, widen=widen)
     monitor = None
-    if status == "declined-small":
+    if status in ("declined-small", "shuffled-input"):
+        # both estimate-driven gate outcomes: "declined-small" trusted a
+        # scan estimate, "shuffled-input" trusts AQE's coalescing (also
+        # estimate-driven). Either can under-parallelize an expanding
+        # blob decode — watch realized bytes and warn instead of
+        # silently serializing.
         fn, monitor = _loud_monitor(fn, payload_col, base.sparkSession.sparkContext)
     out = base.mapInPandas(fn, schema=schema)
     if monitor is not None:

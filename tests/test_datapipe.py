@@ -341,15 +341,18 @@ def test_multimodal_widen_gate(spark, tables):
     # escape hatch for estimate-blind inputs (compressed/expression-built)
     assert decode_and_featurize(docs, widen=True).rdd.getNumPartitions() == par
     assert resize_payloads(docs, width=8, height=8, widen=False).rdd.getNumPartitions() == 1
-    # shuffled inputs pass through untouched WITHOUT touching .rdd —
-    # probing .rdd finalizes an adaptive plan, silently executing every
-    # upstream query stage once for the probe and again for the real
-    # run; their parallelism is the shuffle's business anyway
+    # AUTO on a shuffled input passes through untouched WITHOUT
+    # touching .rdd — probing .rdd finalizes an adaptive plan, silently
+    # executing every upstream query stage once for the probe and again
+    # for the real run; auto parallelism is the shuffle's business
     wide = src.repartition(par)
-    out, status = _widen_for_python(wide, widen=True)
-    assert out is wide and status == "shuffled-input"
     out, status = _widen_for_python(wide)
     assert out is wide and status == "shuffled-input"
+    # but EXPLICIT widen=True must override even on adaptive plans
+    # (repartition needs no .rdd probe): the escape hatch for an
+    # AQE-coalesced narrow split feeding an expanding decode
+    out, status = _widen_for_python(wide, widen=True)
+    assert out is not wide and status == "explicit"
 
 
 def test_multimodal_blind_gate_warns_on_realized_bytes(spark, tables):
@@ -381,6 +384,17 @@ def test_multimodal_blind_gate_warns_on_realized_bytes(spark, tables):
     loud = decode_and_featurize(big_docs)
     loud.write.format("noop").mode("overwrite").save()
     mon = getattr(loud, "_sg_widen_monitor", None)
+    assert mon is not None and mon.value >= 1
+
+    # the same expansion arriving through a shuffle (the AQE-coalesced
+    # path the auto gate refuses to probe): the monitor must be armed
+    # on "shuffled-input" too and fire just the same
+    shuffled = with_binary_payload(
+        tables["documents"].withColumn("text", F.repeat(F.col("text"), 500))
+    ).repartition(1)
+    loud2 = decode_and_featurize(shuffled)
+    loud2.write.format("noop").mode("overwrite").save()
+    mon = getattr(loud2, "_sg_widen_monitor", None)
     assert mon is not None and mon.value >= 1
 
 
