@@ -70,6 +70,7 @@ def release(spark: SparkSession, name: str | None = None, sf_dir: str | None = N
     as pinned (``df._sg_pinned`` — e.g. tx_denormalize's emit/touched
     gates). localCheckpoint blocks held by dropped entries free on GC.
     Returns the number of entries released."""
+    _purge_stopped()  # stopped sessions drop here too, not only on lookups
     slot = _PLAN_CACHE.get(id(spark))
     if slot is None:
         return 0
@@ -127,6 +128,10 @@ def entries() -> dict[str, CatalogEntry]:
     from streaming_examples_spark import catalog_cdc  # noqa: F401
     from streaming_examples_spark import catalog_datapipe  # noqa: F401
 
+    # every public entry point purges stopped sessions' cached plans, so
+    # a long-lived multi-session process that never calls release()
+    # still can't accumulate dead sessions' pinned frames indefinitely
+    _purge_stopped()
     return dict(_REGISTRY)
 
 

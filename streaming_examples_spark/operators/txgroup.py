@@ -65,8 +65,14 @@ def tx_end_events(tx_events: DataFrame) -> DataFrame:
     balance, marking the tx permanently incomplete and wedging the
     emission barrier for every later transaction. The streaming caller
     dedupes upstream on (status, id); this guards direct batch callers.
-    The END frame is tiny (one row per tx), so the extra exchange is
-    noise — and AQE reuses it across the three consumers.
+    The pick is DETERMINISTIC — the row with the lexicographically
+    greatest (tx_commit_lsn, event_count, data_collections), i.e. the
+    latest-LSN declaration wins, content breaking any tie — so if
+    redelivered ENDs ever differ (an amended declaration on retry),
+    repeated runs agree on which one counts; ``dropDuplicates`` would
+    keep an arbitrary one. The END frame is tiny (one row per tx), so
+    the aggregate exchange is noise — and AQE reuses it across the
+    three consumers.
     """
     parts = F.split(F.col("id"), ":")
     return (
@@ -77,7 +83,13 @@ def tx_end_events(tx_events: DataFrame) -> DataFrame:
             "event_count",
             "data_collections",
         )
-        .dropDuplicates(["tx_id"])
+        .groupBy("tx_id")
+        .agg(
+            F.max(
+                F.struct("tx_commit_lsn", "event_count", "data_collections")
+            ).alias("_end")
+        )
+        .select("tx_id", "_end.tx_commit_lsn", "_end.event_count", "_end.data_collections")
     )
 
 
