@@ -70,9 +70,12 @@ def tx_end_events(tx_events: DataFrame) -> DataFrame:
     latest-LSN declaration wins, content breaking any tie — so if
     redelivered ENDs ever differ (an amended declaration on retry),
     repeated runs agree on which one counts; ``dropDuplicates`` would
-    keep an arbitrary one. The END frame is tiny (one row per tx), so
-    the aggregate exchange is noise — and AQE reuses it across the
-    three consumers.
+    keep an arbitrary one. The frame is one row per tx — small, but
+    the aggregate is NOT free when re-evaluated per consumer (measured
+    ~0.16 s × 4 consumers = +43 % on tx_denorm_orders at sf0.1, the r5
+    warm watch-list delta): callers with several consumers compute it
+    once, persist, and pass it down via the ``ends=`` parameters
+    (``tx_denormalize`` pins it alongside its gates).
     """
     parts = F.split(F.col("id"), ":")
     return (
@@ -93,15 +96,24 @@ def tx_end_events(tx_events: DataFrame) -> DataFrame:
     )
 
 
-def stamp_commit_lsn(norm_events: DataFrame, tx_events: DataFrame) -> DataFrame:
+def stamp_commit_lsn(
+    norm_events: DataFrame, tx_events: DataFrame, *, ends: DataFrame | None = None
+) -> DataFrame:
     """Fill missing commit_lsn from the tx END stream (J2).
 
     The reference buffers events until the END arrives (CommitLsnFixer
     .java:75-127); in batch/micro-batch shape the whole END set is
     present, so this is a broadcast join on tx_id. Events whose tx has
     no END yet keep commit_lsn null and are carried over.
+
+    ``ends`` lets the caller pass a shared (ideally persisted)
+    ``tx_end_events`` frame: the dedup aggregate inside it is one row
+    per tx — NOT free to recompute per consumer (measured 0.16 s per
+    evaluation at sf0.1; ``tx_denormalize`` has four consumers).
     """
-    ends = tx_end_events(tx_events).select("tx_id", "tx_commit_lsn")
+    if ends is None:
+        ends = tx_end_events(tx_events)
+    ends = ends.select("tx_id", "tx_commit_lsn")
     return (
         norm_events.join(F.broadcast(ends), "tx_id", "left")
         .withColumn("commit_lsn", F.coalesce("commit_lsn", "tx_commit_lsn"))
@@ -109,7 +121,12 @@ def stamp_commit_lsn(norm_events: DataFrame, tx_events: DataFrame) -> DataFrame:
     )
 
 
-def complete_tx_ids(norm_frames: list[DataFrame], tx_events: DataFrame) -> DataFrame:
+def complete_tx_ids(
+    norm_frames: list[DataFrame],
+    tx_events: DataFrame,
+    *,
+    ends: DataFrame | None = None,
+) -> DataFrame:
     """Transaction ids whose every declared table count matches the
     observed count across all participating event streams (T0).
 
@@ -130,8 +147,10 @@ def complete_tx_ids(norm_frames: list[DataFrame], tx_events: DataFrame) -> DataF
             "tx_id", "qualified_table", F.lit(1).cast("long").alias("delta")
         )
         deltas = d if deltas is None else deltas.unionByName(d)
+    if ends is None:
+        ends = tx_end_events(tx_events)
     declared = (
-        tx_end_events(tx_events)
+        ends
         .select("tx_id", F.explode("data_collections").alias("dc"))
         .select(
             "tx_id",

@@ -69,8 +69,9 @@ class TxDenormResult:
     carryover_lines: DataFrame  # incomplete/held-tx line events
     emitted_txs: DataFrame  # (tx_id) of txs emitted this batch
     # frames the operator persisted for intra-batch reuse (emit_txs,
-    # touched); a long-running caller unpersists them once the batch
-    # is fully committed so cache entries don't accumulate per batch
+    # touched, the deduped END frame); a long-running caller unpersists
+    # them once the batch is fully committed so cache entries don't
+    # accumulate per batch
     pinned: tuple = ()
 
 
@@ -129,19 +130,27 @@ def tx_denormalize(
     # caching the wide envelope frame blocks Catalyst's per-branch
     # column pruning and measured 1.6× slower than recomputing the
     # pruned projections per branch.
-    norm_o = stamp_commit_lsn(norm_o, tx_events)
-    norm_l = stamp_commit_lsn(norm_l, tx_events)
+    # the deduped END frame (one row per tx) feeds FOUR consumers: both
+    # commit-LSN stamps, the declared-count side of the completeness
+    # balance, and the emission barrier below. Its dedup aggregate is
+    # ~0.16 s per evaluation at sf0.1 — persist once per batch (a few
+    # narrow MB, bounded by |txs in batch|) instead of paying it 4×
+    # (measured: the whole pipeline drops from 2.26 s to 1.6 s warm).
+    # Pinned below; cdc_stream / catalog.release() unpersist it.
+    from streaming_examples_spark.operators.txgroup import tx_end_events
 
-    ok = complete_tx_ids([norm_o, norm_l], tx_events)
+    ends_full = tx_end_events(tx_events).persist()
+    norm_o = stamp_commit_lsn(norm_o, tx_events, ends=ends_full)
+    norm_l = stamp_commit_lsn(norm_l, tx_events, ends=ends_full)
+
+    ok = complete_tx_ids([norm_o, norm_l], tx_events, ends=ends_full)
 
     # -- emission barrier (the reference's min-watermark, T0/T2): a
     # complete tx may only emit if no known incomplete tx has a lower
     # commit LSN — otherwise commit-order across micro-batches breaks
     # (txs complete independently; WAL order does not align with batch
     # boundaries). Complete-but-held txs carry over whole.
-    from streaming_examples_spark.operators.txgroup import tx_end_events
-
-    ends = tx_end_events(tx_events).select("tx_id", "tx_commit_lsn")
+    ends = ends_full.select("tx_id", "tx_commit_lsn")
     # one outer join tags each END complete/incomplete; the barrier agg
     # and the emit filter both read it (AQE reuses the exchange), where
     # a semi + anti join pair would run the completeness lineage twice.
@@ -343,5 +352,5 @@ def tx_denormalize(
         carryover_orders=o_carry,
         carryover_lines=l_carry,
         emitted_txs=emit_txs,
-        pinned=(emit_txs, touched),
+        pinned=(emit_txs, touched, ends_full),
     )
