@@ -1,0 +1,99 @@
+"""Steady-state A/B measurement for the r5 warm-lineage watch-list
+(tx_denorm_orders +32 %, training_mix +35 %, multimodal extras +75 %
+vs r4 in single bench runs — variance suspect, per the repo's own
+methodology bar: never conclude from single runs).
+
+Measures EXECUTION only: each query's DataFrame is constructed ONCE
+(catalog plan cache / memo), then executed ``n_runs`` times to a noop
+sink; reports every run plus min/median. Run it back-to-back against
+two code roots (same machine, no background load) to compare builds:
+
+    python tools/ab_watchlist.py                       # this checkout
+    git worktree add .ab_r4 b545642
+    SPARK_GRAFT_ROOT=.ab_r4 python tools/ab_watchlist.py   # r4 build
+
+Prints one JSON line: {"root": ..., "sf_dir": ..., "queries":
+{name: {"runs": [...], "min": m, "median": d}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+ROOT = os.path.abspath(
+    os.environ.get(
+        "SPARK_GRAFT_ROOT", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+)
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _extras():
+    from streaming_examples_spark.operators.multimodal import (
+        decode_and_featurize,
+        decode_audio,
+        resize_payloads,
+        sample_frames,
+        with_audio_payload,
+        with_binary_payload,
+        with_video_payload,
+    )
+    from streaming_examples_spark.tables import load_table
+
+    def docs(spark):
+        return load_table(spark, SF_DIR, "documents")
+
+    return {
+        "multimodal_decode": lambda s: decode_and_featurize(with_binary_payload(docs(s))),
+        "multimodal_frames": lambda s: sample_frames(with_video_payload(docs(s))),
+        "multimodal_audio": lambda s: decode_audio(with_audio_payload(docs(s))),
+        "multimodal_resize": lambda s: resize_payloads(
+            with_binary_payload(docs(s)), width=64, height=64
+        ),
+    }
+
+
+def main() -> int:
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    from streaming_examples_spark import get_spark
+    from streaming_examples_spark.catalog import entries
+
+    spark = get_spark("ab-watchlist")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    cat = entries()
+    targets: dict[str, object] = {
+        "tx_denorm_orders": lambda s: cat["tx_denorm_orders"].fn(s, SF_DIR),
+        "training_mix": lambda s: cat["training_mix"].fn(s, SF_DIR),
+    }
+    targets.update(_extras())
+
+    out = {}
+    for name, build in targets.items():
+        df = build(spark)  # construct once; repeats measure execution
+        df.write.format("noop").mode("overwrite").save()  # warm (not timed)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        out[name] = {
+            "runs": runs,
+            "min": min(runs),
+            "median": round(statistics.median(runs), 3),
+        }
+        print(f"{name}: {runs} min={min(runs)}", file=sys.stderr, flush=True)
+
+    print(json.dumps({"root": ROOT, "sf_dir": SF_DIR, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
