@@ -43,11 +43,15 @@ _REGISTRY: dict[str, CatalogEntry] = {}
 #:
 #: Lifecycle: cached DataFrames hold a strong ref to their session, so
 #: weak keying alone cannot evict (the values pin the keys). Instead
-#: every lookup lazily purges entries whose session has been STOPPED
-#: (the JVM-side state is gone then anyway), and ``release`` lets a
-#: long-lived session drop entries — and unpersist any frames the
-#: query pinned — without a global ``clearCache()``. Bounded either
-#: way at ~#entries × #sf_dirs per live session.
+#: EVERY public entry point (cached lookups, ``entries``, ``release``)
+#: lazily purges entries whose session has been STOPPED (the JVM-side
+#: state is gone then anyway), and ``release`` lets a long-lived
+#: session drop entries — and unpersist any frames the query pinned —
+#: without a global ``clearCache()``. Long-lived multi-session
+#: processes should still call ``release(spark)`` BEFORE stopping a
+#: session: that unpersists its pinned frames promptly instead of
+#: waiting for the next catalog call to purge the stopped session.
+#: Bounded either way at ~#entries × #sf_dirs per live session.
 _PLAN_CACHE: dict[int, tuple[SparkSession, dict[tuple[str, str], DataFrame]]] = {}
 
 

@@ -340,6 +340,52 @@ def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
         _drop_store_tables(spark, tmp_path / "state")
 
 
+@pytest.mark.slow
+def test_streaming_foreachbatch_e2e(spark, tmp_path):
+    """The detector really runs as the foreachBatch processor the
+    module docstring promises: a file-backed document stream delivered
+    in two micro-batches, per-batch reports appended by the sink, the
+    cross-batch near-dup found against state folded in by an earlier
+    BATCH of the SAME query — not a direct process_batch call."""
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "reports")
+    os.makedirs(src)
+    _docs(spark, [(1, BASE), (2, OTHER)]).coalesce(1).write.mode("append").parquet(src)
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+
+    def sink(df, batch_id):
+        det.process_batch(df, batch_id).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch arrives after the first is fully folded in
+        _docs(
+            spark,
+            [(3, NEAR), (4, "fresh unseen text about databases and storage engines")],
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    reports = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(reports) == {1, 2, 3, 4}
+    assert not reports[1]["is_dup"] and not reports[2]["is_dup"]
+    assert reports[3]["is_dup"] and reports[3]["dup_of"] == 1
+    assert not reports[4]["is_dup"]
+
+
 def test_compaction_preserves_state_and_verdicts(spark, detector):
     import glob
     import os
