@@ -90,14 +90,6 @@ def _widen_for_python(
         return df, "passthrough"
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if widen is True:
-        # the documented contract: explicit overrides beat the auto
-        # gate, on EVERY plan shape. repartition needs no .rdd probe,
-        # so it is safe on adaptive plans too — an AQE-coalesced narrow
-        # partition feeding an expanding decode (the estimate-blind
-        # case arriving through a join) is exactly when the caller
-        # reaches for widen=True.
-        return df.repartition(target), "explicit"
     try:
         adaptive = (
             df._jdf.queryExecution()
@@ -107,6 +99,21 @@ def _widen_for_python(
         )
     except Exception:
         adaptive = True  # can't tell → don't probe (safe)
+    if not adaptive and df.rdd.getNumPartitions() >= target:
+        # exchange-free plan: the split count is free to read, and an
+        # already-wide input (a corpus-scale scan with thousands of
+        # parquet splits) must NOT be funneled down to
+        # defaultParallelism — even under explicit widen=True, which
+        # exists to ADD parallelism, never to remove it
+        return df, "wide-enough"
+    if widen is True:
+        # the documented contract: explicit overrides beat the auto
+        # gate, on EVERY plan shape. repartition needs no .rdd probe,
+        # so it is safe on adaptive plans too — an AQE-coalesced narrow
+        # partition feeding an expanding decode (the estimate-blind
+        # case arriving through a join) is exactly when the caller
+        # reaches for widen=True.
+        return df.repartition(target), "explicit"
     if adaptive:
         # AQE only wraps plans containing exchanges (or subqueries):
         # parallelism is already the shuffle's business (shuffle
@@ -119,12 +126,6 @@ def _widen_for_python(
         # feeding an expanding decode warns instead of silently
         # serializing (escape hatch: widen=True, handled above).
         return df, "shuffled-input"
-    # exchange-free plan: no query stages exist, so the exact .rdd
-    # split count is free to read
-    if df.rdd.getNumPartitions() >= target:
-        return df, "wide-enough"
-    if widen is True:
-        return df.repartition(target), "explicit"
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
