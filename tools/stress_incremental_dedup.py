@@ -122,6 +122,66 @@ def main() -> int:
             n = exchange_count(join)
             assert n == 1, f"{label}: {n} exchanges (store side must be elided)"
             print(f"plan check: {label} -> 1 exchange (batch side only)", flush=True)
+
+        # compaction report: per-bucket (hot-only) pass vs full rewrite
+        import glob
+        import re
+
+        def histogram(store):
+            h = {}
+            for f in glob.glob(os.path.join(det.state_dir, store, "*.parquet")):
+                m = re.search(r"_(\d+)\.c\d+", os.path.basename(f))
+                if m:
+                    h[int(m.group(1))] = h.get(int(m.group(1)), 0) + 1
+            return h
+        h0 = histogram("bands")
+        n0 = sum(h0.values())
+        thr = max(1, min(h0.values()))
+        hot = sum(1 for v in h0.values() if v > thr)
+        t0 = time.time()
+        det.compact(hot_bucket_threshold=thr)
+        t_hot = time.time() - t0
+        h1 = histogram("bands")
+        print(
+            f"per-bucket compact (thr={thr}): {hot}/{len(h0)} hot buckets, "
+            f"bands files {n0} -> {sum(h1.values())}, {t_hot:.1f}s",
+            flush=True,
+        )
+        t0 = time.time()
+        det.compact()
+        t_full = time.time() - t0
+        h2 = histogram("bands")
+        print(
+            f"full compact: bands files -> {sum(h2.values())} "
+            f"(1/bucket), {t_full:.1f}s",
+            flush=True,
+        )
+        # the skewed-delta scenario per-bucket compaction exists for:
+        # a few small late batches fragment a FEW buckets on top of the
+        # compacted base; the hot-only pass must leave the cold
+        # majority's base files untouched
+        for i in range(3):
+            det.process_batch(
+                spark.createDataFrame(
+                    [(2 * 10**9 + i, f"late delta document {i} with its own "
+                      f"unique vocabulary x{i}a x{i}b x{i}c x{i}d x{i}e")],
+                    "doc_id long, text string",
+                ),
+                1000 + i,
+            )
+        h3 = histogram("bands")
+        hot3 = sum(1 for v in h3.values() if v > 1)
+        t0 = time.time()
+        det.compact(hot_bucket_threshold=1)
+        t_delta = time.time() - t0
+        h4 = histogram("bands")
+        print(
+            f"post-compact delta: 3 one-doc batches touched {hot3}/{len(h3)} "
+            f"buckets; hot-only pass rewrote them ({sum(h3.values())} -> "
+            f"{sum(h4.values())} files, {t_delta:.1f}s), cold buckets untouched "
+            f"vs full-rewrite {t_full:.1f}s",
+            flush=True,
+        )
         spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
         spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
     shutil.rmtree(state, ignore_errors=True)
