@@ -4,7 +4,12 @@ micro-batches and reports per-batch wall time, dup yield, and state
 size — the evidence that per-batch cost tracks BATCH size (probe is an
 equi-join into the band store), not accumulated corpus size.
 
-Usage: python tools/stress_incremental_dedup.py [--bucketed N] [--seed M] [sf_dir] [n_batches]
+Usage: python tools/stress_incremental_dedup.py [--bucketed N] [--seed M]
+       [--cap K|none] [sf_dir] [n_batches]
+
+``--cap`` sets the viral-band guard (default 256, the measured batch-family
+value; ``none`` disables) — A/B the per-batch cost of the cap's extra
+store scan.
 
 ``--bucketed N`` runs the external-bucketed-band-store layout
 (bands_buckets=N): the probe join reads the store in place instead of
@@ -48,6 +53,11 @@ def main() -> int:
         i = argv.index("--seed")
         seed = int(argv[i + 1])
         del argv[i : i + 2]
+    cap: int | None = 256
+    if "--cap" in argv:
+        i = argv.index("--cap")
+        cap = None if argv[i + 1] == "none" else int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     n_batches = int(argv[1]) if len(argv) > 1 else 10
 
@@ -58,7 +68,11 @@ def main() -> int:
 
     state = tempfile.mkdtemp(prefix="incdedup_")
     det = IncrementalNearDup(
-        spark, os.path.join(state, "state"), threshold=0.7, bands_buckets=buckets
+        spark,
+        os.path.join(state, "state"),
+        threshold=0.7,
+        bands_buckets=buckets,
+        max_bucket_size=cap,
     )
 
     if seed:
