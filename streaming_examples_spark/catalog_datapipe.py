@@ -1296,7 +1296,13 @@ def q_multimodal_meta(spark, sf_dir):
     # the image decoder, so the hash covers the emitted SIMG layout too
     rz = band_grain(
         decode_and_featurize(
-            resize_payloads(wp, width=8, height=8)
+            # widen=False: wp is already t_wide-repartitioned to full
+            # parallelism — resize's default widen=True would add a
+            # second round-robin shuffle of the payload column for
+            # nothing (explicit overrides apply on adaptive plans too
+            # since r6, so the caller must say so when the input is
+            # known-wide)
+            resize_payloads(wp, width=8, height=8, widen=False)
             .filter(F.col("valid"))
             .select("doc_id", F.col("resized").alias("payload"))
         )

@@ -75,8 +75,13 @@ def _widen_for_python(
     ``widen=True`` (resize's default — its fixed ``w*h*bands`` output
     per row means the shuffle always pays for itself: measured
     local[32] on the single-file sf0.1 documents table, 224² resize
-    5.6 s → 0.9 s). ``widen=False`` never repartitions. Streaming
-    frames pass through (micro-batch sizing governs there).
+    5.6 s → 0.9 s). CAVEAT: on adaptive (exchange-bearing) plans the
+    input's width is unknowable without finalizing AQE, so widen=True
+    repartitions unconditionally to ``defaultParallelism`` — an input
+    already WIDER than that would be reduced; pass ``widen=False``
+    when you know the input is wide (e.g. already repartitioned
+    upstream). ``widen=False`` never repartitions. Streaming frames
+    pass through (micro-batch sizing governs there).
 
     Inputs whose plan already contains a shuffle exchange pass through
     untouched WITHOUT inspecting ``.rdd``: their parallelism is set by
@@ -135,17 +140,17 @@ def _widen_for_python(
     return df.repartition(target), "widened"
 
 
-def _loud_monitor(fn, payload_col: str, sc):
+def _loud_monitor(fn, payload_col: str, sc, threshold: int = LOUD_BYTES_PER_TASK):
     """Wrap an Arrow batch function with a realized-bytes watchdog for
-    the estimate-blind gate case: the auto widen gate declined because
+    the estimate-blind gate cases: the auto widen gate declined because
     the SCAN estimate looked tiny, but compressed or expression-built
     blob columns can expand orders of magnitude in flight. Each task
-    counts the payload bytes it actually sees; past
-    ``LOUD_BYTES_PER_TASK`` it warns once (worker-side) and bumps a
-    driver-visible accumulator (``df._sg_widen_monitor``) so the
-    under-parallelization is loud instead of silently serializing a
-    100 TB decode. Counting stops after firing — overhead is one
-    ``len`` per blob until then, nothing after."""
+    counts the payload bytes it actually sees; past ``threshold`` it
+    warns once (worker-side) and bumps a driver-visible accumulator
+    (``df._sg_widen_monitor``) so the under-parallelization is loud
+    instead of silently serializing a 100 TB decode. Counting stops
+    after firing — overhead is one vectorized length pass per batch
+    until then, nothing after."""
     acc = sc.accumulator(0)
 
     def wrapped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,15 +162,16 @@ def _loud_monitor(fn, payload_col: str, sc):
                 # C-side; the per-blob Python loop this replaces was a
                 # measurable tax on narrow-batch stages
                 seen += int(pdf[payload_col].str.len().sum())
-                if seen > LOUD_BYTES_PER_TASK:
+                if seen > threshold:
                     fired = True
                     acc.add(1)
                     warnings.warn(
                         f"multimodal: one task realized {seen >> 20} MiB of "
-                        f"'{payload_col}' bytes on a stage the auto widen gate "
-                        "left narrow (the scan estimate could not see the "
-                        "payload size). Pass widen=True through the operator "
-                        "to parallelize the decode.",
+                        f"'{payload_col}' bytes (threshold "
+                        f"{threshold >> 20} MiB) on a stage the auto widen "
+                        "gate left narrow (its size estimate could not see "
+                        "the payload bytes). Pass widen=True through the "
+                        "operator to parallelize the decode.",
                         RuntimeWarning,
                     )
             yield from fn(iter([pdf]))
@@ -183,11 +189,19 @@ def _arrow_map(
     monitor = None
     if status in ("declined-small", "shuffled-input"):
         # both estimate-driven gate outcomes: "declined-small" trusted a
-        # scan estimate, "shuffled-input" trusts AQE's coalescing (also
-        # estimate-driven). Either can under-parallelize an expanding
+        # scan estimate, "shuffled-input" trusts the shuffle's sizing
+        # (AQE coalescing). Either can under-parallelize an expanding
         # blob decode — watch realized bytes and warn instead of
-        # silently serializing.
-        fn, monitor = _loud_monitor(fn, payload_col, base.sparkSession.sparkContext)
+        # silently serializing. The shuffled threshold is 16× higher:
+        # AQE sizes coalesced partitions from MEASURED shuffle bytes
+        # (~64 MB targets; a few × more raw after decompression is a
+        # HEALTHY task, not a mis-gate), so only an order-of-magnitude
+        # exceedance — a skewed or hand-coalesced narrow split feeding
+        # an expanding decode — should get loud.
+        threshold = LOUD_BYTES_PER_TASK * (16 if status == "shuffled-input" else 1)
+        fn, monitor = _loud_monitor(
+            fn, payload_col, base.sparkSession.sparkContext, threshold
+        )
     out = base.mapInPandas(fn, schema=schema)
     if monitor is not None:
         out._sg_widen_monitor = monitor

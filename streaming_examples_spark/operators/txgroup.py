@@ -97,7 +97,10 @@ def tx_end_events(tx_events: DataFrame) -> DataFrame:
 
 
 def stamp_commit_lsn(
-    norm_events: DataFrame, tx_events: DataFrame, *, ends: DataFrame | None = None
+    norm_events: DataFrame,
+    tx_events: DataFrame | None = None,
+    *,
+    ends: DataFrame | None = None,
 ) -> DataFrame:
     """Fill missing commit_lsn from the tx END stream (J2).
 
@@ -107,11 +110,16 @@ def stamp_commit_lsn(
     no END yet keep commit_lsn null and are carried over.
 
     ``ends`` lets the caller pass a shared (ideally persisted)
-    ``tx_end_events`` frame: the dedup aggregate inside it is one row
-    per tx — NOT free to recompute per consumer (measured 0.16 s per
-    evaluation at sf0.1; ``tx_denormalize`` has four consumers).
+    ``tx_end_events`` frame — then ``tx_events`` may be omitted and is
+    ignored if given (``ends`` is authoritative; passing both invites a
+    mismatched pair). The dedup aggregate inside ``tx_end_events`` is
+    one row per tx — NOT free to recompute per consumer (measured
+    0.16 s per evaluation at sf0.1; ``tx_denormalize`` has four
+    consumers).
     """
     if ends is None:
+        if tx_events is None:
+            raise ValueError("pass tx_events or a precomputed ends frame")
         ends = tx_end_events(tx_events)
     ends = ends.select("tx_id", "tx_commit_lsn")
     return (
@@ -123,7 +131,7 @@ def stamp_commit_lsn(
 
 def complete_tx_ids(
     norm_frames: list[DataFrame],
-    tx_events: DataFrame,
+    tx_events: DataFrame | None = None,
     *,
     ends: DataFrame | None = None,
 ) -> DataFrame:
@@ -148,6 +156,8 @@ def complete_tx_ids(
         )
         deltas = d if deltas is None else deltas.unionByName(d)
     if ends is None:
+        if tx_events is None:
+            raise ValueError("pass tx_events or a precomputed ends frame")
         ends = tx_end_events(tx_events)
     declared = (
         ends

@@ -140,10 +140,10 @@ def tx_denormalize(
     from streaming_examples_spark.operators.txgroup import tx_end_events
 
     ends_full = tx_end_events(tx_events).persist()
-    norm_o = stamp_commit_lsn(norm_o, tx_events, ends=ends_full)
-    norm_l = stamp_commit_lsn(norm_l, tx_events, ends=ends_full)
+    norm_o = stamp_commit_lsn(norm_o, ends=ends_full)
+    norm_l = stamp_commit_lsn(norm_l, ends=ends_full)
 
-    ok = complete_tx_ids([norm_o, norm_l], tx_events, ends=ends_full)
+    ok = complete_tx_ids([norm_o, norm_l], ends=ends_full)
 
     # -- emission barrier (the reference's min-watermark, T0/T2): a
     # complete tx may only emit if no known incomplete tx has a lower

@@ -181,11 +181,37 @@ class IncrementalNearDup:
         """A store hashed into N buckets read back as M buckets probes
         the wrong files — silent, permanent recall loss. The layout file
         written with the first append makes the mismatch loud instead.
-        A pre-layout (legacy) store adopts the constructor's declaration
-        on its next append."""
+
+        A pre-layout (legacy) store is adopted ONLY when both sides are
+        verifiably flat: a bucketed declaration over legacy files (or
+        files whose names carry bucket ids under a flat declaration)
+        cannot be validated, and adopting a wrong count would be exactly
+        the silent recall loss this guard exists to stop — then SEAL the
+        wrong count into the layout file. Refuse instead."""
         declared = {"bands_buckets": self.bands_buckets, "sigs_buckets": self.sigs_buckets}
         if not os.path.exists(self._layout_path()):
-            return
+            store_files = [
+                f
+                for n in _STORES
+                for f in glob.glob(os.path.join(self._path(n), "*.parquet"))
+            ]
+            if not store_files:
+                return  # fresh state dir: layout written with first append
+            looks_bucketed = any(
+                _BUCKET_ID_RE.search(os.path.basename(f)) for f in store_files
+            )
+            if self.bands_buckets or self.sigs_buckets or looks_bucketed:
+                raise ValueError(
+                    f"incremental-dedup state at {self.state_dir} predates the "
+                    "layout file and a bucketed layout is involved (declared "
+                    f"bands_buckets={self.bands_buckets}/sigs_buckets="
+                    f"{self.sigs_buckets}, files "
+                    f"{'carry' if looks_bucketed else 'carry no'} bucket ids): "
+                    "the bucket count cannot be validated, and probing with a "
+                    "wrong count is silent recall loss. Write _layout.json "
+                    "with the store's true counts, or rebuild the store."
+                )
+            return  # legacy flat store + flat declaration: safe to adopt
         with open(self._layout_path()) as fh:
             stored = json.load(fh)
         for key, want in declared.items():
@@ -330,9 +356,19 @@ class IncrementalNearDup:
             # their other, selective bands (recall measured at the batch
             # family's cap: tools/probe_bucket_cap.py).
             batch_keys = with_bands.select("band_id", "band_key")
-            store_keys = bands_store.join(
-                F.broadcast(batch_keys.distinct()), ["band_id", "band_key"], "left_semi"
-            ).select("band_id", "band_key")
+            store_keys = (
+                bands_store.join(
+                    F.broadcast(batch_keys.distinct()),
+                    ["band_id", "band_key"],
+                    "left_semi",
+                )
+                # crash-window duplicate rows (the append-before-delete
+                # compaction's tolerated leftovers) must count as ONE
+                # member, or a legitimate key near the cap gets
+                # spuriously skipped — permanent false admits
+                .distinct()
+                .select("band_id", "band_key")
+            )
             sane = (
                 batch_keys.unionByName(store_keys)
                 .groupBy("band_id", "band_key")
@@ -488,29 +524,39 @@ class IncrementalNearDup:
         """Merge every over-fragmented bucket's files, touching
         O(hot buckets) files and running ONE Spark job regardless of
         how many buckets are hot: all hot buckets' files are read in a
-        single pass and appended through the bucketed writer — each row
-        hashes back to its own bucket, and the single write task
-        (coalesce(1)) emits exactly one new file per hot bucket. Cold
-        buckets' files are never opened. Append-before-delete makes the
-        pass crash-safe at the cost of transient duplicates (see
-        :meth:`compact`). (A per-hot-bucket job loop measured 3.5×
-        slower at 14 hot buckets — job-launch overhead dominates the
-        maintenance pass at any store size.)"""
+        single pass, repartitioned on the bucket-id expression (each
+        bucket's rows in exactly one of up-to-#hot parallel tasks), and
+        appended through the bucketed writer — one new file per hot
+        bucket. Cold buckets' files are never opened.
+        Append-before-delete makes the pass crash-safe at the cost of
+        transient duplicates (see :meth:`compact`). (A per-hot-bucket
+        job loop measured 2× slower at 14 hot buckets — job-launch
+        overhead dominates the maintenance pass.)"""
         by_bucket: dict[int, list[str]] = {}
         for f in glob.glob(os.path.join(self._path(name), "*.parquet")):
             m = _BUCKET_ID_RE.search(os.path.basename(f))
             if m:
                 by_bucket.setdefault(int(m.group(1)), []).append(f)
-        hot_files = [
-            f for files in by_bucket.values() if len(files) > threshold for f in files
-        ]
+        hot = {b: files for b, files in by_bucket.items() if len(files) > threshold}
+        hot_files = [f for files in hot.values() for f in files]
         if not hot_files:
             return
+        _, cols, _ = _STORES[name]
+        # co-locate each bucket's rows in exactly one task WITHOUT a
+        # single-task bottleneck: repartition on the bucket-id
+        # expression (same murmur3+pmod the bucketed writer uses), so N
+        # hot buckets merge across up-to-N parallel tasks and the write
+        # still emits one file per hot bucket — a lone coalesce(1) here
+        # would sort and write every hot byte through one task (OOM /
+        # straggler at the store sizes this maintenance pass exists for)
+        bucket_id = F.pmod(
+            F.hash(*[F.col(c) for c in cols]), F.lit(self._buckets(name))
+        )
         merged = (
             self.spark.read.schema(schema)
             .parquet(*hot_files)
             .dropDuplicates()
-            .coalesce(1)
+            .repartition(max(1, len(hot)), bucket_id)
         )
         self._append_store(name, merged)
         for f in hot_files:

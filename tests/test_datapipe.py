@@ -355,7 +355,7 @@ def test_multimodal_widen_gate(spark, tables):
     assert out is not wide and status == "explicit"
 
 
-def test_multimodal_blind_gate_warns_on_realized_bytes(spark, tables):
+def test_multimodal_blind_gate_warns_on_realized_bytes(spark, tables, monkeypatch):
     """The auto widen gate follows the SCAN estimate, which cannot see
     expression-built (or heavily compressed) blob columns. When a task
     then realizes far more payload bytes than the gate assumed, the
@@ -388,7 +388,13 @@ def test_multimodal_blind_gate_warns_on_realized_bytes(spark, tables):
 
     # the same expansion arriving through a shuffle (the AQE-coalesced
     # path the auto gate refuses to probe): the monitor must be armed
-    # on "shuffled-input" too and fire just the same
+    # on "shuffled-input" too — at a 16× threshold (shuffle sizing is
+    # measured, so modest exceedance is healthy; only order-of-magnitude
+    # blowups fire). Scale the base constant down so the 16× product is
+    # crossable at fixture size.
+    import streaming_examples_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "LOUD_BYTES_PER_TASK", 1 << 20)
     shuffled = with_binary_payload(
         tables["documents"].withColumn("text", F.repeat(F.col("text"), 500))
     ).repartition(1)
@@ -396,6 +402,11 @@ def test_multimodal_blind_gate_warns_on_realized_bytes(spark, tables):
     loud2.write.format("noop").mode("overwrite").save()
     mon = getattr(loud2, "_sg_widen_monitor", None)
     assert mon is not None and mon.value >= 1
+    # and a modest shuffled stage (under 16x) must stay QUIET
+    quiet2 = decode_and_featurize(with_binary_payload(tables["documents"]).repartition(1))
+    quiet2.write.format("noop").mode("overwrite").save()
+    mon = getattr(quiet2, "_sg_widen_monitor", None)
+    assert mon is not None and mon.value == 0
 
 
 def test_multimodal_frame_sampling_demuxes_svid(spark, tables):

@@ -176,6 +176,28 @@ def test_plain_layout_mismatch_raises_when_reopened_bucketed(spark, tmp_path):
         IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
 
 
+def test_legacy_bucketed_store_without_layout_refuses(spark, tmp_path):
+    """A pre-layout store + a bucketed layout (declared or detected in
+    the file names) cannot be validated — adopting a guessed count and
+    sealing it into _layout.json would be the silent recall loss the
+    guard exists to stop. Must refuse, even when the declared count
+    happens to be right (we cannot know that)."""
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    try:
+        det.process_batch(_docs(spark, [(1, BASE)]), 0)
+        os.remove(os.path.join(str(tmp_path / "state"), "_layout.json"))
+        with pytest.raises(ValueError, match="cannot be validated"):
+            IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+        with pytest.raises(ValueError, match="cannot be validated"):
+            IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
+
+
 def test_viral_bucket_cap_gates_probe_and_peer(spark, tmp_path):
     """The cap counts the UNION of store+batch members per band key and
     gates both the store probe and the within-batch self-join: with
@@ -307,11 +329,12 @@ def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
         det.process_batch(synth(hot_ids[:6]), 2)
         det.process_batch(synth(hot_ids[6:]), 3)
 
+        from streaming_examples_spark.streaming.incremental_dedup import _BUCKET_ID_RE
+
         def files_per_bucket(store):
             out = {}
             for f in glob.glob(os.path.join(det.state_dir, store, "*.parquet")):
-                import re
-                m = re.search(r"_(\d+)\.c\d+", os.path.basename(f))
+                m = _BUCKET_ID_RE.search(os.path.basename(f))
                 out.setdefault(int(m.group(1)), set()).add(os.path.basename(f))
             return out
 

@@ -90,6 +90,16 @@ def main() -> int:
             "median": round(statistics.median(runs), 3),
         }
         print(f"{name}: {runs} min={min(runs)}", file=sys.stderr, flush=True)
+        # same discipline as bench.py: drop this query's pinned frames
+        # and any leftover caches so later queries are not timed with
+        # residual executor storage resident (order-dependence, and an
+        # asymmetry between builds whose pinned sets differ)
+        for p in getattr(df, "_sg_pinned", ()) or ():
+            try:
+                p.unpersist()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
 
     print(json.dumps({"root": ROOT, "sf_dir": SF_DIR, "queries": out}))
     return 0

@@ -139,12 +139,15 @@ def main() -> int:
 
         # compaction report: per-bucket (hot-only) pass vs full rewrite
         import glob
-        import re
+
+        from streaming_examples_spark.streaming.incremental_dedup import (
+            _BUCKET_ID_RE,
+        )
 
         def histogram(store):
             h = {}
             for f in glob.glob(os.path.join(det.state_dir, store, "*.parquet")):
-                m = re.search(r"_(\d+)\.c\d+", os.path.basename(f))
+                m = _BUCKET_ID_RE.search(os.path.basename(f))
                 if m:
                     h[int(m.group(1))] = h.get(int(m.group(1)), 0) + 1
             return h
