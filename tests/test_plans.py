@@ -198,6 +198,49 @@ def test_incremental_dedup_bucketed_sigs_joins_shuffle_batch_side_only(
         spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
 
 
+def test_incremental_dedup_compacted_store_elides_probe_sort(spark, tables, tmp_path):
+    """The SORTED BY clause's payoff: after compact() leaves one file
+    per bucket, the sort-merge probe reads the store pre-sorted and
+    skips its O(store) per-batch sort — the plan has exactly one Sort,
+    on the batch side. (Pre-compact, multi-file buckets lose the sorted
+    property and the store side sorts too — asserted as the contrast.)"""
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+    )
+    try:
+        for i, text in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog right now",
+                "a completely different sentence about catalyst plans and shuffles",
+            ]
+        ):
+            det.process_batch(
+                spark.createDataFrame([(i + 1, text)], "doc_id long, text string"), i
+            )
+        store = spark.table(det._bands_table)
+        batch = spark.createDataFrame(
+            [(9, 0, "k")], "doc_id long, band_id int, band_key string"
+        )
+        probe = batch.hint("merge").join(store, ["band_id", "band_key"])
+        # two appends → several files per bucket → sortedness lost:
+        # both sides sort (formatted plans list each node twice:
+        # tree + details section)
+        assert count_occurrences(probe, r"\bSort\b") == 4
+
+        det.compact()
+        store = spark.table(det._bands_table)
+        probe = batch.hint("merge").join(store, ["band_id", "band_key"])
+        assert exchange_count(probe) == 1
+        # one file per bucket → store side reads pre-sorted; only the
+        # batch side sorts (×2 plan mentions)
+        assert count_occurrences(probe, r"\bSort\b") == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
+        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
+
+
 def test_multimodal_meta_union_plan_shape(spark):
     """The fused multimodal entry is a four-branch union of Arrow
     stages over the same widened documents scan: all four decoders must
