@@ -364,6 +364,95 @@ def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 1234, 999983])
+def test_random_stream_invariants(spark, tmp_path, seed):
+    """Property test over random duplicate streams: families of exact
+    copies (disjoint vocabularies across families) delivered in random
+    batch splits with random redelivery of earlier batches' ids.
+    Invariants, independent of the random order:
+
+      * exactly ONE canonical per family — the smallest id in the
+        family's earliest batch; every other member reports is_dup with
+        dup_of inside the family (store match or smaller batch peer)
+      * the sigs store holds exactly the canonicals
+      * canonical ids are reported exactly once (redelivery folds away)
+      * a full replay of every batch reports only dup ids, with the
+        same verdicts (redelivery can re-verdict a dup, never flip it
+        or duplicate state)
+    """
+    import os
+    import random
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    rng = random.Random(seed)
+    n_fam = rng.randint(2, 4)
+    fam_text = {
+        f: " ".join(f"fam{f}word{j}" for j in range(12)) for f in range(n_fam)
+    }
+    docs = []  # (doc_id, family)
+    next_id = 100
+    for f in range(n_fam):
+        for _ in range(rng.randint(1, 4)):
+            docs.append((next_id, f))
+            next_id += rng.randint(1, 7)
+    rng.shuffle(docs)
+    n_batches = rng.randint(1, min(3, len(docs)))
+    batches = [docs[i::n_batches] for i in range(n_batches)]
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+    family_of = dict(docs)
+    reports = []
+    for b, members in enumerate(batches):
+        rows = [(i, fam_text[f]) for i, f in members]
+        # redeliver some ids from STRICTLY earlier batches
+        for earlier in batches[:b]:
+            for i, f in earlier:
+                if rng.random() < 0.3:
+                    rows.append((i, fam_text[f]))
+        reports.extend(det.process_batch(_docs(spark, rows), b).collect())
+
+    # expected canonical per family: smallest id in its earliest batch
+    expected_canon = {}
+    for members in batches:
+        for i, f in sorted(members, key=lambda x: x[0]):
+            if f not in expected_canon:
+                expected_canon[f] = i
+
+    by_id = {}
+    for r in reports:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert set(by_id) == {i for i, _ in docs}
+    for i, f in docs:
+        rows = by_id[i]
+        if i == expected_canon[f]:
+            assert len(rows) == 1 and not rows[0]["is_dup"]
+        else:
+            for r in rows:
+                assert r["is_dup"] and family_of[r["dup_of"]] == f and r["dup_of"] != i
+
+    sigs = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+    assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == sorted(
+        expected_canon.values()
+    )
+
+    # full replay: canonicals fold away; dups re-verdict identically
+    for b, members in enumerate(batches):
+        replay = {
+            r["doc_id"]: r
+            for r in det.process_batch(
+                _docs(spark, [(i, fam_text[f]) for i, f in members]), 100 + b
+            ).collect()
+        }
+        for i, r in replay.items():
+            f = family_of[i]
+            assert i != expected_canon[f]
+            assert r["is_dup"] and family_of[r["dup_of"]] == f
+    sigs2 = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+    assert sigs2.count() == len(expected_canon)
+
+
+@pytest.mark.slow
 def test_streaming_foreachbatch_e2e(spark, tmp_path):
     """The detector really runs as the foreachBatch processor the
     module docstring promises: a file-backed document stream delivered
