@@ -433,3 +433,37 @@ def test_tx_denorm_join_strategy(spark, tables):
     assert bnlj and all("Cross BuildRight" in b for b in bnlj)
     # the as-of joins stay shuffled equi-joins on the order key
     assert count_occurrences(df, r"SortMergeJoin|ShuffledHashJoin") >= 2
+
+
+def test_catalog_wide_plan_lint(spark):
+    """Every driver-checked catalog entry, linted in one sweep for the
+    two plan shapes that are silent scale-killers at 100 TB however
+    they sneak in (a refactor, a dropped join key, a UDF fallback):
+
+      * ``CartesianProduct`` — an unconstrained n×m join; at corpus
+        scale that is not slow, it is non-terminating;
+      * ``BatchEvalPython`` — a row-at-a-time Python UDF stage; the
+        engine only ships Arrow-batched Python (``ArrowEvalPython`` /
+        ``MapInPandas`` / ``FlatMapGroupsInPandas``), which are
+        10-100× faster per the pandas-UDF design docs.
+
+    The per-query pins above assert each flagship's *designed* plan;
+    this sweep guarantees the whole registry — including entries with
+    no dedicated pin — never regresses into either catastrophe class.
+    (``BroadcastNestedLoopJoin`` is deliberately NOT linted: seven
+    entries legitimately cross-join a bounded broadcast side — scalar
+    totals, top-k query sets, the one-row tx barrier — which is the
+    correct distributed shape for those; the bounded-build-side
+    property is asserted per-query where it matters.)
+    """
+    from streaming_examples_spark import catalog
+
+    from tests.conftest import SF_DIR
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in catalog.queries().items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        issues = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if issues:
+            bad[name] = issues
+    assert not bad, f"scale-killer plan nodes in catalog entries: {bad}"
