@@ -891,3 +891,56 @@ def test_dedup_groups_escalates_to_star_on_chain_graph(spark):
     comps = {r["component"] for r in out}
     assert comps == {0}  # one drifting template = ONE cluster
     assert all(r["n_docs"] == 200 for r in out)
+
+
+@pytest.mark.slow
+def test_pack_sequences_matches_reference_on_random_corpora(spark):
+    """Property: the window-based concat-and-chunk packing agrees with
+    an independent single-threaded Python replay on random corpora —
+    every doc slotted exactly once, shard routing by the same md5
+    bucket, starts the exact running sum in doc_id order, offsets
+    always < capacity. Catches the whole class of frame/ordering bugs
+    (wrong rowsBetween, post-rename orderBy, capacity off-by-one) that
+    the four-doc layout example cannot."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from streaming_examples_spark.operators.packing import pack_sequences
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(st.integers(0, 99999), st.integers(0, 20)),
+            min_size=1, max_size=60, unique_by=lambda t: t[0],
+        ),
+        capacity=st.integers(1, 64),
+        n_shards=st.integers(1, 8),
+    )
+    def check(data, capacity, n_shards):
+        # n tokens → " ".join of n words; n=0 → "" which both sides
+        # count as ONE token (split-on-space semantics)
+        docs = [(did, " ".join(["w"] * n)) for did, n in data]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["shard"], r["seq_id"], r["seq_offset"], r["n_tokens"])
+            for r in pack_sequences(df, capacity=capacity, n_shards=n_shards).collect()
+        }
+
+        # independent replay
+        shards: dict[int, list] = {}
+        for did, text in docs:
+            b = int(hashlib.md5(str(did).encode()).hexdigest()[:4], 16) % n_shards
+            shards.setdefault(b, []).append((did, text))
+        want = {}
+        for b, items in shards.items():
+            start = 0
+            for did, text in sorted(items):
+                n = len(text.split(" "))
+                want[did] = (b, start // capacity, start % capacity, n)
+                start += n
+
+        assert got == want  # exactly once, same slot, same count
+        assert all(off < capacity for _, _, off, _ in got.values())
+
+    check()
