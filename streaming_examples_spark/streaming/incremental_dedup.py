@@ -46,6 +46,12 @@ into the wrong buckets (permanent recall loss), so a mismatch raises
 instead. The default (None) keeps plain append-only parquet for
 warehouse-free tests.
 
+Single-writer contract: ``process_batch`` and ``compact`` take an
+advisory writer lock on the state dir (``_writer.lock``) — running
+them concurrently could lose appends inside compact's directory swap,
+so the overlap raises loudly instead; a crashed local owner's lock is
+broken automatically (see ``_writer_lock``).
+
 Reference parity: the reference has no incremental near-dup operator —
 this extends its CDC-state patterns (bounded keyed state, replay
 dedup: TxAware...Operator.java:357-430) to the training-data domain.
@@ -53,11 +59,14 @@ dedup: TxAware...Operator.java:357-430) to the training-data domain.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
 import re
 import shutil
+import socket
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -73,6 +82,20 @@ from streaming_examples_spark.functions.hashing import (
 
 _SIG_SCHEMA = "doc_id long, sig array<long>"
 _BAND_SCHEMA = "band_id int, band_key string, doc_id long"
+
+
+def _pid_alive(pid) -> bool:
+    """True unless the pid verifiably does not exist on THIS host.
+    Permission errors (a live process we may not signal) and garbage
+    pids err toward 'alive' — stealing a live owner's lock is the
+    data-loss case the lock exists to prevent."""
+    try:
+        os.kill(int(pid), 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, ValueError, TypeError, OverflowError):
+        return True
+    return True
 
 #: per-store bucketing spec: (read schema, bucket/sort columns, DDL columns)
 _STORES = {
@@ -237,6 +260,81 @@ class IncrementalNearDup:
             )
         os.rename(tmp, self._layout_path())
 
+    # -- single-writer mutual exclusion ---------------------------------
+    def _lock_path(self) -> str:
+        return os.path.join(self.state_dir, "_writer.lock")
+
+    @contextlib.contextmanager
+    def _writer_lock(self, role: str):
+        """Advisory single-writer lock making :meth:`process_batch` and
+        :meth:`compact` mutually exclusive on one state dir.
+
+        The race it closes: ``compact``'s full rewrite reads the live
+        store into a temp copy, then swaps directories — an append that
+        lands between the completed temp write and the swap is renamed
+        into ``.old`` and deleted with it, silently losing those
+        canonical docs from the store (and, for ``sigs``, their replay
+        protection). The operational contract is therefore one writer
+        at a time: the stream OR the maintenance job.
+
+        Mechanics: ``O_CREAT|O_EXCL`` on ``state_dir/_writer.lock``
+        (atomic on POSIX and HDFS-like stores), owner recorded as
+        {pid, host, role, ts}. A lock whose owner is a verifiably dead
+        pid on THIS host is broken automatically (crashed process);
+        anything else raises loudly with the owner's identity — never
+        steal a lock you cannot prove is dead. On a multi-host cluster
+        the pid check cannot prove death, so a crashed remote owner
+        needs a manual unlink (or the scheduler's own mutual exclusion
+        — one maintenance job — with this lock as defense-in-depth).
+        """
+        os.makedirs(self.state_dir, exist_ok=True)
+        path, fd = self._lock_path(), None
+        for _ in range(2):  # one stale-break, one retry
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    with open(path) as fh:
+                        owner = json.load(fh)
+                except (OSError, json.JSONDecodeError):
+                    owner = {}
+                if owner.get("host") == socket.gethostname() and not _pid_alive(
+                    owner.get("pid")
+                ):
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(path)  # crashed local owner: break it
+                    continue
+                raise RuntimeError(
+                    f"incremental-dedup state at {self.state_dir} is locked by "
+                    f"another writer ({owner or 'unreadable lock'}); refusing to "
+                    f"run {role} concurrently — a compact/append race can "
+                    "silently drop store rows. Stop the other writer (or remove "
+                    "the lock file if its owner is known dead)."
+                )
+        if fd is None:
+            raise RuntimeError(
+                f"could not acquire {path}: another writer recreated the lock "
+                "while a stale one was being broken"
+            )
+        try:
+            os.write(
+                fd,
+                json.dumps(
+                    {
+                        "pid": os.getpid(),
+                        "host": socket.gethostname(),
+                        "role": role,
+                        "ts": time.time(),
+                    }
+                ).encode(),
+            )
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+
     # -- state I/O ------------------------------------------------------
     def _recover(self, name: str) -> None:
         """Heal a crash inside ``compact``'s swap: the new copy is fully
@@ -314,7 +412,15 @@ class IncrementalNearDup:
         duplicate GROUPS point at the group's canonical only when they
         match it directly (one hop); full transitive closure is the
         batch operator ``dedup_groups``' job, not the stream's.
+
+        Holds the state dir's writer lock for the whole batch: running
+        concurrently with :meth:`compact` can silently lose store rows
+        (see :meth:`_writer_lock`), so the overlap raises instead.
         """
+        with self._writer_lock("process_batch"):
+            return self._process_batch_locked(docs, batch_id)
+
+    def _process_batch_locked(self, docs: DataFrame, batch_id: int) -> DataFrame:
         sigs_store = self._load_store("sigs")
         bands_store = self._load_store("bands")
 
@@ -475,7 +581,18 @@ class IncrementalNearDup:
         leaves duplicate rows at worst (collapsed by the probe's
         ``.distinct()`` and healed by the next full compact's
         ``dropDuplicates``), never missing rows.
+
+        Holds the state dir's writer lock for the whole pass — an
+        append racing the full rewrite's directory swap would be
+        renamed into ``.old`` and deleted (see :meth:`_writer_lock`),
+        so the overlap raises instead.
         """
+        with self._writer_lock("compact"):
+            self._compact_locked(target_partitions, hot_bucket_threshold)
+
+    def _compact_locked(
+        self, target_partitions: int, hot_bucket_threshold: int | None
+    ) -> None:
         for name, (schema, cols, _) in _STORES.items():
             self._recover(name)
             path = self._path(name)

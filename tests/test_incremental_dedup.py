@@ -516,3 +516,60 @@ def test_compaction_preserves_state_and_verdicts(spark, detector):
     # probe still works against the compacted store
     r = {x["doc_id"]: x for x in detector.process_batch(_docs(spark, [(9, NEAR)]), 3).collect()}
     assert r[9]["is_dup"] and r[9]["dup_of"] == 1
+
+
+def test_writer_lock_blocks_concurrent_writers(spark, detector, tmp_path):
+    """A live lock (owner = this very-alive process) must make BOTH
+    writer entry points refuse: an append racing compact()'s directory
+    swap is renamed into .old and deleted — silent store loss."""
+    import json
+    import os
+    import socket
+
+    detector.process_batch(_docs(spark, [(1, BASE)]), 0)
+
+    lock = detector._lock_path()
+    with open(lock, "w") as fh:
+        json.dump(
+            {"pid": os.getpid(), "host": socket.gethostname(), "role": "compact"}, fh
+        )
+    try:
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            detector.process_batch(_docs(spark, [(2, OTHER)]), 1)
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            detector.compact()
+    finally:
+        os.unlink(lock)
+    # and with the lock gone, both run again (released on exit, too)
+    detector.process_batch(_docs(spark, [(2, OTHER)]), 1)
+    detector.compact()
+    assert not os.path.exists(lock)
+
+
+def test_writer_lock_breaks_stale_lock_of_dead_process(spark, detector):
+    """A lock whose owner pid is verifiably dead on this host is a
+    crash leftover: broken automatically, batch proceeds. An owner on
+    another host can NOT be proven dead — refuse instead."""
+    import json
+    import os
+    import socket
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    os.makedirs(detector.state_dir, exist_ok=True)
+    with open(detector._lock_path(), "w") as fh:
+        json.dump(
+            {"pid": proc.pid, "host": socket.gethostname(), "role": "compact"}, fh
+        )
+    out = {r["doc_id"]: r for r in detector.process_batch(_docs(spark, [(1, BASE)]), 0).collect()}
+    assert not out[1]["is_dup"]  # stale lock broken, batch ran
+    assert not os.path.exists(detector._lock_path())
+
+    with open(detector._lock_path(), "w") as fh:
+        json.dump({"pid": proc.pid, "host": "some-other-host", "role": "compact"}, fh)
+    try:
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            detector.process_batch(_docs(spark, [(2, OTHER)]), 1)
+    finally:
+        os.unlink(detector._lock_path())
