@@ -944,3 +944,61 @@ def test_pack_sequences_matches_reference_on_random_corpora(spark):
         assert all(off < capacity for _, _, off, _ in got.values())
 
     check()
+
+
+@pytest.mark.slow
+def test_sampling_suite_matches_reference_on_random_ids(spark):
+    """Property: the three content-addressed sampling primitives agree
+    with an independent hashlib replay on random id sets — sample
+    membership bit-for-bit, split assignment stable and exhaustive,
+    quota keeping exactly the k smallest (md5, id) per group. Guards
+    the hex-parse and modulo conventions (first-4-hex-chars bucket,
+    %100 split, md5-string ranking) that a refactor could silently
+    shift while the fixed-testdata oracle still passed by luck."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from streaming_examples_spark.operators.sampling import (
+        deterministic_sample,
+        quota_sample,
+        split_assignment,
+    )
+
+    def b16(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=80, unique=True),
+        rate=st.sampled_from([0.05, 0.1, 0.25, 0.5]),
+        k=st.integers(1, 5),
+        n_groups=st.integers(1, 4),
+    )
+    def check(ids, rate, k, n_groups):
+        rows = [(i, f"g{i % n_groups}") for i in ids]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+
+        got = {r["doc_id"] for r in deterministic_sample(df, rate=rate).collect()}
+        want = {i for i in ids if b16(i) < int(rate * 65536)}
+        assert got == want
+
+        splits = {
+            r["doc_id"]: r["split"] for r in split_assignment(df).collect()
+        }
+        assert set(splits) == set(ids)  # exhaustive: every row assigned
+        for i in ids:
+            b = b16(i) % 100
+            assert splits[i] == ("train" if b < 80 else "val" if b < 90 else "test")
+
+        got_q = {r["doc_id"] for r in quota_sample(df, k=k).collect()}
+        want_q = set()
+        for g in {s for _, s in rows}:
+            members = sorted(
+                (i for i, s in rows if s == g),
+                key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+            )
+            want_q.update(members[:k])
+        assert got_q == want_q
+
+    check()
