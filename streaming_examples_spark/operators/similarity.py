@@ -147,6 +147,21 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, salt_base: int = 0) ->
     return bucket
 
 
+def lsh_table_buckets(
+    vec: Column, dim: int, n_planes: int = 4, n_tables: int = 8
+) -> Column:
+    """One bucket id per LSH table for a vector: the multi-table
+    bucketing convention ``lsh_ann_topk`` candidates come from (plane
+    salt ``t*1000 + p`` gives each table an independent hyperplane
+    set). Public so cost probes measure candidates from the SAME index
+    the operator queries — a drifted re-implementation would silently
+    pair recall from one bucketing with cost from another
+    (tools/probe_ann_recall.py)."""
+    return F.array(
+        *[lsh_bucket(vec, dim, n_planes, salt_base=t * 1000) for t in range(n_tables)]
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -172,11 +187,9 @@ def lsh_ann_topk(
     qs = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
+
     def buckets_for(col: Column) -> Column:
-        # plane salt t*1000+p → independent hyperplane sets per table
-        return F.array(
-            *[lsh_bucket(col, dim, n_planes, salt_base=t * 1000) for t in range(n_tables)]
-        )
+        return lsh_table_buckets(col, dim, n_planes, n_tables)
 
     c_b = corpus.select(
         "neighbor_id", "cv", F.posexplode(buckets_for(F.col("cv"))).alias("tbl", "bkt")

@@ -573,3 +573,88 @@ def test_writer_lock_breaks_stale_lock_of_dead_process(spark, detector):
             detector.process_batch(_docs(spark, [(2, OTHER)]), 1)
     finally:
         os.unlink(detector._lock_path())
+
+
+def _lock_hammer_worker(state_dir, log_path, n_iters):
+    import os
+    import time as _t
+
+    from streaming_examples_spark.streaming.incremental_dedup import writer_lock
+
+    done = 0
+    while done < n_iters:
+        try:
+            with writer_lock(state_dir, "hammer"):
+                fd = os.open(log_path, os.O_WRONLY | os.O_APPEND | os.O_CREAT)
+                os.write(fd, f"enter {os.getpid()}\n".encode())
+                _t.sleep(0.001)
+                os.write(fd, f"exit {os.getpid()}\n".encode())
+                os.close(fd)
+            done += 1
+        except RuntimeError:
+            _t.sleep(0.0005)  # non-blocking lock: busy-retry
+
+
+def _assert_strictly_serial(log_path):
+    import os
+
+    events = []
+    with open(log_path) as fh:
+        for line in fh:
+            kind, pid = line.split()
+            events.append((kind, pid))
+    assert events, "no critical sections ran"
+    for i in range(0, len(events), 2):
+        assert events[i][0] == "enter" and events[i + 1][0] == "exit"
+        assert events[i][1] == events[i + 1][1]  # same holder, no overlap
+    return len(events) // 2
+
+
+def test_writer_lock_multiprocess_hammer(tmp_path):
+    """Mutual exclusion under real contention: four processes hammer
+    one state dir; the enter/exit log must be strictly serial — any
+    TOCTOU in acquire (the reviewed two-breakers race) shows up as
+    interleaved enters."""
+    import multiprocessing as mp
+
+    state, log = str(tmp_path / "state"), str(tmp_path / "log")
+    procs = [
+        mp.Process(target=_lock_hammer_worker, args=(state, log, 15))
+        for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    assert _assert_strictly_serial(log) == 4 * 15
+
+
+def test_writer_lock_stale_break_race_stays_exclusive(tmp_path):
+    """Four processes all find the same dead-owner lock and race to
+    break it: exactly one rename can win, everyone eventually gets a
+    turn, and the critical sections stay strictly serial."""
+    import json
+    import multiprocessing as mp
+    import os
+    import socket
+    import subprocess
+
+    state, log = str(tmp_path / "state"), str(tmp_path / "log")
+    os.makedirs(state)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    with open(os.path.join(state, "_writer.lock"), "w") as fh:
+        json.dump(
+            {"pid": dead.pid, "host": socket.gethostname(), "role": "crashed"}, fh
+        )
+    procs = [
+        mp.Process(target=_lock_hammer_worker, args=(state, log, 5))
+        for _ in range(4)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    assert _assert_strictly_serial(log) == 4 * 5

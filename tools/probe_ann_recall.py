@@ -39,7 +39,7 @@ from streaming_examples_spark.operators.similarity import (  # noqa: E402
     ivf_ann_topk,
     ivf_pq_ann_topk,
     lsh_ann_topk,
-    lsh_bucket,
+    lsh_table_buckets,
     pq_ann_topk,
 )
 
@@ -60,11 +60,13 @@ def _recall(exact: dict[int, set[int]], approx: dict[int, set[int]]) -> float:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = args[0] if args else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
     n_q = 50
-    if "--queries" in sys.argv:
-        n_q = int(sys.argv[sys.argv.index("--queries") + 1])
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        n_q = int(argv[i + 1])
+        del argv[i : i + 2]  # flag AND value, so neither reads as sf_dir
+    sf = argv[0] if argv else "/root/testdata/sf0.1"
 
     spark = get_spark("probe-ann-recall", shuffle_partitions=32)
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -85,11 +87,12 @@ def main() -> int:
         approx = _neighbor_sets(lsh_ann_topk(
             emb, queries, k=K, dim=64, n_planes=4, n_tables=n_tables))
         # measured cost: distinct (query, candidate) pairs out of the
-        # bucket join, per query, over the corpus — same bucketing the
-        # operator uses (public helper, identical salts)
+        # bucket join, per query, over the corpus — candidates come
+        # from the operator's OWN bucketing (lsh_table_buckets), so
+        # recall and cost are guaranteed to describe the same index
         def bkts(col):
-            return F.array(*[lsh_bucket(col, 64, 4, salt_base=t * 1000)
-                             for t in range(n_tables)])
+            return lsh_table_buckets(col, 64, 4, n_tables)
+
         c_b = emb.select(F.col("vec_id").alias("nid"),
                          F.posexplode(bkts(as_double(F.col("embedding")))).alias("tbl", "bkt"))
         q_b = queries.select(F.col("vec_id").alias("qid"),

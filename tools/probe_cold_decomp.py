@@ -22,7 +22,7 @@ regression that lives in construction is a driver/py4j/plan concern
 concern (scales with the corpus).
 
 Usage: python tools/probe_cold_decomp.py [sf_dir] [query ...]
-Defaults to the five heaviest cold queries from BENCH_r06.
+Defaults to the six heaviest cold queries from BENCH_r06.
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from streaming_examples_spark import get_spark  # noqa: E402
-from streaming_examples_spark.catalog import entries, release  # noqa: E402
+from streaming_examples_spark.catalog import entries  # noqa: E402
 
 DEFAULT = [
     "tx_denorm_orders",
@@ -68,7 +68,10 @@ def main() -> int:
         print(
             f"{name:24s} {t_con:9.2f}s {t_exe:9.2f}s {total:9.2f}s  {t_con / total:5.0%}"
         )
-        release(spark, name, sf)
+        # NOTE: catalog.release() would be a no-op here — __wrapped__
+        # bypassed the plan cache, so nothing was registered under this
+        # name; the blanket clearCache drops whatever the raw
+        # construction pinned instead
         spark.catalog.clearCache()
     return 0
 
