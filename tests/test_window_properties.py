@@ -1,0 +1,137 @@
+"""Property-based tests for the window/join family (hypothesis):
+as-of join and sessionization replayed by independent single-threaded
+Python over random event histories. The fixed-scenario tests pin the
+designed edge cases; these sweep the input space for frame/ordering
+bugs (wrong inclusivity, tie-break drift, gap boundary off-by-one)
+the hand-picked rows can't reach.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tests.conftest import spark  # noqa: F401
+
+UTC = dt.timezone.utc
+
+
+@pytest.mark.slow
+def test_asof_join_matches_reference_on_random_histories(spark):
+    """Property: for every left row, asof_join returns exactly the
+    LATEST right row with right_ts <= left_ts for its key (None when
+    no such row), never mixing columns across right rows. Right
+    timestamps are unique per key — with duplicates the 'latest row'
+    is not well-defined and the operator makes no ordering promise."""
+    from streaming_examples_spark.operators.asof import asof_join
+
+    @settings(max_examples=5, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n_keys = data.draw(st.integers(1, 3))
+        left = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(0, n_keys - 1),  # key
+                    st.integers(0, 50),  # left ts
+                ),
+                min_size=1,
+                max_size=30,
+            )
+        )
+        # unique (key, ts) pairs on the right: per-key unique timestamps
+        right = data.draw(
+            st.lists(
+                st.tuples(st.integers(0, n_keys - 1), st.integers(0, 50)),
+                min_size=0,
+                max_size=30,
+                unique=True,
+            )
+        )
+        left_rows = [(i, k, t) for i, (k, t) in enumerate(left)]
+        right_rows = [(k, t, k * 1000 + t) for k, t in right]
+
+        ldf = spark.createDataFrame(left_rows, "lid long, k long, lts long")
+        rdf = spark.createDataFrame(right_rows, "k long, rts long, v long")
+        got = {
+            r["lid"]: r["v_asof"]
+            for r in asof_join(
+                ldf, rdf, on=["k"], left_ts="lts", right_ts="rts", right_cols=["v"]
+            ).collect()
+        }
+
+        for lid, k, lts in left_rows:
+            matches = [(t, v) for kk, t, v in right_rows if kk == k and t <= lts]
+            want = max(matches)[1] if matches else None
+            assert got[lid] == want, (lid, k, lts, matches)
+
+    check()
+
+
+@pytest.mark.slow
+def test_sessionize_matches_reference_on_random_streams(spark):
+    """Property: gaps-and-islands sessionization agrees with a
+    single-threaded replay on random per-user event streams — same
+    session boundaries (gap STRICTLY greater than the threshold
+    splits), counts, start/end, and value sums. Ties in ts are broken
+    by event_id on both sides."""
+    from streaming_examples_spark.operators.windows import sessionize
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(0, 2),  # user
+                st.integers(0, 7200),  # ts offset seconds (0-2h)
+                st.integers(0, 100),  # value cents
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        gap_minutes=st.sampled_from([1.0, 5.0, 30.0]),
+    )
+    def check(events, gap_minutes):
+        base = dt.datetime(2026, 1, 1, tzinfo=UTC)
+        rows = [
+            (i, u, base + dt.timedelta(seconds=s), c / 100.0)
+            for i, (u, s, c) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        got = {
+            (r["user_id"], r["session_seq"]): (
+                r["n_events"],
+                r["session_start"].replace(tzinfo=UTC),
+                r["session_end"].replace(tzinfo=UTC),
+                r["session_value"],
+            )
+            for r in sessionize(df, gap_minutes=gap_minutes).collect()
+        }
+
+        want = {}
+        for u in {r[1] for r in rows}:
+            stream = sorted(
+                ((ts, eid, v) for eid, uu, ts, v in rows if uu == u),
+                key=lambda x: (x[0], x[1]),
+            )
+            seq, prev = 0, None
+            sessions: dict[int, list] = {}
+            for ts, eid, v in stream:
+                if prev is None or (ts - prev).total_seconds() > gap_minutes * 60:
+                    seq += 1
+                sessions.setdefault(seq, []).append((ts, v))
+                prev = ts
+            for s, evs in sessions.items():
+                total = sum(v for _, v in evs)
+                want[(u, s)] = (
+                    len(evs),
+                    min(ts for ts, _ in evs),
+                    max(ts for ts, _ in evs),
+                    int(total * 100 + 0.5) / 100.0,
+                )
+        assert got == want
+
+    check()
