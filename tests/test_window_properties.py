@@ -135,3 +135,77 @@ def test_sessionize_matches_reference_on_random_streams(spark):
         assert got == want
 
     check()
+
+
+@pytest.mark.slow
+def test_upsert_materialization_matches_reference_on_random_cdc(spark):
+    """Property: as_upsert over a random but causally-valid CDC
+    history (inserts of absent keys, updates/deletes of present ones,
+    re-inserts after delete, monotone LSNs) equals a dict replay's
+    final state — latest event per key decides presence and value,
+    tombstones remove. Also checks the upsert→changelog→upsert
+    roundtrip reproduces the same final table."""
+    import random
+
+    from streaming_examples_spark.operators.ingest import (
+        as_upsert,
+        changelog_to_upsert,
+        upsert_to_changelog,
+    )
+    from pyspark.sql import functions as F
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1), n_events=st.integers(1, 60))
+    def check(seed, n_events):
+        rng = random.Random(seed)
+        state: dict[int, int] = {}
+        events = []
+        for lsn in range(1, n_events + 1):
+            choices = ["c"] + (["u", "d"] if state else [])
+            op = rng.choice(choices)
+            if op == "c":
+                free = [k for k in range(6) if k not in state]
+                if not free:
+                    op = "u"
+            if op == "c":
+                k, v = rng.choice(free), rng.randint(0, 999)
+                events.append(("c", None, {"id": k, "val": v}, {"lsn": lsn}, lsn))
+                state[k] = v
+            elif op == "u":
+                k, v = rng.choice(list(state)), rng.randint(0, 999)
+                events.append(
+                    ("u", {"id": k, "val": state[k]}, {"id": k, "val": v}, {"lsn": lsn}, lsn)
+                )
+                state[k] = v
+            else:
+                k = rng.choice(list(state))
+                events.append(("d", {"id": k, "val": state[k]}, None, {"lsn": lsn}, lsn))
+                del state[k]
+
+        schema = (
+            "op string, before struct<id:long,val:long>, "
+            "after struct<id:long,val:long>, source struct<lsn:long>, ts_ms long"
+        )
+        df = spark.createDataFrame(events, schema)
+        got = {r["id"]: r["val"] for r in as_upsert(df, ["id"]).collect()}
+        assert got == state
+
+        # roundtrip: per-key version snapshots -> retract changelog ->
+        # upsert again; the final table must survive both conversions
+        snaps = df.select(
+            F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+            F.col("ts_ms").alias("ver"),
+            F.col("after").alias("row"),  # null after = tombstone
+        )
+        cl = upsert_to_changelog(snaps, ["id"], "ver").select(
+            "row_kind",
+            "row",
+            F.struct(F.col("ver").alias("lsn")).alias("source"),
+            F.col("ver").alias("ts_ms"),
+        )
+        back = {r["id"]: r["val"] for r in changelog_to_upsert(cl, ["id"]).collect()}
+        assert back == state
+
+    check()
