@@ -209,3 +209,64 @@ def test_upsert_materialization_matches_reference_on_random_cdc(spark):
         assert back == state
 
     check()
+
+
+@pytest.mark.slow
+def test_fill_forward_rows_and_range_match_reference(spark):
+    """Property: both fill-forward variants agree with a
+    single-threaded replay on random sparse streams (unique ts per
+    key, where peer order is well-defined): the rows frame carries the
+    last non-null forever; the RANGE frame forgets it after `days` of
+    silence — including the boundary (exactly `days` old still
+    fills)."""
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.operators.windows import (
+        fill_forward,
+        fill_forward_range,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 2),  # key
+                st.integers(0, 4 * 86400),  # ts offset sec (0-4 days)
+                st.one_of(st.none(), st.integers(0, 99)),  # sparse value
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: (t[0], t[1]),  # unique ts per key
+        ),
+        days=st.sampled_from([1, 2]),
+    )
+    def check(rows, days):
+        base = dt.datetime(2026, 1, 1, tzinfo=UTC)
+        data = [
+            (i, k, base + dt.timedelta(seconds=s), v)
+            for i, (k, s, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, "rid long, k long, ts timestamp, v long")
+        ff = fill_forward(df, ["k"], ["ts"], F.col("v"), "filled")
+        fr = fill_forward_range(df, ["k"], "ts", F.col("v"), "filled", days=days)
+        got_rows = {r["rid"]: r["filled"] for r in ff.collect()}
+        got_range = {r["rid"]: r["filled"] for r in fr.collect()}
+
+        for k in {d[1] for d in data}:
+            stream = sorted(
+                ((ts, rid, v) for rid, kk, ts, v in data if kk == k)
+            )
+            last, last_ts = None, None
+            for ts, rid, v in stream:
+                if v is not None:
+                    last, last_ts = v, ts
+                assert got_rows[rid] == last
+                in_range = (
+                    last is not None
+                    and (ts - last_ts).total_seconds() <= days * 86400
+                )
+                assert got_range[rid] == (last if in_range else None), (
+                    rid, k, ts, last, last_ts, days,
+                )
+
+    check()
