@@ -166,7 +166,28 @@ class TxDenormBatchProcessor:
         batch_id: int = 0,
     ) -> DataFrame:
         """Apply one micro-batch; returns (and optionally writes) the
-        emissions in commit-LSN order."""
+        emissions in commit-LSN order.
+
+        Holds the state dir's advisory writer lock for the whole batch
+        (``streaming/locks.py``): the two-phase bucket swap in
+        ``_store_all`` is crash-safe for ONE writer, but a second
+        stream accidentally pointed at the same state dir would have
+        its state frames silently replaced mid-swap — the overlap
+        raises loudly instead."""
+        from streaming_examples_spark.streaming.locks import writer_lock
+
+        with writer_lock(self.state_dir, f"tx_batch_{batch_id}"):
+            return self._process_locked(
+                order_events, line_events, tx_events, batch_id
+            )
+
+    def _process_locked(
+        self,
+        order_events: DataFrame,
+        line_events: DataFrame,
+        tx_events: DataFrame,
+        batch_id: int,
+    ) -> DataFrame:
         import time as _time
 
         _batch_t0 = _time.time()
