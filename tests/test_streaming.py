@@ -380,3 +380,35 @@ def test_applied_txs_swapped_last(spark, tmp_path, monkeypatch):
     ]
     assert applied and state
     assert min(applied) > max(state), order
+
+
+def test_tx_processor_refuses_second_writer(spark, tmp_path):
+    """Two streams pointed at one state dir is the silent-corruption
+    config: with another writer's lock live, process() must raise
+    instead of interleaving its two-phase state swaps."""
+    import json
+    import os
+    import socket
+
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    state = tmp_path / "state"
+    proc = TxDenormBatchProcessor(spark, str(state))
+    lock = state / "_writer.lock"
+    with open(lock, "w") as fh:
+        json.dump(
+            {"pid": os.getpid(), "host": socket.gethostname(), "role": "other-stream"},
+            fh,
+        )
+    try:
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            proc.process(o, l, x, 0)
+    finally:
+        os.unlink(lock)
+    assert proc.process(o, l, x, 0).count() == 1  # lock gone → batch runs
+    assert not lock.exists()  # released afterwards
