@@ -17,7 +17,16 @@ events. Reported per size:
   * batch-2 wall draining the carry-over (must emit exactly the
     remaining 10 % — asserted, not printed-and-hoped).
 
-Usage: python tools/probe_tx_scale.py [n_txs ...]   (default: 1M 5M 20M)
+Usage: python tools/probe_tx_scale.py [--whale K] [n_txs ...]
+       (default sizes: 1M 5M 20M)
+
+``--whale K`` adds the skew dimension: each size is ALSO run with one
+planted whale transaction — a single order carrying K lines (a hot
+order key ~1000× the average) appended by the generator. Joins split
+under AQE's skew handling, but the whale's ``collect_list`` into one
+nested doc is irreducibly single-task — the probe measures what that
+straggler actually costs at each size and asserts the whale doc
+emits exactly once with all K lines.
 """
 
 from __future__ import annotations
@@ -37,7 +46,13 @@ from streaming_examples_spark.sources.generator import generate_workload  # noqa
 
 
 def main() -> int:
-    sizes = [int(s) for s in sys.argv[1:]] or [1_000_000, 5_000_000, 20_000_000]
+    argv = list(sys.argv[1:])
+    whale = 0
+    if "--whale" in argv:
+        i = argv.index("--whale")
+        whale = int(argv[i + 1])
+        del argv[i : i + 2]
+    sizes = [int(s) for s in argv] or [1_000_000, 5_000_000, 20_000_000]
     spark = get_spark("tx-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM + codegen for the pipeline shape
@@ -99,6 +114,36 @@ def main() -> int:
         print(f"{n_txs:>10} {n_events:>10} {'drain-carry':<12} {wall2:>7.1f} "
               f"{n_emit2 * 3.5 / wall2:>9.0f} {n_emit2:>10}", flush=True)
         spark.catalog.clearCache()
+
+        if whale:
+            # -- planted hot key: same size + ONE order with `whale`
+            # lines. Delta vs 'complete' above = the straggler cost of
+            # the irreducible single-task collect_list on that key.
+            ow, lw, xw = generate_workload(
+                spark, n_txs, partitions=parts, whale_lines=whale
+            )
+            nw_events = n_events + whale + 1
+            t0 = time.time()
+            resw = tx_denormalize(ow, lw, xw)
+            resw.emissions.write.format("noop").mode("overwrite").save()
+            nw_emit = resw.emissions.count()
+            wdoc = (
+                resw.emissions.filter(F.col("order_key") == n_txs)
+                .select(F.size("lines").alias("n"))
+                .collect()
+            )
+            wallw = time.time() - t0
+            for f in resw.pinned:
+                f.unpersist()
+            assert nw_emit == n_txs + 1, (nw_emit, n_txs)
+            assert len(wdoc) == 1 and wdoc[0]["n"] == whale, wdoc
+            print(
+                f"{n_txs:>10} {nw_events:>10} {f'whale-{whale}':<12} {wallw:>7.1f} "
+                f"{nw_events / wallw:>9.0f} {nw_emit:>10}   "
+                f"(+{wallw - wall:.1f}s vs complete)",
+                flush=True,
+            )
+            spark.catalog.clearCache()
     print("OK: every size emitted exactly n_txs across the cut")
     return 0
 
