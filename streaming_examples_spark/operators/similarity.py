@@ -147,6 +147,43 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 12, salt_base: int = 0) ->
     return bucket
 
 
+def _exact_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    *,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN shortlist — the standard second
+    stage of a PQ index: compressed codes produce the candidate set,
+    the RAW vectors decide the final order (recall within a tight
+    cluster needs resolution the code budget doesn't carry; see the
+    probe_ann_recall clustered sweep). Returns (query_id, neighbor_id,
+    rank, cos).
+
+    Scale shape: the shortlist (#queries × R rows, bounded) and query
+    vectors broadcast; the corpus is joined on neighbor_id in one scan
+    with no corpus shuffle; ranking is a per-query window over R rows.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
 def lsh_table_buckets(
     vec: Column, dim: int, n_planes: int = 4, n_tables: int = 8
 ) -> Column:
@@ -463,6 +500,7 @@ def pq_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     books: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ANN top-k by asymmetric distance computation (ADC) over PQ codes:
     per query, the distance to every codeword of every subspace is
@@ -481,6 +519,14 @@ def pq_ann_topk(
     oracle can replay encode + ADC bit-for-bit from the same literals
     (functions/pq_frozen.py); with books=None the codebooks are trained
     in-line (iterative — rows-only at any SQL oracle gate).
+
+    ``rerank=R`` — two-stage production shape: keep the top R by ADC,
+    then exact-cosine re-rank the shortlist on the raw vectors and
+    return top k as (query_id, neighbor_id, rank, cos). The ADC code
+    budget resolves BETWEEN clusters but not within one (measured:
+    recall ~0.21 on clustered data at m=8 regardless of probes); the
+    re-rank recovers the within-cluster order at the cost of R raw-row
+    fetches per query.
     """
     if books is None:
         books = pq_codebooks(
@@ -530,9 +576,16 @@ def pq_ann_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_sqdist"), F.asc("neighbor_id")
     )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is not None:
+        shortlist = ranked.filter(F.col("rank") <= rerank).select(
+            "query_id", "neighbor_id"
+        )
+        return _exact_rerank(
+            emb, queries, shortlist, k=k, vec_col=vec_col, id_col=id_col
+        )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked.filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank", F.round("approx_sqdist", 4).alias("approx_sqdist")
         )
@@ -607,6 +660,7 @@ def ivf_pq_ann_topk(
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
     books: list[list[list[float]]] | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the billion-vector composition — a coarse k-means
     quantizer routes vectors into cells, product quantization encodes
@@ -712,8 +766,18 @@ def ivf_pq_ann_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is not None:
+        # same two-stage shape as pq_ann_topk(rerank=R): the residual
+        # codes shortlist, the raw vectors decide the final order
+        shortlist = ranked.filter(F.col("rank") <= rerank).select(
+            "query_id", "neighbor_id"
+        )
+        return _exact_rerank(
+            emb, queries, shortlist, k=k, vec_col=vec_col, id_col=id_col
+        )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        ranked
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",

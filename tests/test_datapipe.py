@@ -1002,3 +1002,53 @@ def test_sampling_suite_matches_reference_on_random_ids(spark):
         assert got_q == want_q
 
     check()
+
+
+def test_pq_rerank_recovers_exact_order(spark, tables):
+    """The two-stage PQ shape: an exact-cosine re-rank of the ADC
+    shortlist must (a) emit the (query_id, neighbor_id, rank, cos)
+    contract, (b) beat the code-budget-bound plain ADC recall, and
+    (c) with the shortlist widened to the whole corpus, reproduce
+    brute force EXACTLY — the re-rank stage is brute_force_topk
+    restricted to candidates, so full-width equals ground truth."""
+    from streaming_examples_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_ann_topk,
+        pq_ann_topk,
+    )
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def recall(rows, ex):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(ex[k] & by_q[k]) / 10 for k in ex) / len(ex)
+
+    exact_rows = brute_force_topk(emb, q, k=10).collect()
+    ex = {}
+    for r in exact_rows:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    plain = pq_ann_topk(emb, q, k=10, m=8, k_codes=16, iters=3).collect()
+    rr = pq_ann_topk(emb, q, k=10, m=8, k_codes=16, iters=3, rerank=100).collect()
+    assert {c for c in rr[0].asDict()} == {"query_id", "neighbor_id", "rank", "cos"}
+    assert recall(rr, ex) >= recall(plain, ex)
+    assert recall(rr, ex) >= 0.5  # shortlist of 100/500 + exact order
+
+    # full-width shortlist == ground truth, bit for bit
+    n = emb.count()
+    full = pq_ann_topk(emb, q, k=10, m=8, k_codes=16, iters=3, rerank=n).collect()
+    want = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos"]) for r in exact_rows}
+    got = {(r["query_id"], r["neighbor_id"], r["rank"], r["cos"]) for r in full}
+    assert got == want
+
+    # composition holds for the ivf-pq variant too
+    rr2 = ivf_pq_ann_topk(
+        emb, q, k=10, n_centroids=16, n_probe=8, m=8, k_codes=16, iters=3, rerank=100
+    ).collect()
+    plain2 = ivf_pq_ann_topk(
+        emb, q, k=10, n_centroids=16, n_probe=8, m=8, k_codes=16, iters=3
+    ).collect()
+    assert recall(rr2, ex) >= recall(plain2, ex)

@@ -20,7 +20,14 @@ Output: one table per family, recall@10 + cost per dial value —
 paste-ready for the SCALE_NOTES ops table. Deterministic end to end
 (seeded centroids, hyperplane literals, no RNG).
 
-Usage: python tools/probe_ann_recall.py [sf_dir] [--queries N]
+Usage: python tools/probe_ann_recall.py [sf_dir] [--queries N] [--clustered]
+
+``--clustered`` swaps the corpus for a synthetic CLUSTERED one (40
+Gaussian clusters in 64-d, seeded numpy, same size) — the shape real
+embedding corpora have. Run both and compare: the gap between the two
+sweeps is how much the uniform testdata understates each index, which
+is the evidence behind SCALE_NOTES calling the uniform curves a
+floor.
 """
 
 from __future__ import annotations
@@ -62,6 +69,9 @@ def _recall(exact: dict[int, set[int]], approx: dict[int, set[int]]) -> float:
 def main() -> int:
     argv = list(sys.argv[1:])
     n_q = 50
+    clustered = "--clustered" in argv
+    if clustered:
+        argv.remove("--clustered")
     if "--queries" in argv:
         i = argv.index("--queries")
         n_q = int(argv[i + 1])
@@ -69,10 +79,27 @@ def main() -> int:
     sf = argv[0] if argv else "/root/testdata/sf0.1"
 
     spark = get_spark("probe-ann-recall", shuffle_partitions=32)
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    if clustered:
+        # 40 Gaussian clusters in 64-d, unit-ish scale, seeded: the
+        # shape real embedding corpora have (centers dominate, noise
+        # sigma well under the inter-center distance)
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        centers = rng.normal(0, 1.0, size=(40, 64))
+        assign = rng.randint(0, 40, size=2000)
+        vecs = centers[assign] + rng.normal(0, 0.15, size=(2000, 64))
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in vecs[i]]) for i in range(2000)],
+            "vec_id long, embedding array<double>",
+        )
+        src = "clustered synthetic (40 centers, sigma 0.15)"
+    else:
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        src = sf
     n_corpus = emb.count()
     queries = emb.filter(F.col("vec_id") < n_q)
-    print(f"corpus={n_corpus} queries={n_q} k={K}  ({sf})")
+    print(f"corpus={n_corpus} queries={n_q} k={K}  ({src})")
 
     exact = _neighbor_sets(brute_force_topk(emb, queries, k=K))
 
@@ -109,6 +136,10 @@ def main() -> int:
         r = _recall(exact, _neighbor_sets(
             pq_ann_topk(emb, queries, k=K, m=m, k_codes=16, iters=5)))
         print(f"  m={m}: recall@10={r:.3f}  bytes/vec={m} (raw 256)")
+    for rr in (50, 100):
+        r = _recall(exact, _neighbor_sets(
+            pq_ann_topk(emb, queries, k=K, m=8, k_codes=16, iters=5, rerank=rr)))
+        print(f"  m=8 +rerank{rr}: recall@10={r:.3f}  (+{rr} raw rows/query)")
 
     print("\nIVF-PQ (n_centroids=16, m=8; cost = n_probe/16 at 8 bytes/vec)")
     for n_probe in (2, 4, 8):
@@ -116,6 +147,10 @@ def main() -> int:
             ivf_pq_ann_topk(emb, queries, k=K, n_centroids=16, n_probe=n_probe,
                             m=8, k_codes=16, iters=3)))
         print(f"  n_probe={n_probe}: recall@10={r:.3f}  scan_frac={n_probe / 16:.3f}")
+    r = _recall(exact, _neighbor_sets(
+        ivf_pq_ann_topk(emb, queries, k=K, n_centroids=16, n_probe=4,
+                        m=8, k_codes=16, iters=3, rerank=50)))
+    print(f"  n_probe=4 +rerank50: recall@10={r:.3f}  (+50 raw rows/query)")
 
     return 0
 
