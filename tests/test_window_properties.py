@@ -270,3 +270,64 @@ def test_fill_forward_rows_and_range_match_reference(spark):
                 )
 
     check()
+
+
+@pytest.mark.slow
+def test_changelog_aggregate_matches_final_state_on_random_histories(spark):
+    """Property: the signed one-pass changelog aggregate equals
+    aggregating the final materialized state, for every random valid
+    retraction stream (+I, -U/+U pairs, -D; values in exact cents) —
+    the consistency contract that lets the single-shuffle plan replace
+    upsert-then-aggregate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.operators.ingest import changelog_aggregate
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1), n_ops=st.integers(1, 80))
+    def check(seed, n_ops):
+        rng = random.Random(seed)
+        live: dict[int, int] = {}  # key -> cents
+        rows = []  # (row_kind, group, value)
+
+        def emit(kind, key, cents):
+            rows.append((kind, key % 3, cents / 100.0))
+
+        for _ in range(n_ops):
+            op = rng.choice(["i"] + (["u", "d"] if live else []))
+            if op == "i":
+                free = [k for k in range(8) if k not in live]
+                if not free:
+                    op = "u"
+            if op == "i":
+                k, c = rng.choice(free), rng.randint(0, 9999)
+                emit("+I", k, c)
+                live[k] = c
+            elif op == "u":
+                k, c = rng.choice(list(live)), rng.randint(0, 9999)
+                emit("-U", k, live[k])
+                emit("+U", k, c)
+                live[k] = c
+            else:
+                k = rng.choice(list(live))
+                emit("-D", k, live[k])
+                del live[k]
+
+        df = spark.createDataFrame(rows, "row_kind string, g int, v double")
+        got = {
+            r["g"]: (r["n_live"], r["sum_value_cents"])
+            for r in changelog_aggregate(df, [F.col("g")], F.col("v")).collect()
+        }
+        want: dict[int, list[int]] = {}
+        for k, c in live.items():
+            want.setdefault(k % 3, [0, 0])
+            want[k % 3][0] += 1
+            want[k % 3][1] += c
+        # groups whose every row retracted still appear with zeros on
+        # the aggregate side (they had events); fold them in
+        for g, (n, s) in got.items():
+            assert (n, s) == tuple(want.get(g, [0, 0])), (g, got, want)
+
+    check()
