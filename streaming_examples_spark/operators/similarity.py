@@ -24,6 +24,22 @@ from streaming_examples_spark.functions.vectors import (
 )
 
 
+def _exact_rank(cand: DataFrame, k: int) -> DataFrame:
+    """THE exact-cosine ranking contract, shared by ``brute_force_topk``
+    and the PQ re-rank stage so the two can never drift: cand carries
+    (query_id, qv, neighbor_id, cv); output is top-k per query as
+    (query_id, neighbor_id, rank, cos), tie-broken on neighbor id,
+    cos rounded to 4. The full-width-rerank == brute-force pytest
+    equivalence depends on this being one piece of code."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos", cosine(F.col("cv"), F.col("qv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -43,16 +59,8 @@ def brute_force_topk(
     qs = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    scored = (
-        corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
-    )
+    cand = corpus.join(F.broadcast(qs), F.col("neighbor_id") != F.col("query_id"))
+    return _exact_rank(cand, k)
 
 
 def ivf_ann_topk(
@@ -165,7 +173,9 @@ def _exact_rerank(
 
     Scale shape: the shortlist (#queries × R rows, bounded) and query
     vectors broadcast; the corpus is joined on neighbor_id in one scan
-    with no corpus shuffle; ranking is a per-query window over R rows.
+    with no corpus shuffle; ranking is the SAME ``_exact_rank`` core
+    brute_force_topk uses (one piece of code, so full-width rerank ==
+    brute force by construction).
     """
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
@@ -173,15 +183,10 @@ def _exact_rerank(
     qs = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        corpus.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qs), "query_id")
-        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    cand = corpus.join(F.broadcast(shortlist), "neighbor_id").join(
+        F.broadcast(qs), "query_id"
     )
+    return _exact_rank(cand, k)
 
 
 def lsh_table_buckets(
@@ -578,6 +583,11 @@ def pq_ann_topk(
     )
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if rerank is not None:
+        if rerank < k:
+            raise ValueError(
+                f"rerank={rerank} < k={k}: the shortlist would silently "
+                "truncate the top-k; use rerank >= k (typically 5-10x)"
+            )
         shortlist = ranked.filter(F.col("rank") <= rerank).select(
             "query_id", "neighbor_id"
         )
@@ -768,6 +778,11 @@ def ivf_pq_ann_topk(
     w = Window.partitionBy("query_id").orderBy(F.asc("approx_sqdist"), F.asc("neighbor_id"))
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if rerank is not None:
+        if rerank < k:
+            raise ValueError(
+                f"rerank={rerank} < k={k}: the shortlist would silently "
+                "truncate the top-k; use rerank >= k (typically 5-10x)"
+            )
         # same two-stage shape as pq_ann_topk(rerank=R): the residual
         # codes shortlist, the raw vectors decide the final order
         shortlist = ranked.filter(F.col("rank") <= rerank).select(

@@ -172,8 +172,14 @@ class TxDenormBatchProcessor:
         (``streaming/locks.py``): the two-phase bucket swap in
         ``_store_all`` is crash-safe for ONE writer, but a second
         stream accidentally pointed at the same state dir would have
-        its state frames silently replaced mid-swap — the overlap
-        raises loudly instead."""
+        its state frames silently replaced mid-swap — CONCURRENT
+        batches raise loudly instead. The lock is per-batch, so two
+        streams strictly alternating batches would still interleave
+        state without tripping it (a stream-lifetime lock can't
+        distinguish that from the legitimate restart-with-new-processor
+        flow in the same live process); stream-lifetime exclusion is
+        the checkpoint dir's job — one checkpoint location per query —
+        with this lock as the in-flight defense."""
         from streaming_examples_spark.streaming.locks import writer_lock
 
         with writer_lock(self.state_dir, f"tx_batch_{batch_id}"):

@@ -81,9 +81,14 @@ def writer_lock(state_dir: str, role: str):
                 try:
                     with open(path) as fh:
                         raw = fh.read()
+                except FileNotFoundError:
+                    continue  # released between link and read: retry claim
+                except OSError:
+                    raw = ""
+                try:
                     owner = json.loads(raw)
-                except (OSError, json.JSONDecodeError):
-                    raw, owner = "", {}
+                except json.JSONDecodeError:
+                    owner = {}
                 if owner.get("host") == socket.gethostname() and not _pid_alive(
                     owner.get("pid")
                 ):
@@ -123,8 +128,16 @@ def writer_lock(state_dir: str, role: str):
             )
         yield
     finally:
+        # release ONLY what we own: the claim was an os.link, so our
+        # lock and our tmp are the same inode — if the path has been
+        # replaced by another writer (a mis-fired stale break stole and
+        # re-created it), unlinking here would delete THEIR live lock
+        # and re-open the two-writer window. samefile == inode compare.
+        if acquired:
+            try:
+                if os.path.exists(path) and os.path.samefile(tmp, path):
+                    os.unlink(path)
+            except OSError:
+                pass
         with contextlib.suppress(FileNotFoundError):
             os.unlink(tmp)
-        if acquired:
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(path)

@@ -77,6 +77,8 @@ def test_sessionize_matches_reference_on_random_streams(spark):
     session boundaries (gap STRICTLY greater than the threshold
     splits), counts, start/end, and value sums. Ties in ts are broken
     by event_id on both sides."""
+    from pyspark.sql import functions as F
+
     from streaming_examples_spark.operators.windows import sessionize
 
     @settings(max_examples=5, deadline=None)
@@ -101,14 +103,26 @@ def test_sessionize_matches_reference_on_random_streams(spark):
         df = spark.createDataFrame(
             rows, "event_id long, user_id long, ts timestamp, value double"
         )
+        # compare epoch seconds, not collected datetimes: PySpark's
+        # non-Arrow collect converts TimestampType through the OS-local
+        # zone, so naive results only equal the UTC reference when the
+        # machine happens to run in UTC
+        sess = sessionize(df, gap_minutes=gap_minutes).select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            F.col("session_start").cast("double").alias("ss"),
+            F.col("session_end").cast("double").alias("se"),
+            "session_value",
+        )
         got = {
             (r["user_id"], r["session_seq"]): (
                 r["n_events"],
-                r["session_start"].replace(tzinfo=UTC),
-                r["session_end"].replace(tzinfo=UTC),
+                r["ss"],
+                r["se"],
                 r["session_value"],
             )
-            for r in sessionize(df, gap_minutes=gap_minutes).collect()
+            for r in sess.collect()
         }
 
         want = {}
@@ -128,8 +142,8 @@ def test_sessionize_matches_reference_on_random_streams(spark):
                 total = sum(v for _, v in evs)
                 want[(u, s)] = (
                     len(evs),
-                    min(ts for ts, _ in evs),
-                    max(ts for ts, _ in evs),
+                    min(ts for ts, _ in evs).timestamp(),
+                    max(ts for ts, _ in evs).timestamp(),
                     int(total * 100 + 0.5) / 100.0,
                 )
         assert got == want

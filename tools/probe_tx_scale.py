@@ -127,12 +127,14 @@ def main() -> int:
             resw = tx_denormalize(ow, lw, xw)
             resw.emissions.write.format("noop").mode("overwrite").save()
             nw_emit = resw.emissions.count()
+            wallw = time.time() - t0
+            # verification OUTSIDE the timed window — the baseline run
+            # executes write+count only, so the whale delta must too
             wdoc = (
                 resw.emissions.filter(F.col("order_key") == n_txs)
                 .select(F.size("lines").alias("n"))
                 .collect()
             )
-            wallw = time.time() - t0
             for f in resw.pinned:
                 f.unpersist()
             assert nw_emit == n_txs + 1, (nw_emit, n_txs)
