@@ -345,3 +345,70 @@ def test_changelog_aggregate_matches_final_state_on_random_histories(spark):
             assert (n, s) == tuple(want.get(g, [0, 0])), (g, got, want)
 
     check()
+
+
+def test_writer_lock_released_when_critical_section_raises(tmp_path):
+    """The lock must not survive a failed batch: an exception inside
+    the critical section releases it (and only our own lock file —
+    ownership verified by inode)."""
+    import os
+
+    from streaming_examples_spark.streaming.locks import writer_lock
+
+    state = str(tmp_path / "state")
+    with pytest.raises(ValueError, match="boom"):
+        with writer_lock(state, "t"):
+            assert os.path.exists(os.path.join(state, "_writer.lock"))
+            raise ValueError("boom")
+    assert not os.path.exists(os.path.join(state, "_writer.lock"))
+    with writer_lock(state, "t"):  # and it is re-acquirable
+        pass
+
+
+@pytest.mark.slow
+def test_event_ranks_matches_reference_on_random_streams(spark):
+    """Property: the single-window rank/lag/running-total operator
+    agrees with a per-user sequential replay (exact-cent values, so
+    the 2-decimal rounding is engine-portable)."""
+    from hypothesis import given as _given
+
+    from streaming_examples_spark.operators.windows import event_ranks
+
+    @settings(max_examples=5, deadline=None)
+    @_given(
+        events=st.lists(
+            st.tuples(
+                st.integers(0, 2),  # user
+                st.integers(0, 1000),  # ts seconds
+                st.integers(0, 9999),  # cents
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(events):
+        base = dt.datetime(2026, 1, 1, tzinfo=UTC)
+        rows = [
+            (i, u, base + dt.timedelta(seconds=s), "click", c / 100.0)
+            for i, (u, s, c) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        )
+        got = {
+            r["event_id"]: (r["seq"], r["value_delta"], r["running_value"])
+            for r in event_ranks(df).collect()
+        }
+        for u in {r[1] for r in rows}:
+            stream = sorted(
+                ((ts, eid, v) for eid, uu, ts, _, v in rows if uu == u),
+                key=lambda x: (x[0], x[1]),
+            )
+            prev, running = 0.0, 0.0
+            for i, (ts, eid, v) in enumerate(stream):
+                running += v
+                want = (i + 1, round(v - prev, 2), round(running, 2))
+                assert got[eid] == want, (eid, got[eid], want)
+                prev = v
+
+    check()
