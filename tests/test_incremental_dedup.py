@@ -363,6 +363,83 @@ def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
         _drop_store_tables(spark, tmp_path / "state")
 
 
+def test_hot_bucket_compaction_crash_leaves_duplicates_not_holes(
+    spark, tmp_path, monkeypatch
+):
+    """The per-bucket pass appends the merged file BEFORE deleting its
+    inputs, so a crash between the two leaves duplicate rows at worst —
+    never missing rows. After the crash: every pre-compact canonical is
+    still matched (the probe's distinct collapses the dupes), and a
+    later full compact heals the store back to one row per canonical."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    try:
+        def synth(ids):
+            return _docs(spark, [
+                (i, f"document number {i} talks about subject s{i} using "
+                    f"unique words w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g")
+                for i in ids
+            ])
+
+        # plant a hot sigs bucket: ids hashing to bucket 0 across two
+        # batches (bucket id = pmod(murmur3(doc_id), n), same as F.hash)
+        cand = spark.range(100, 200).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.hash(F.col("id").cast("long")), F.lit(4)).alias("b"),
+        )
+        hot_ids = [r["doc_id"] for r in cand.filter("b = 0").limit(8).collect()]
+        det.process_batch(synth(hot_ids[:4]), 0)
+        det.process_batch(synth(hot_ids[4:]), 1)
+
+        def sigs_state():
+            sigs = spark.read.parquet(_os.path.join(det.state_dir, "sigs"))
+            ids = {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()}
+            return ids, sigs.count()
+
+        ids_before, rows_before = sigs_state()
+        n_files = len(glob.glob(_os.path.join(det.state_dir, "sigs", "*.parquet")))
+        assert n_files >= 2, "need a fragmented hot bucket"
+
+        real_remove = _os.remove
+
+        def crash_on_first_delete(path):
+            raise RuntimeError("injected crash before input deletion")
+
+        monkeypatch.setattr("os.remove", crash_on_first_delete)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            det.compact(hot_bucket_threshold=1)
+        monkeypatch.setattr("os.remove", real_remove)
+
+        # duplicates, not holes: same canonical id set, MORE rows
+        ids_after, rows_after = sigs_state()
+        assert ids_after == ids_before
+        assert rows_after > rows_before
+
+        # the probe still matches a near-dup of a pre-crash canonical
+        dup_of_first = synth([hot_ids[0]]).collect()[0]["text"]
+        r = {x["doc_id"]: x for x in det.process_batch(
+            _docs(spark, [(5000, dup_of_first)]), 2).collect()}
+        assert r[5000]["is_dup"] and r[5000]["dup_of"] == hot_ids[0]
+
+        # a later FULL compact heals: one row per canonical, verdicts keep
+        # (5000 was a dup — dups are never folded into the store)
+        det.compact()
+        ids_healed, rows_healed = sigs_state()
+        assert ids_healed == ids_before
+        assert rows_healed == len(ids_healed)
+        r2 = {x["doc_id"]: x for x in det.process_batch(
+            _docs(spark, [(6000, dup_of_first)]), 3).collect()}
+        assert r2[6000]["is_dup"] and r2[6000]["dup_of"] == hot_ids[0]
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 1234, 999983])
 def test_random_stream_invariants(spark, tmp_path, seed):
