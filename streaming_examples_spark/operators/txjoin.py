@@ -125,6 +125,23 @@ def tx_denormalize(
         norm_o = norm_o.unionByName(carryover_orders)
     if carryover_lines is not None:
         norm_l = norm_l.unionByName(carryover_lines)
+    # §7.4 EVENT-level dedup (the applied-txs anti-join is TX-level and
+    # only covers emitted txs): an at-least-once source redelivering an
+    # event of a still-incomplete tx — or a crash replay re-running a
+    # batch against already-swapped carry frames — puts the same WAL
+    # event in the pool twice. The exact-balance completeness gate
+    # would then read observed > declared for that tx FOREVER (a
+    # silent, permanent emission wedge). The reference is immune by
+    # construction — its buffers are maps keyed by row id, so a
+    # redelivered event overwrites in place (TxAwareTwoInputNonBroadcast
+    # JoinProcessOperator.java:309-344); set-oriented frames need the
+    # explicit identity dedup instead.
+    # WAL identity within a per-table stream = (tx_id, event_lsn);
+    # copies are bit-identical except commit_lsn (null until stamped vs
+    # stamped in a previous batch's carryover), which converges for
+    # either survivor at stamp_commit_lsn's coalesce below.
+    norm_o = norm_o.dropDuplicates(["tx_id", "event_lsn"])
+    norm_l = norm_l.dropDuplicates(["tx_id", "event_lsn"])
     # NOTE: the normalized frames feed several branches (completeness,
     # touched set, versions, carryover). Deliberately NOT persisted:
     # caching the wide envelope frame blocks Catalyst's per-branch
