@@ -42,20 +42,14 @@ idempotent per commit_lsn.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streaming_examples_spark.operators.txjoin import TxDenormResult, tx_denormalize
 
-_STATE_TABLES = (
-    "order_state",
-    "line_state",
-    "carry_orders",
-    "carry_lines",
-    "carry_txs",
-    "applied_txs",
-)
+_VERSION_DIR_RE = re.compile(r"v\d+")
 
 
 class TxDenormBatchProcessor:
@@ -84,8 +78,53 @@ class TxDenormBatchProcessor:
     def _bucket_of(self, key) -> F.Column:
         return F.pmod(F.hash(key), F.lit(self.n_buckets))
 
+    # -- versioned state root --------------------------------------------
+    # Every batch's state frames live under ONE version dir
+    # (``state_dir/v<N>/<frame>``) and the batch commits by atomically
+    # replacing the ``CURRENT`` pointer file — the MANIFEST/CURRENT
+    # pattern of LSM engines and table formats. One commit point means a
+    # reader (and a crash-replay) always sees state that is ALL-old or
+    # ALL-new. Per-frame swap schemes cannot give that: a crash between
+    # two frame swaps mixes batches across frames, and some mixtures are
+    # not merely stale but actively poisonous — e.g. pre-batch tx
+    # metadata (an END) next to post-batch carry events manufactures a
+    # permanently-incomplete tx WITH a commit LSN, which holds the
+    # emission barrier forever.
+
+    def _current_version(self) -> int:
+        try:
+            with open(os.path.join(self.state_dir, "CURRENT")) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0  # fresh state dir: v0 is the (absent) empty state
+
+    def _root(self, version: int | None = None) -> str:
+        v = self._current_version() if version is None else version
+        return os.path.join(self.state_dir, f"v{v}")
+
+    def _frame_path(self, name: str, version: int | None = None) -> str:
+        return os.path.join(self._root(version), name)
+
+    def _gc_state_versions(self) -> None:
+        """Drop every version dir except CURRENT's, plus stray pointer
+        temps — the only garbage a crash can leave: a half-written
+        NEXT version (crash before the pointer flip; the batch replays
+        against the intact old version) or a fully-superseded OLD
+        version (crash after the flip, before cleanup). Runs at batch
+        start under the writer lock."""
+        cur = f"v{self._current_version()}"
+        for entry in os.listdir(self.state_dir):
+            full = os.path.join(self.state_dir, entry)
+            if entry != cur and _VERSION_DIR_RE.fullmatch(entry) and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif entry.startswith("CURRENT."):
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+
     def _load(self, name: str) -> DataFrame | None:
-        path = os.path.join(self.state_dir, name)
+        path = self._frame_path(name)
         if os.path.exists(path):
             return self.spark.read.parquet(path)
         return None
@@ -93,7 +132,7 @@ class TxDenormBatchProcessor:
     def _load_buckets(self, name: str, buckets: list[int]) -> DataFrame | None:
         """Read only the listed hash buckets of a bucketed state table
         (partition pruning on the ``_bucket=N`` dirs)."""
-        path = os.path.join(self.state_dir, name)
+        path = self._frame_path(name)
         if not os.path.exists(path) or not buckets:
             return None
         if not any(e.startswith("_bucket=") for e in os.listdir(path)):
@@ -106,57 +145,62 @@ class TxDenormBatchProcessor:
         frames: dict[str, DataFrame],
         bucketed: dict[str, tuple[DataFrame, list[int]]] | None = None,
     ) -> None:
-        """Two-phase swap: EVERY new state frame — full and bucketed —
-        is materialized to a tmp dir *before* any old dir is replaced;
-        the frames share lazy inputs (the old state dirs), so an early
-        swap would invalidate a later frame's scan.
+        """Write every new state frame under the NEXT version dir, then
+        commit the batch with ONE atomic pointer replace.
 
-        Bucketed frames are written partitioned by ``_bucket`` and only
-        the listed (touched) bucket dirs are swapped; a touched bucket
-        absent from the new frame (every key in it deleted) has its old
-        dir removed. Untouched bucket dirs are never read or written —
-        per-batch write volume is O(touched keys), not O(state)."""
-        swaps: list[tuple[str, str]] = []  # (tmp, final) whole-dir swaps
-        bucket_swaps: list[tuple[str, str, list[int]]] = []
+        Crash anywhere BEFORE the flip: ``CURRENT`` still names the old
+        version — the replay re-runs the batch against complete OLD
+        state and the half-written new dir is GC'd. Crash AFTER the
+        flip: state is completely NEW — the replay's applied-txs filter
+        drops the batch, whose output already reached the sink (sink
+        writes precede ``_store_all``; at-least-once). There is no
+        window that mixes frames from different batches.
+
+        The new frames' plans read the OLD version's files (lazy
+        scans), which the new-dir writes never touch — no
+        write-invalidates-read ordering to maintain.
+
+        Bucketed frames write only their touched buckets' rows (a
+        touched bucket whose every key was deleted simply has no dir in
+        the new version); untouched bucket dirs are carried over as
+        HARDLINKS of the old files — O(#files) metadata ops, zero data
+        copy — so per-batch write volume stays O(touched keys), not
+        O(state). On an object store, links become manifest entries and
+        the pointer a conditional put — same single-commit design."""
+        cur = self._current_version()
+        new_root = self._root(cur + 1)
+        shutil.rmtree(new_root, ignore_errors=True)  # crashed prior attempt
+        os.makedirs(new_root)
         for name, df in frames.items():
-            path = os.path.join(self.state_dir, name)
-            tmp = path + "._tmp"
-            df.write.mode("overwrite").parquet(tmp)
-            swaps.append((tmp, path))
+            df.write.mode("overwrite").parquet(os.path.join(new_root, name))
         for name, (df, buckets) in (bucketed or {}).items():
-            path = os.path.join(self.state_dir, name)
-            tmp = path + "._tmp"
+            new_path = os.path.join(new_root, name)
             (
                 df.withColumn("_bucket", self._bucket_of(F.col("order_key")))
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
-                .parquet(tmp)
+                .parquet(new_path)
             )
-            bucket_swaps.append((tmp, path, buckets))
-        # Swap ORDER is a correctness property, not style: applied_txs
-        # is the replay FILTER, so it must become visible LAST. If a
-        # crash lands after applied_txs but before the state/carry
-        # swaps, the replayed batch is filtered out while its state
-        # updates were never persisted — silent corruption. The safe
-        # order (bucketed state -> carry frames -> applied_txs) makes
-        # every crash window replay-idempotent: at worst the batch
-        # re-runs against already-updated state (per-key max_by over
-        # commit_lsn is idempotent) and re-emits (at-least-once).
-        for tmp, path, buckets in bucket_swaps:
-            os.makedirs(path, exist_ok=True)
-            for b in buckets:
-                part = f"_bucket={b}"
-                new_dir = os.path.join(tmp, part)
-                old_dir = os.path.join(path, part)
-                if os.path.exists(old_dir):
-                    shutil.rmtree(old_dir)
-                if os.path.exists(new_dir):
-                    os.replace(new_dir, old_dir)
-            shutil.rmtree(tmp)
-        for tmp, path in sorted(swaps, key=lambda sp: sp[1].endswith("applied_txs")):
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.replace(tmp, path)
+            old_path = self._frame_path(name, cur)
+            touched = {f"_bucket={b}" for b in buckets}
+            if os.path.exists(old_path):
+                for part in os.listdir(old_path):
+                    if not part.startswith("_bucket=") or part in touched:
+                        continue
+                    src_dir = os.path.join(old_path, part)
+                    dst_dir = os.path.join(new_path, part)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    for f in os.listdir(src_dir):
+                        os.link(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+        # THE commit point: durable pointer temp, then atomic rename
+        tmp = os.path.join(self.state_dir, f"CURRENT.{cur + 1}")
+        with open(tmp, "w") as fh:
+            fh.write(str(cur + 1))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))
+        # post-commit cleanup; a crash here leaves garbage, GC'd next batch
+        shutil.rmtree(self._root(cur), ignore_errors=True)
 
     def process(
         self,
@@ -169,10 +213,10 @@ class TxDenormBatchProcessor:
         emissions in commit-LSN order.
 
         Holds the state dir's advisory writer lock for the whole batch
-        (``streaming/locks.py``): the two-phase bucket swap in
+        (``streaming/locks.py``): the versioned pointer-commit in
         ``_store_all`` is crash-safe for ONE writer, but a second
-        stream accidentally pointed at the same state dir would have
-        its state frames silently replaced mid-swap — CONCURRENT
+        stream accidentally pointed at the same state dir would race
+        the pointer flip and GC the other's live version — CONCURRENT
         batches raise loudly instead. The lock is per-batch, so two
         streams strictly alternating batches would still interleave
         state without tripping it (a stream-lifetime lock can't
@@ -197,6 +241,9 @@ class TxDenormBatchProcessor:
         import time as _time
 
         _batch_t0 = _time.time()
+        # drop any crash garbage (half-written next version / superseded
+        # old version) BEFORE reading state, under the same writer lock
+        self._gc_state_versions()
         # tx metadata persists across batches (the reference keeps it in
         # broadcast state, CommitLsnFixer.java:75-89): a tx's END may
         # arrive batches before/after its data events. GC below drops
@@ -338,8 +385,8 @@ class TxDenormBatchProcessor:
             },
         )
         self.metrics.observe_backlog(
-            self.spark.read.parquet(os.path.join(self.state_dir, "carry_orders")).count()
-            + self.spark.read.parquet(os.path.join(self.state_dir, "carry_lines")).count()
+            self.spark.read.parquet(self._frame_path("carry_orders")).count()
+            + self.spark.read.parquet(self._frame_path("carry_lines")).count()
         )
         # committed txs = txs that cleared the emission barrier this
         # batch (NumberOfCommittedTransactions analog)

@@ -223,18 +223,23 @@ def test_toast_backfill_udtf(spark):
 @pytest.mark.slow
 def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
     """Incremental state: a batch must rewrite only the hash buckets of
-    the order keys it touches; every other bucket's files stay
-    byte-identical on disk (same paths, sizes, mtimes)."""
+    the order keys it touches; every other bucket's files must carry
+    over without a data write — under the versioned state root they are
+    HARDLINKS of the previous version's files (same inode, size, mtime;
+    paths compared relative to the version dir)."""
     import os
 
-    def bucket_files(state_dir, table):
-        root = os.path.join(state_dir, table)
+    def bucket_files(proc_, table):
+        root = proc_._frame_path(table)
         out = {}
         for dirpath, _dirs, files in os.walk(root):
             for f in files:
                 p = os.path.join(dirpath, f)
+                rel = os.path.relpath(p, root)
+                if "_bucket=" not in rel:
+                    continue  # _SUCCESS & friends: markers, not state data
                 st = os.stat(p)
-                out[p] = (st.st_size, st.st_mtime_ns)
+                out[rel] = (st.st_size, st.st_mtime_ns, st.st_ino)
         return out
 
     state_dir = str(tmp_path / "state")
@@ -250,8 +255,8 @@ def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
         log.tx_events_df(spark), batch_id=0,
     ).count() == 20
 
-    before_o = bucket_files(state_dir, "order_state")
-    before_l = bucket_files(state_dir, "line_state")
+    before_o = bucket_files(proc, "order_state")
+    before_l = bucket_files(proc, "line_state")
     seeded_buckets = {
         p.split("_bucket=")[1].split("/")[0] for p in before_o
     }
@@ -268,8 +273,8 @@ def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
     )
     assert out.count() == 1
 
-    after_o = bucket_files(state_dir, "order_state")
-    after_l = bucket_files(state_dir, "line_state")
+    after_o = bucket_files(proc, "order_state")
+    after_l = bucket_files(proc, "line_state")
     changed_o = {p for p in before_o if after_o.get(p) != before_o[p]}
     changed_l = {p for p in before_l if after_l.get(p) != before_l[p]}
     touched = {p.split("_bucket=")[1].split("/")[0]
@@ -342,44 +347,183 @@ def test_line_repoint_touches_old_orders_bucket(spark, tmp_path):
     assert docs[a]["lines"] == [], docs[a]["lines"]
 
 
-def test_applied_txs_swapped_last(spark, tmp_path, monkeypatch):
-    """Crash-safety contract of _store_all: the replay filter
-    (applied_txs) must become visible only after every state/carry dir
-    — any crash window then replays into updated-but-idempotent state
-    instead of silently dropping the batch."""
+def test_duplicate_event_in_one_batch_does_not_wedge(spark, tmp_path):
+    """At-least-once delivery can hand the SAME WAL event to a batch
+    twice. The completeness gate balances observed == declared EXACTLY
+    (over-delivery must never emit a tx early), so without the
+    (tx_id, event_lsn) identity dedup in tx_denormalize the duplicated
+    event would read observed > declared forever — a silent, permanent
+    emission wedge."""
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="7.00"),
+    )
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    docs = proc.process(o.unionByName(o), l.unionByName(l), x, 0).collect()
+    assert len(docs) == 1
+    assert [str(ln["price"]) for ln in docs[0]["lines"]] == ["7.00"]
+
+
+@pytest.mark.slow
+def test_redelivered_incomplete_tx_event_does_not_wedge(spark, tmp_path):
+    """Redelivery of an event whose tx is NOT yet applied: the original
+    copy sits in the carryover state, the redelivered copy arrives with
+    the batch — the applied-txs anti-join (tx-level, emitted txs only)
+    cannot catch it, so the event-identity dedup must, or the tx
+    double-counts against its declared count and never completes."""
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="19.99"),
+    )
+    log.tx(
+        lambda t: t.update_order(10001, shipping_address="2 Oak Ave"),
+        lambda t: t.insert_line(100002, 10001, price="40.00"),
+    )
+    orders, lines, txs = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    cut = 1045  # between tx2's two data events (1040 update, 1050 insert)
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    out1 = proc.process(
+        orders.filter(F.col("source.lsn") <= cut),
+        lines.filter(F.col("source.lsn") <= cut),
+        txs,
+        batch_id=0,
+    )
+    assert out1.count() == 1  # tx1 emits; tx2's update carries over
+
+    # batch 2 redelivers EVERYTHING: tx1 (applied → tx-level filter),
+    # tx2's update (already in carryover → event-level dedup), plus the
+    # genuinely new line — tx2 must complete exactly once, undoubled
+    docs = proc.process(orders, lines, txs, batch_id=1).collect()
+    assert len(docs) == 1
+    assert docs[0]["shipping_address"] == "2 Oak Ave"
+    assert [str(ln["price"]) for ln in docs[0]["lines"]] == ["19.99", "40.00"]
+
+
+def test_state_commit_is_one_atomic_pointer_flip(spark, tmp_path, monkeypatch):
+    """Crash-safety contract of _store_all: the batch commits with
+    exactly ONE atomic rename — the CURRENT pointer flip — performed
+    after every frame write. A crash AT the flip must leave complete
+    pre-batch state: the replay re-runs the batch in full and re-emits
+    (at-least-once), with no mixed-frame view in between."""
     import os as _os
-    from streaming_examples_spark.streaming import cdc_stream as mod
-
-    order: list[str] = []
-    real_replace = _os.replace
-
-    def recording_replace(src, dst):
-        order.append(str(dst))
-        return real_replace(src, dst)
-
-    monkeypatch.setattr(mod.os, "replace", recording_replace)
 
     log = TxLog()
     log.tx(
         lambda t: t.insert_order(10001),
         lambda t: t.insert_line(100001, 10001, price="7.00"),
     )
-    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
-    proc.process(
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(
+        lambda t: t.insert_order(10001, addr="2 Oak Ave"),  # same id → update path
+        lambda t: t.insert_line(100002, 10001, price="3.00"),
+    )
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state)
+    assert proc.process(
         log.order_events_df(spark),
         log.line_events_df(spark),
         log.tx_events_df(spark),
         batch_id=0,
-    ).collect()
+    ).count() == 1
 
-    applied = [i for i, p in enumerate(order) if p.endswith("applied_txs")]
-    state = [
-        i
-        for i, p in enumerate(order)
-        if "order_state" in p or "line_state" in p or "carry" in p
-    ]
-    assert applied and state
-    assert min(applied) > max(state), order
+    order: list[str] = []
+    real_replace = _os.replace
+
+    def crash_at_flip(src, dst):
+        order.append(str(dst))
+        if _os.path.basename(str(dst)) == "CURRENT":
+            raise RuntimeError("injected crash at the pointer flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr("os.replace", crash_at_flip)
+    b1 = (
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc.process(*b1, batch_id=1)
+    monkeypatch.setattr("os.replace", real_replace)
+
+    # the store performed NO other rename: the flip IS the commit point
+    assert order and all(_os.path.basename(p) == "CURRENT" for p in order), order
+
+    # crash-before-flip ⇒ complete OLD state: a fresh processor replays
+    # the batch in full and re-emits it (at-least-once)
+    fresh = TxDenormBatchProcessor(spark, state)
+    docs = fresh.process(*b1, batch_id=1).collect()
+    assert len(docs) == 1
+    assert docs[0]["shipping_address"] == "2 Oak Ave"
+    assert [str(l["price"]) for l in docs[0]["lines"]] == ["7.00", "3.00"]
+
+    # crash garbage (the uncommitted version dir, the pointer temp) is
+    # gone; exactly one live version remains
+    entries = set(_os.listdir(state))
+    assert not any(e.startswith("CURRENT.") for e in entries), entries
+    assert sum(1 for e in entries if e.startswith("v")) == 1, entries
+
+
+def test_crash_after_pointer_flip_filters_replay(spark, tmp_path, monkeypatch):
+    """Crash AFTER the pointer flip (during post-commit cleanup):
+    state is completely NEW, so the replayed batch is dropped by the
+    applied-txs filter — its output already reached the sink before
+    _store_all ran — and later batches see the committed state."""
+    import shutil as _shutil
+
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="7.00"),
+    )
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state)
+
+    real_rmtree = _shutil.rmtree
+
+    def crash_on_old_version_cleanup(path, *a, **kw):
+        if str(path).rstrip("/").endswith("v0"):
+            raise RuntimeError("injected crash after the pointer flip")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", crash_on_old_version_cleanup)
+    b0 = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc.process(*b0, batch_id=0)
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+
+    # the flip happened: replay is a no-op (exactly-once state)
+    fresh = TxDenormBatchProcessor(spark, state)
+    assert fresh.process(*b0, batch_id=1).count() == 0
+
+    # and the committed state serves later batches: a new line lands on
+    # the order with its pre-crash line intact
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_line(100002, 10001, price="3.00"))
+    docs = fresh.process(
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+        batch_id=2,
+    ).collect()
+    assert len(docs) == 1
+    assert [str(l["price"]) for l in docs[0]["lines"]] == ["7.00", "3.00"]
 
 
 def test_tx_processor_refuses_second_writer(spark, tmp_path):
