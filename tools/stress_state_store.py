@@ -133,13 +133,19 @@ def envelopes(spark, sf_dir, *, lsn_offset: int, key_filter=None):
 
 
 def dir_stats(path):
+    """(total bytes, {relpath: (inode, size)}) for a state frame dir.
+
+    Keys are RELATIVE to the frame root and identity is the inode:
+    under the versioned state layout every batch commits a new version
+    dir whose untouched buckets are HARDLINKS of the previous files —
+    same relpath + same inode = carried over, not written."""
     total, files = 0, {}
     for dirpath, _d, fs in os.walk(path):
         for f in fs:
             p = os.path.join(dirpath, f)
             st = os.stat(p)
             total += st.st_size
-            files[p] = st.st_mtime_ns
+            files[os.path.relpath(p, path)] = (st.st_ino, st.st_size)
     return total, files
 
 
@@ -159,7 +165,7 @@ def main():
     def run(batch_id, lsn_offset, key_filter, label):
         before = {}
         for tbl in ("order_state", "line_state"):
-            p = os.path.join(state_dir, tbl)
+            p = proc._frame_path(tbl)
             before[tbl] = dir_stats(p)[1] if os.path.exists(p) else {}
         t0 = time.time()
         o, l, x = envelopes(spark, sf_dir, lsn_offset=lsn_offset, key_filter=key_filter)
@@ -167,16 +173,19 @@ def main():
         dt = time.time() - t0
         written, buckets = 0, set()
         for tbl in ("order_state", "line_state"):
-            p = os.path.join(state_dir, tbl)
-            _, after = dir_stats(p)
-            for f, mt in after.items():
-                if before[tbl].get(f) != mt:
-                    written += os.stat(f).st_size
-                    part = f.split("_bucket=")
+            p = proc._frame_path(tbl)
+            _, after = dir_stats(p) if os.path.exists(p) else (0, {})
+            for rel, (ino, size) in after.items():
+                prev = before[tbl].get(rel)
+                if prev is None or prev[0] != ino:  # new file, not a hardlink
+                    written += size
+                    part = rel.split("_bucket=")
                     if len(part) > 1:
                         buckets.add((tbl, part[1].split("/")[0]))
-        total_state = sum(dir_stats(os.path.join(state_dir, t0_))[0]
-                          for t0_ in ("order_state", "line_state"))
+        total_state = sum(
+            dir_stats(proc._frame_path(t0_))[0]
+            if os.path.exists(proc._frame_path(t0_)) else 0
+            for t0_ in ("order_state", "line_state"))
         print(
             f"batch {batch_id:2d} [{label:>9}]  {dt:6.1f}s  emissions={n:7d}  "
             f"state_written={written/1e6:8.2f}MB  buckets_rewritten={len(buckets):3d}  "
