@@ -91,6 +91,51 @@ class TxDenormBatchProcessor:
     # permanently-incomplete tx WITH a commit LSN, which holds the
     # emission barrier forever.
 
+    def _layout_path(self) -> str:
+        return os.path.join(self.state_dir, "_layout.json")
+
+    def _check_layout(self) -> None:
+        """State hashed into N buckets read back by a processor declaring
+        M buckets loads the WRONG buckets — `_load_buckets` filters on
+        `pmod(hash(key), M)` over dirs written at `pmod(hash(key), N)`,
+        so touched keys silently see empty state and every emission
+        reconstructs from batch events alone (no error, corrupt docs).
+        The layout file written with the first commit makes a restart
+        with a different n_buckets raise instead — same guard the
+        incremental-dedup store carries for its bucket counts."""
+        if not os.path.exists(self._layout_path()):
+            if self._current_version() == 0:
+                return  # fresh state dir: layout written with first commit
+            raise ValueError(
+                f"tx state at {self.state_dir} has committed versions but no "
+                "_layout.json; its bucket count cannot be validated and "
+                "reading with a wrong n_buckets silently loads empty state. "
+                "Write _layout.json with the store's true n_buckets, or "
+                "rebuild the state dir."
+            )
+        import json
+
+        with open(self._layout_path()) as fh:
+            have = json.load(fh).get("n_buckets")
+        if have != self.n_buckets:
+            raise ValueError(
+                f"tx state at {self.state_dir} was written with "
+                f"n_buckets={have} but this processor declares "
+                f"n_buckets={self.n_buckets}; a mismatched restart loads the "
+                "wrong state buckets (silently empty touched keys, corrupt "
+                "emissions). Pass the stored count or rebuild the state dir."
+            )
+
+    def _write_layout(self) -> None:
+        if os.path.exists(self._layout_path()):
+            return
+        import json
+
+        tmp = self._layout_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"n_buckets": self.n_buckets}, fh)
+        os.replace(tmp, self._layout_path())
+
     def _current_version(self) -> int:
         try:
             with open(os.path.join(self.state_dir, "CURRENT")) as fh:
@@ -192,6 +237,9 @@ class TxDenormBatchProcessor:
                     os.makedirs(dst_dir, exist_ok=True)
                     for f in os.listdir(src_dir):
                         os.link(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+        # bucket layout sealed before any version can commit: a restart
+        # with a different n_buckets must raise, not read wrong buckets
+        self._write_layout()
         # THE commit point: durable pointer temp, then atomic rename
         tmp = os.path.join(self.state_dir, f"CURRENT.{cur + 1}")
         with open(tmp, "w") as fh:
@@ -241,8 +289,10 @@ class TxDenormBatchProcessor:
         import time as _time
 
         _batch_t0 = _time.time()
-        # drop any crash garbage (half-written next version / superseded
-        # old version) BEFORE reading state, under the same writer lock
+        # validate the bucket layout, then drop any crash garbage
+        # (half-written next version / superseded old version) BEFORE
+        # reading state, under the same writer lock
+        self._check_layout()
         self._gc_state_versions()
         # tx metadata persists across batches (the reference keeps it in
         # broadcast state, CommitLsnFixer.java:75-89): a tx's END may

@@ -475,6 +475,69 @@ def test_state_commit_is_one_atomic_pointer_flip(spark, tmp_path, monkeypatch):
     assert sum(1 for e in entries if e.startswith("v")) == 1, entries
 
 
+def test_crash_during_bucket_hardlink_carry_recovers(spark, tmp_path, monkeypatch):
+    """Crash while hardlinking untouched buckets into the next version:
+    the version dir is partial and the pointer never flipped, so the
+    next batch GCs the débris and replays against complete old state —
+    untouched keys' rows must all survive."""
+    import os as _os
+
+    log = TxLog()
+    for i in range(8):  # spread keys over several buckets
+        oid = 30000 + i
+        log.tx(lambda t, oid=oid: t.insert_order(oid),
+               lambda t, oid=oid: t.insert_line(oid * 10, oid, price="5.00"))
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    assert proc.process(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+        batch_id=0,
+    ).count() == 8
+
+    real_link = _os.link
+
+    def crash_at_first_link(src, dst):
+        # os.link is also the writer lock's claim primitive — only the
+        # state-frame carry links simulate the crash
+        if "_bucket=" not in str(dst):
+            return real_link(src, dst)
+        raise RuntimeError("injected crash during hardlink carry")
+
+    # batch 1 touches ONE order → several untouched buckets to carry
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_line(30000 * 10 + 1, 30000, price="9.00"))
+    b1 = (
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+    )
+    monkeypatch.setattr("os.link", crash_at_first_link)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc.process(*b1, batch_id=1)
+    monkeypatch.setattr("os.link", real_link)
+
+    # replay converges: the new line lands AND every untouched order's
+    # state survived — a doc for any other order still has its line
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    docs = fresh.process(*b1, batch_id=1).collect()
+    assert len(docs) == 1
+    assert sorted(str(ln["price"]) for ln in docs[0]["lines"]) == ["5.00", "9.00"]
+    log3 = TxLog()
+    log3._lsn, log3._next_tx = 95000, 950
+    log3.tx(lambda t: t.insert_line(30007 * 10 + 1, 30007, price="3.00"))
+    docs3 = fresh.process(
+        log3.order_events_df(spark),
+        log3.line_events_df(spark),
+        log3.tx_events_df(spark),
+        batch_id=2,
+    ).collect()
+    assert len(docs3) == 1
+    assert sorted(str(ln["price"]) for ln in docs3[0]["lines"]) == ["3.00", "5.00"]
+
+
 def test_crash_after_pointer_flip_filters_replay(spark, tmp_path, monkeypatch):
     """Crash AFTER the pointer flip (during post-commit cleanup):
     state is completely NEW, so the replayed batch is dropped by the
@@ -524,6 +587,28 @@ def test_crash_after_pointer_flip_filters_replay(spark, tmp_path, monkeypatch):
     ).collect()
     assert len(docs) == 1
     assert [str(l["price"]) for l in docs[0]["lines"]] == ["7.00", "3.00"]
+
+
+def test_tx_processor_refuses_mismatched_n_buckets(spark, tmp_path):
+    """Restarting over an existing state dir with a different n_buckets
+    must raise: `_load_buckets` filters on pmod(hash(key), M) over dirs
+    written at pmod(hash(key), N), so a mismatch silently loads EMPTY
+    state for every touched key and emits corrupt documents — this test
+    exists because exactly that bug bit a crash-recovery test first."""
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    state = str(tmp_path / "state")
+    assert TxDenormBatchProcessor(spark, state, n_buckets=8).process(o, l, x, 0).count() == 1
+    wrong = TxDenormBatchProcessor(spark, state)  # default 32 != 8
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        wrong.process(o, l, x, 1)
+    # the matching count still works
+    assert TxDenormBatchProcessor(spark, state, n_buckets=8).process(o, l, x, 1).count() == 0
 
 
 def test_tx_processor_refuses_second_writer(spark, tmp_path):
