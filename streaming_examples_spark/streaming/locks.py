@@ -1,9 +1,9 @@
 """Advisory single-writer locking for file-backed streaming state.
 
 Both stateful processors keep their state as plain parquet under a
-state dir and mutate it with read-rewrite-swap patterns
+state dir and mutate it with read-rewrite-commit patterns
 (``IncrementalNearDup``'s compaction, ``TxDenormBatchProcessor``'s
-two-phase bucket swap). Those patterns are crash-safe for ONE writer
+versioned pointer commit). Those patterns are crash-safe for ONE writer
 but not for two: a second writer's append or swap landing inside the
 first's temp-write-to-swap window is silently deleted with the old
 copy. This module provides the mutual exclusion both use — the
