@@ -247,6 +247,14 @@ class TxDenormBatchProcessor:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))
+        # fsync the DIRECTORY so the rename itself is durable (on a
+        # power loss some filesystems would otherwise revert the flip
+        # after process() already reported the batch committed)
+        dirfd = os.open(self.state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
         # post-commit cleanup; a crash here leaves garbage, GC'd next batch
         shutil.rmtree(self._root(cur), ignore_errors=True)
 
