@@ -106,6 +106,7 @@ def tx_denormalize(
     carryover_orders: DataFrame | None = None,
     carryover_lines: DataFrame | None = None,
     schema: str = "public",
+    dedup_events: bool | None = None,
 ) -> TxDenormResult:
     """Run the flagship pipeline over one batch of envelope events.
 
@@ -116,6 +117,15 @@ def tx_denormalize(
       order_key, commit_lsn, tx_id, deleted, id, order_date DATE,
       purchaser, shipping_address,
       lines ARRAY<STRUCT<id, product_id, quantity, price DECIMAL(10,2)>>
+
+    ``dedup_events`` controls the event-identity dedup below. Default
+    ``None`` = auto: dedup only when carryover frames are present (the
+    only batch-shape path that can reintroduce an already-seen event).
+    Streaming callers whose SOURCE is at-least-once (redelivery can
+    duplicate events even with no carryover, e.g. Kafka replay into the
+    first batch after restart) must pass ``True``; exactly-once batch
+    inputs (an immutable parquet event log) may leave it off and skip
+    the full-width shuffle entirely.
     """
     norm_o = normalize_events(order_events, "orders", "id")
     norm_l = normalize_events(line_events, "order_lines", "order_id")
@@ -140,8 +150,21 @@ def tx_denormalize(
     # copies are bit-identical except commit_lsn (null until stamped vs
     # stamped in a previous batch's carryover), which converges for
     # either survivor at stamp_commit_lsn's coalesce below.
-    norm_o = norm_o.dropDuplicates(["tx_id", "event_lsn"])
-    norm_l = norm_l.dropDuplicates(["tx_id", "event_lsn"])
+    #
+    # The dedup hash-shuffles the FULL-WIDTH envelope (before/after
+    # structs) on deliberately-unpersisted frames — every downstream
+    # branch re-reads through that exchange, a measured 2× steady-state
+    # cost on the flagship at sf0.1. Duplicates are IMPOSSIBLE on an
+    # exactly-once batch input with no carryover, so the shuffle is
+    # gated: on when carryover frames rejoin the pool (crash-replay
+    # shape) or when the caller declares an at-least-once source
+    # (cdc_stream passes dedup_events=True); off on the pure-batch
+    # catalog path.
+    if dedup_events is None:
+        dedup_events = carryover_orders is not None or carryover_lines is not None
+    if dedup_events:
+        norm_o = norm_o.dropDuplicates(["tx_id", "event_lsn"])
+        norm_l = norm_l.dropDuplicates(["tx_id", "event_lsn"])
     # NOTE: the normalized frames feed several branches (completeness,
     # touched set, versions, carryover). Deliberately NOT persisted:
     # caching the wide envelope frame blocks Catalyst's per-branch

@@ -369,6 +369,12 @@ class TxDenormBatchProcessor:
             line_state=self._load_buckets("line_state", touched_buckets),
             carryover_orders=carry_orders,
             carryover_lines=carry_lines,
+            # the stream's delivery contract is at-least-once (sink
+            # before state swap): redelivery can duplicate events even
+            # when no carryover frames exist, so the event-identity
+            # dedup is always on here — batches are micro-batch sized,
+            # the shuffle is bounded by batch width, not corpus width
+            dedup_events=True,
         )
         # emitted_txs feeds three consumers (the tx_keep anti-join, the
         # committed-tx metric, and new_applied in _store_all); it comes

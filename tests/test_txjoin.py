@@ -368,3 +368,90 @@ def test_completeness_random_bulk_vs_python_reference(spark):
     )
     got = {r["tx_id"] for r in complete_tx_ids([norm], ends).collect()}
     assert got == expected
+
+
+# -- event-identity dedup gating (r6 verdict: the unconditional dedup
+# full-width-shuffled both envelope frames on the pure-batch path and
+# doubled flagship steady-state latency; duplicates are impossible on
+# an exactly-once batch input with no carryover) -----------------------
+def test_dedup_gating_pure_batch_plan_has_no_event_dedup_exchange(spark):
+    """Pure-batch call (no carryover, flag unset) must not plan a
+    dropDuplicates over (tx_id, event_lsn): no HashAggregate keyed on
+    event_lsn anywhere in the emissions plan."""
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    res = tx_denormalize(
+        log.order_events_df(spark), log.line_events_df(spark), log.tx_events_df(spark)
+    )
+    plan = res.emissions._jdf.queryExecution().executedPlan().toString()
+    # the dedup aggregate keys on event_lsn; nothing else in the
+    # pipeline groups by it, so its absence proves the dedup is skipped
+    dedup_aggs = [
+        line
+        for line in plan.splitlines()
+        if "HashAggregate" in line and "keys=" in line and "event_lsn" in line
+    ]
+    assert not dedup_aggs, dedup_aggs
+    for frame in res.pinned:
+        frame.unpersist()
+
+
+def test_dedup_gating_flag_true_folds_duplicates(spark):
+    """dedup_events=True on a pure-batch call must fold a duplicated
+    WAL event so the completeness balance still emits the tx once."""
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    # without the dedup the doubled events over-count vs declared and
+    # the tx never completes (negative control)
+    res_off = tx_denormalize(o.unionByName(o), l.unionByName(l), x, dedup_events=False)
+    assert res_off.emissions.count() == 0
+    for frame in res_off.pinned:
+        frame.unpersist()
+    res_on = tx_denormalize(o.unionByName(o), l.unionByName(l), x, dedup_events=True)
+    docs = res_on.emissions.collect()
+    assert len(docs) == 1 and len(docs[0]["lines"]) == 1
+    for frame in res_on.pinned:
+        frame.unpersist()
+
+
+def test_dedup_gating_auto_on_with_carryover(spark):
+    """Carryover frames present + flag unset → dedup auto-enables: a
+    carried-over event redelivered with the batch folds to one copy."""
+    log1 = TxLog()
+    log1.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = log1._lsn, log1._next_tx
+    log2.tx(lambda t: t.insert_line(100002, 10001), lambda t: t.insert_line(100003, 10001))
+    full_lines = log2.line_events_df(spark)
+    first_half = full_lines.limit(1)
+    res1 = tx_denormalize(
+        log1.order_events_df(spark),
+        log1.line_events_df(spark).unionByName(first_half),
+        log1.tx_events_df(spark).unionByName(log2.tx_events_df(spark)),
+    )
+    assert res1.carryover_lines.count() == 1
+    from streaming_examples_spark.model.fixtures import ORDER_ROW_SCHEMA
+    from streaming_examples_spark.model.envelope import data_change_event_schema
+
+    empty_orders = spark.createDataFrame([], data_change_event_schema(ORDER_ROW_SCHEMA))
+    # batch 2 redelivers the carried-over first half TOO (at-least-once)
+    res2 = tx_denormalize(
+        empty_orders,
+        full_lines,  # first_half again + the genuinely new second half
+        log2.tx_events_df(spark),
+        order_state=res1.order_state,
+        line_state=res1.line_state,
+        carryover_orders=res1.carryover_orders,
+        carryover_lines=res1.carryover_lines,
+    )
+    docs = res2.emissions.collect()
+    assert len(docs) == 1
+    assert sorted(ln["id"] for ln in docs[0]["lines"]) == [100001, 100002, 100003]
+    for res in (res1, res2):
+        for frame in res.pinned:
+            frame.unpersist()
