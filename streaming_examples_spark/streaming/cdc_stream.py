@@ -43,13 +43,28 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from streaming_examples_spark.operators.txjoin import TxDenormResult, tx_denormalize
+from streaming_examples_spark.streaming.state_backend import (
+    LocalPosixBackend,
+    StateStorageBackend,
+)
 
 _VERSION_DIR_RE = re.compile(r"v\d+")
+
+# frame dirs the pre-versioned (r5 and earlier) layout kept at the
+# state root; their presence without a CURRENT pointer means existing
+# state a silent reset would destroy — refuse instead (_check_layout)
+_LEGACY_FRAME_DIRS = (
+    "order_state",
+    "line_state",
+    "carry_orders",
+    "carry_lines",
+    "carry_txs",
+    "applied_txs",
+)
 
 
 class TxDenormBatchProcessor:
@@ -64,6 +79,7 @@ class TxDenormBatchProcessor:
         *,
         n_buckets: int = 32,
         applied_retention_batches: int = 8,
+        backend: StateStorageBackend | None = None,
     ):
         from streaming_examples_spark.streaming.monitoring import PipelineMetrics
 
@@ -72,7 +88,15 @@ class TxDenormBatchProcessor:
         self.output_dir = output_dir
         self.n_buckets = n_buckets
         self.applied_retention_batches = applied_retention_batches
+        # storage seam: every commit-protocol primitive (carry, pointer
+        # flip, version GC) routes through here — see state_backend.py
+        # for the object-store translation of each
+        self.backend = backend if backend is not None else LocalPosixBackend()
         self.metrics = PipelineMetrics()
+        # previous batch's emissions cache, unpersisted at the next
+        # batch's start (the caller may still read the CURRENT batch's
+        # frame after process() returns, so same-batch unpersist races)
+        self._prev_emissions: DataFrame | None = None
         os.makedirs(state_dir, exist_ok=True)
 
     def _bucket_of(self, key) -> F.Column:
@@ -105,6 +129,28 @@ class TxDenormBatchProcessor:
         incremental-dedup store carries for its bucket counts."""
         if not os.path.exists(self._layout_path()):
             if self._current_version() == 0:
+                # no committed version — but a PRE-versioned (legacy
+                # per-frame) layout also has no CURRENT pointer, and
+                # treating it as fresh would silently ignore all its
+                # state (carry events, applied txs) and restart from
+                # empty — existing-but-unreadable state must raise
+                legacy = [
+                    d
+                    for d in _LEGACY_FRAME_DIRS
+                    if os.path.isdir(os.path.join(self.state_dir, d))
+                ]
+                if legacy:
+                    raise ValueError(
+                        f"tx state at {self.state_dir} holds legacy "
+                        f"per-frame state dirs ({', '.join(legacy)}) but no "
+                        "CURRENT pointer; reading it as a fresh store would "
+                        "silently discard that state. Migrate: move the "
+                        "frame dirs under a v1/ subdirectory, write the "
+                        "version number '1' to a CURRENT file, and write "
+                        '_layout.json ({"n_buckets": N}) with the bucket '
+                        "count the store was built with — or rebuild from "
+                        "the event log."
+                    )
                 return  # fresh state dir: layout written with first commit
             raise ValueError(
                 f"tx state at {self.state_dir} has committed versions but no "
@@ -137,11 +183,8 @@ class TxDenormBatchProcessor:
         os.replace(tmp, self._layout_path())
 
     def _current_version(self) -> int:
-        try:
-            with open(os.path.join(self.state_dir, "CURRENT")) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return 0  # fresh state dir: v0 is the (absent) empty state
+        # 0 = fresh state dir: v0 is the (absent) empty state
+        return self.backend.read_pointer(self.state_dir)
 
     def _root(self, version: int | None = None) -> str:
         v = self._current_version() if version is None else version
@@ -161,12 +204,9 @@ class TxDenormBatchProcessor:
         for entry in os.listdir(self.state_dir):
             full = os.path.join(self.state_dir, entry)
             if entry != cur and _VERSION_DIR_RE.fullmatch(entry) and os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
+                self.backend.remove_tree(full)
             elif entry.startswith("CURRENT."):
-                try:
-                    os.unlink(full)
-                except OSError:
-                    pass
+                self.backend.remove_file(full)
 
     def _load(self, name: str) -> DataFrame | None:
         path = self._frame_path(name)
@@ -207,15 +247,18 @@ class TxDenormBatchProcessor:
 
         Bucketed frames write only their touched buckets' rows (a
         touched bucket whose every key was deleted simply has no dir in
-        the new version); untouched bucket dirs are carried over as
-        HARDLINKS of the old files — O(#files) metadata ops, zero data
-        copy — so per-batch write volume stays O(touched keys), not
-        O(state). On an object store, links become manifest entries and
-        the pointer a conditional put — same single-commit design."""
+        the new version); untouched bucket dirs are carried over via
+        ``backend.carry_file`` — hardlinks locally (O(#files) metadata
+        ops, zero data copy; copy fallback where links are refused), so
+        per-batch write volume stays O(touched keys), not O(state).
+        Every storage primitive of the protocol routes through
+        ``self.backend`` (state_backend.py), whose docstrings carry the
+        object-store translation: carry → manifest entry, pointer flip
+        → conditional put — same single-commit design."""
         cur = self._current_version()
         new_root = self._root(cur + 1)
-        shutil.rmtree(new_root, ignore_errors=True)  # crashed prior attempt
-        os.makedirs(new_root)
+        self.backend.remove_tree(new_root)  # crashed prior attempt
+        self.backend.prepare_dir(new_root)
         for name, df in frames.items():
             df.write.mode("overwrite").parquet(os.path.join(new_root, name))
         for name, (df, buckets) in (bucketed or {}).items():
@@ -234,29 +277,19 @@ class TxDenormBatchProcessor:
                         continue
                     src_dir = os.path.join(old_path, part)
                     dst_dir = os.path.join(new_path, part)
-                    os.makedirs(dst_dir, exist_ok=True)
+                    self.backend.prepare_dir(dst_dir)
                     for f in os.listdir(src_dir):
-                        os.link(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+                        self.backend.carry_file(
+                            os.path.join(src_dir, f), os.path.join(dst_dir, f)
+                        )
         # bucket layout sealed before any version can commit: a restart
         # with a different n_buckets must raise, not read wrong buckets
         self._write_layout()
-        # THE commit point: durable pointer temp, then atomic rename
-        tmp = os.path.join(self.state_dir, f"CURRENT.{cur + 1}")
-        with open(tmp, "w") as fh:
-            fh.write(str(cur + 1))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(self.state_dir, "CURRENT"))
-        # fsync the DIRECTORY so the rename itself is durable (on a
-        # power loss some filesystems would otherwise revert the flip
-        # after process() already reported the batch committed)
-        dirfd = os.open(self.state_dir, os.O_RDONLY)
-        try:
-            os.fsync(dirfd)
-        finally:
-            os.close(dirfd)
+        # THE commit point: atomic + durable pointer flip (backend
+        # contract; locally a fsync'd temp + os.replace + dir fsync)
+        self.backend.commit_pointer(self.state_dir, cur + 1)
         # post-commit cleanup; a crash here leaves garbage, GC'd next batch
-        shutil.rmtree(self._root(cur), ignore_errors=True)
+        self.backend.remove_tree(self._root(cur))
 
     def process(
         self,
@@ -297,6 +330,14 @@ class TxDenormBatchProcessor:
         import time as _time
 
         _batch_t0 = _time.time()
+        # free the PREVIOUS batch's emissions cache: it was kept alive
+        # past its own batch so the caller could still read the
+        # returned frame; by the next batch nothing references it, and
+        # without this a long-running stream accumulates one
+        # CacheManager entry per micro-batch
+        if self._prev_emissions is not None:
+            self._prev_emissions.unpersist()
+            self._prev_emissions = None
         # validate the bucket layout, then drop any crash garbage
         # (half-written next version / superseded old version) BEFORE
         # reading state, under the same writer lock
@@ -459,6 +500,9 @@ class TxDenormBatchProcessor:
         # nothing reads the operator's pinned frames after this point
         for frame in res.pinned:
             frame.unpersist()
+        # emissions stays cached until the next batch starts (caller
+        # may still read it); tracked so that batch unpersists it
+        self._prev_emissions = emissions
         return emissions
 
 

@@ -641,3 +641,106 @@ def test_tx_processor_refuses_second_writer(spark, tmp_path):
         os.unlink(lock)
     assert proc.process(o, l, x, 0).count() == 1  # lock gone → batch runs
     assert not lock.exists()  # released afterwards
+
+
+def test_emissions_cache_does_not_accumulate_across_batches(spark, tmp_path):
+    """Each batch caches its emissions frame to materialize it before
+    the state swap; the PREVIOUS batch's cache must be freed at the
+    next batch's start or a long-running stream leaks one CacheManager
+    entry per micro-batch. Storage entry count must be flat across ≥5
+    processed batches."""
+    import os
+
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    counts = []
+    lsn_base = 0
+    for batch in range(6):
+        log = TxLog()
+        log._lsn, log._next_tx = lsn_base, batch * 10 + 1
+        log.tx(
+            lambda t: t.insert_order(20001 + batch),
+            lambda t: t.insert_line(200001 + batch, 20001 + batch),
+        )
+        lsn_base = log._lsn + 1000
+        out = proc.process(
+            log.order_events_df(spark),
+            log.line_events_df(spark),
+            log.tx_events_df(spark),
+            batch_id=batch,
+        )
+        assert out.count() == 1
+        counts.append(n_stored())
+    # steady state: whatever batch 1 leaves cached (its own emissions),
+    # every later batch leaves exactly the same amount — no growth
+    assert counts[1:] == [counts[1]] * 5, counts
+
+
+def test_legacy_per_frame_state_dir_refused_not_reset(spark, tmp_path):
+    """A pre-versioned state dir (frames at the root, no CURRENT
+    pointer) must raise with a migration hint — silently treating it
+    as fresh would discard all existing state (carry events, applied
+    txs) and restart from empty."""
+    import os
+
+    state = tmp_path / "state"
+    os.makedirs(state / "carry_orders")
+    os.makedirs(state / "applied_txs")
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    proc = TxDenormBatchProcessor(spark, str(state))
+    with pytest.raises(ValueError, match="legacy per-frame state dirs"):
+        proc.process(
+            log.order_events_df(spark),
+            log.line_events_df(spark),
+            log.tx_events_df(spark),
+            0,
+        )
+
+
+def test_hardlink_refused_falls_back_to_copy(spark, tmp_path, monkeypatch):
+    """Untouched-bucket carryover hardlinks old files into the new
+    version; on filesystems that refuse links (cross-device bind
+    mounts: EXDEV) the backend must fall back to a byte copy — the
+    batch still commits and untouched state survives byte-identical."""
+    import errno
+    import os as _os
+
+    log1 = TxLog()
+    log1.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    assert proc.process(
+        log1.order_events_df(spark),
+        log1.line_events_df(spark),
+        log1.tx_events_df(spark),
+        0,
+    ).count() == 1
+
+    real_link = _os.link
+
+    def refuse_link(src, dst, **kw):
+        if "_bucket=" not in dst:
+            return real_link(src, dst, **kw)  # writer lock etc. unaffected
+        raise OSError(errno.EXDEV, "Invalid cross-device link", src)
+
+    # batch 2 touches a DIFFERENT order → order 10001's bucket (almost
+    # surely untouched) carries over through the refused-link path
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = log1._lsn, log1._next_tx
+    log2.tx(lambda t: t.insert_order(77001), lambda t: t.insert_line(770001, 77001))
+    monkeypatch.setattr("os.link", refuse_link)
+    try:
+        assert proc.process(
+            log2.order_events_df(spark),
+            log2.line_events_df(spark),
+            log2.tx_events_df(spark),
+            1,
+        ).count() == 1
+    finally:
+        monkeypatch.setattr("os.link", real_link)
+    # both orders' latest images live in the committed state
+    state = spark.read.parquet(proc._frame_path("order_state"))
+    keys = {r["order_key"] for r in state.select("order_key").collect()}
+    assert {10001, 77001} <= keys
