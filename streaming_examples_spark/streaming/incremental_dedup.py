@@ -168,6 +168,7 @@ class IncrementalNearDup:
         #: membership exceeds this are skipped by probe AND self-join;
         #: near-dups still pair through their other, selective bands.
         self.max_bucket_size = max_bucket_size
+        self._reset_cap_cache()
         if self.bands_buckets or self.sigs_buckets:
             import hashlib
 
@@ -336,6 +337,145 @@ class IncrementalNearDup:
             .saveAsTable(self._table(name))
         )
 
+    # -- viral-cap membership counts -------------------------------------
+    # The cap needs "how many canonical docs already share this band
+    # key" for the BATCH's keys. Counting that by scanning the bands
+    # store is O(store) per batch — a corpus-sized scan paid for a
+    # guard that almost never fires (measured ~15 %/batch, SCALE_NOTES).
+    # Amortized design, costing ZERO extra writes per batch (the bands
+    # store's own append files ARE the per-batch increments):
+    #
+    #   * compact() summarizes the bands store into ``band_hot`` — the
+    #     exact member count of every key shared by ≥2 canonicals (the
+    #     only keys that can ever approach the cap; singleton keys, the
+    #     overwhelming majority of a deduplicated store, are omitted) —
+    #     plus ``_files.json``, the list of bands data files the
+    #     summary covers;
+    #   * per batch, store membership = band_hot (tiny) + the DELTA
+    #     bands files (those not in ``_files.json``, i.e. appended
+    #     since the last compact — O(appends since compact), never
+    #     O(store));
+    #   * a missing or stale summary (never compacted; crash between
+    #     the bands rewrite and the summary swap; hot-bucket merges)
+    #     falls back to counting ALL bands files — exact, slower,
+    #     self-heals at the next compact().
+    #
+    # The counts live DRIVER-SIDE (plain dicts fed by pyarrow, zero
+    # Spark stages): in-lineage variants measured 20-30 %/batch — every
+    # formulation adds shuffle/broadcast stages to the probe job, and
+    # at micro-batch sizes stage overhead dwarfs the tiny data. The
+    # driver instead keeps
+    #   _cap_hot   — band_hot's counts, reloaded when the manifest
+    #                changes (one small pyarrow read per compact epoch)
+    #   _cap_delta — per-key counts of bands files appended since the
+    #                summary (each file pyarrow-read ONCE per process;
+    #                per batch that is just the previous batch's own
+    #                appends — O(batch), not O(store))
+    #   _cap_store_viral — keys whose hot+delta total already reaches
+    #                the cap, maintained incrementally at refresh
+    # and the batch side rides the job the batch already runs: with the
+    # cap on, ``enriched``'s checkpoint is LAZY and materialized by the
+    # within-batch key-count collect (measured: same cost as the eager
+    # checkpoint alone). Memory: _cap_delta is O(distinct keys appended
+    # since the last compact) — the compaction cadence bounds it; the
+    # cold refresh after a restart reads all since-compact files once.
+    #
+    # Accuracy: within ±1 member of exact. Omitted singleton keys
+    # (band_hot keeps only n ≥ 2) understate by ≤1 — the cap fires one
+    # member late, the safe direction: a spuriously SKIPPED key would
+    # be a permanent false-admit, firing late only costs bounded probe
+    # fan-out. A crash-replay whose retry straddles a compact boundary
+    # can count one doc in both the summary and the delta (+1, fires
+    # one member early) — the cap is a fan-out heuristic, not an
+    # exactness contract, and ±1 at threshold 256 is immaterial; the
+    # next compact() rebuild erases all drift. Within one compact
+    # epoch a retry's duplicate rows cannot double-count: a cold
+    # refresh dedups (band, doc) across all delta files, and in-process
+    # appends are replay-protected upstream (sigs anti-join).
+    def _bands_data_files(self) -> list[str]:
+        return sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(self._path("bands"), "*.parquet"))
+        )
+
+    def _reset_cap_cache(self) -> None:
+        self._cap_epoch: tuple | None = None
+        self._cap_hot: dict[tuple[int, str], int] = {}
+        self._cap_delta: dict[tuple[int, str], int] = {}
+        self._cap_seen: set[str] = set()
+        self._cap_store_viral: set[tuple[int, str]] = set()
+
+    def _refresh_cap_counts(self) -> None:
+        """Bring the driver-side membership counts up to date with the
+        stores. Called under the writer lock, so the file set is stable
+        for the whole batch."""
+        import pyarrow.parquet as pq
+
+        self._recover("band_hot")
+        hot_path = self._path("band_hot")
+        manifest_path = os.path.join(hot_path, "_files.json")
+        all_files = self._bands_data_files()
+        covered: list[str] = []
+        usable = False
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                covered = json.load(fh)
+            # a summary referencing files that no longer exist (crash
+            # between the bands rewrite and the summary swap) is stale:
+            # fall back to counting ALL files — exact, self-heals at
+            # the next compact()
+            usable = set(covered) <= set(all_files)
+        epoch = tuple(sorted(covered)) if usable else ("<no-summary>",)
+        if epoch != self._cap_epoch:
+            # new compact epoch (or first refresh): reload the summary,
+            # restart the delta from the files it covers
+            self._reset_cap_cache()
+            self._cap_epoch = epoch
+            self._cap_seen = set(covered) if usable else set()
+            if usable and os.path.isdir(hot_path):
+                t = pq.read_table(hot_path, columns=["band_id", "band_key", "n"])
+                for b, k, n in zip(*(c.to_pylist() for c in t.columns)):
+                    self._cap_hot[(b, k)] = n
+            cold = True
+        else:
+            cold = False
+        new_files = [f for f in all_files if f not in self._cap_seen]
+        if new_files:
+            tables = [
+                pq.read_table(
+                    os.path.join(self._path("bands"), f),
+                    columns=["band_id", "band_key", "doc_id"],
+                )
+                for f in new_files
+            ]
+            import pyarrow as pa
+
+            rows = pa.concat_tables(tables)
+            if cold:
+                # restart path: a pre-crash retry may have appended the
+                # same doc's bands twice across files — dedup exactly,
+                # once, here (in-process appends can't duplicate: the
+                # sigs anti-join replay-protects upstream)
+                rows = rows.group_by(
+                    ["band_id", "band_key", "doc_id"]
+                ).aggregate([])
+            counted = rows.group_by(["band_id", "band_key"]).aggregate(
+                [("doc_id", "count")]
+            )
+            cols = [counted[c].to_pylist() for c in ("band_id", "band_key", "doc_id_count")]
+            for b, k, n in zip(*cols):
+                key = (b, k)
+                total = self._cap_delta.get(key, 0) + n
+                self._cap_delta[key] = total
+                if self._cap_hot.get(key, 0) + total >= self.max_bucket_size:
+                    self._cap_store_viral.add(key)
+            self._cap_seen.update(new_files)
+        if cold and self._cap_hot:
+            cap = self.max_bucket_size
+            for key, n in self._cap_hot.items():
+                if n + self._cap_delta.get(key, 0) >= cap:
+                    self._cap_store_viral.add(key)
+
     # -- the batch step -------------------------------------------------
     def process_batch(self, docs: DataFrame, batch_id: int) -> DataFrame:
         """Returns (doc_id, is_dup BOOLEAN, dup_of LONG, n_candidates)
@@ -379,8 +519,12 @@ class IncrementalNearDup:
             # a SELF-join on this frame, and self-join disambiguation
             # rewrites attribute ids so a cache lookup can miss — which
             # would re-shingle and re-sign the batch once per consumer
-            # (same failure measured in dedup.connected_components)
-            .localCheckpoint(eager=True)
+            # (same failure measured in dedup.connected_components).
+            # LAZY when the cap is on: the cap's within-batch key-count
+            # collect below is then the materializing action — one job
+            # does both (measured: same cost as the eager checkpoint
+            # alone); eager otherwise.
+            .localCheckpoint(eager=self.max_bucket_size is None)
         )
         with_bands = enriched.filter(F.col("n_sh") > 0).select(
             "doc_id", "sig", F.posexplode("keys").alias("band_id", "band_key")
@@ -389,39 +533,40 @@ class IncrementalNearDup:
             # viral-band cap over the UNION of store+batch membership: a
             # boilerplate key with n store members fans every future
             # batch's probe out n-fold (and a within-batch template key
-            # n²-fold in the self-join). Count the store side only for
-            # keys the batch actually carries (broadcast semi-join — one
-            # extra store SCAN, no store shuffle, output O(batch keys)),
-            # add the batch's own counts, and drop keys over the cap
-            # from probe and self-join alike. Near-dups still pair via
-            # their other, selective bands (recall measured at the batch
-            # family's cap: tools/probe_bucket_cap.py).
-            batch_keys = with_bands.select("band_id", "band_key")
-            store_keys = (
-                bands_store.join(
-                    F.broadcast(batch_keys.distinct()),
-                    ["band_id", "band_key"],
-                    "left_semi",
+            # n²-fold in the self-join). Store-side counts come from the
+            # driver cache (band_hot summary + since-compact append
+            # files — see _refresh_cap_counts; never a per-batch scan of
+            # the corpus-sized bands store); batch-side counts ride the
+            # checkpoint-materializing collect (bounded: only keys with
+            # ≥2 batch members, ≤ |batch bands|/2 rows). A key is viral
+            # iff store+batch total exceeds the cap:
+            #   batch count ≥ 2 → exact check against the collected set;
+            #   batch count = 1 → viral iff store total alone ≥ cap,
+            #     which _cap_store_viral tracks incrementally.
+            # Dropped from probe and self-join alike; near-dups still
+            # pair via their other, selective bands (recall measured at
+            # the batch family's cap: tools/probe_bucket_cap.py).
+            self._refresh_cap_counts()
+            cap = self.max_bucket_size
+            base = lambda key: self._cap_hot.get(key, 0) + self._cap_delta.get(key, 0)  # noqa: E731
+            viral = {
+                (r["band_id"], r["band_key"])
+                for r in (
+                    with_bands.groupBy("band_id", "band_key")
+                    .agg(F.count(F.lit(1)).alias("nb"))
+                    .filter(F.col("nb") >= 2)
+                    .collect()
                 )
-                # crash-window duplicate rows (the append-before-delete
-                # compaction's tolerated leftovers) must count as ONE
-                # member, or a legitimate key near the cap gets
-                # spuriously skipped — permanent false admits
-                .distinct()
-                .select("band_id", "band_key")
-            )
-            sane = (
-                batch_keys.unionByName(store_keys)
-                .groupBy("band_id", "band_key")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") <= self.max_bucket_size)
-                .drop("n")
-            )
-            with_bands = with_bands.join(sane, ["band_id", "band_key"], "left_semi")
-            # the cap path pulled a store scan into this lineage; pin the
-            # (batch-sized) result so the peer SELF-join below doesn't
-            # evaluate it once per side
-            with_bands = with_bands.localCheckpoint(eager=True)
+                if r["nb"] + base((r["band_id"], r["band_key"])) > cap
+            }
+            viral |= self._cap_store_viral
+            if viral:
+                viral_df = self.spark.createDataFrame(
+                    sorted(viral), "band_id int, band_key string"
+                )
+                with_bands = with_bands.join(
+                    F.broadcast(viral_df), ["band_id", "band_key"], "left_anti"
+                )
 
         # candidates vs the stored corpus + within the batch itself
         hist = (
@@ -571,6 +716,47 @@ class IncrementalNearDup:
             os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old, ignore_errors=True)
+        self._rebuild_hot()
+
+    def _rebuild_hot(self) -> None:
+        """Recompute the viral-cap summary exactly from the (just
+        healed) bands store: the member count of every key with ≥2
+        canonical members — tiny in a deduplicated store — plus the
+        manifest of data files the summary covers, so the per-batch
+        check reads only files appended later. countDistinct tolerates
+        the duplicate rows hot-bucket compaction's append-before-delete
+        may leave. Same two-rename atomic swap as the stores;
+        ``_recover`` heals the one bad window, and a crash BEFORE the
+        swap leaves the previous summary whose manifest no longer
+        matches — the per-batch check detects that and falls back to a
+        full recount (exact, self-healing)."""
+        self._recover("band_hot")
+        hot_path = self._path("band_hot")
+        if self.max_bucket_size is None and not os.path.exists(hot_path):
+            return  # cap never used on this store: skip the summary pass
+        if not os.path.exists(self._path("bands")):
+            return
+        files = self._bands_data_files()  # listed under the writer lock
+        tmp = hot_path + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self._load_store("bands")
+            .groupBy("band_id", "band_key")
+            .agg(F.countDistinct("doc_id").cast("long").alias("n"))
+            .filter(F.col("n") >= 2)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # Spark readers skip underscore-prefixed files: the manifest
+        # rides inside the summary dir so the two swap atomically
+        with open(os.path.join(tmp, "_files.json"), "w") as fh:
+            json.dump(files, fh)
+        old = hot_path + ".old"
+        if os.path.exists(hot_path):
+            os.rename(hot_path, old)
+        os.rename(tmp, hot_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _compact_hot_buckets(self, name: str, schema: str, threshold: int) -> None:
         """Merge every over-fragmented bucket's files, touching

@@ -735,3 +735,42 @@ def test_writer_lock_stale_break_race_stays_exclusive(tmp_path):
         p.join(timeout=120)
         assert p.exitcode == 0
     assert _assert_strictly_serial(log) == 4 * 5
+
+
+def test_cap_uses_compacted_summary_and_survives_restart(spark, tmp_path):
+    """After compact(), store-side viral membership comes from the
+    band_hot summary (the per-batch check reads the summary + appends
+    since it, never the whole bands store). A key whose STORE
+    membership alone reaches the cap must gate a later single-
+    occurrence batch doc — including in a fresh detector instance
+    (restart path: summary + delta rebuilt from disk)."""
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+    import os
+
+    state = str(tmp_path / "state")
+    det = IncrementalNearDup(spark, state, threshold=0.5, max_bucket_size=2)
+    # batch 0: three identical docs — within-batch count 3 > cap 2, so
+    # the peer path is gated and all three land in the store canonical
+    r0 = {x["doc_id"]: x for x in det.process_batch(
+        _docs(spark, [(1, BASE), (2, BASE), (3, BASE)]), 0).collect()}
+    assert not any(r0[i]["is_dup"] for i in (1, 2, 3))
+    det.compact()
+    assert os.path.exists(os.path.join(state, "band_hot", "_files.json"))
+    # batch 1, same detector: the duplicate's keys hit store count 3 ≥
+    # cap via the summary → hist path gated, no candidates
+    r1 = det.process_batch(_docs(spark, [(4, BASE)]), 1).collect()[0]
+    assert not r1["is_dup"] and r1["n_candidates"] == 0
+    # batch 2, FRESH instance (restart): summary + post-compact delta
+    # (doc 4's append) reload from disk; still gated
+    det2 = IncrementalNearDup(spark, state, threshold=0.5, max_bucket_size=2)
+    r2 = det2.process_batch(_docs(spark, [(5, BASE)]), 2).collect()[0]
+    assert not r2["is_dup"] and r2["n_candidates"] == 0
+    # control: an uncapped detector on the same inputs DOES match
+    open_det = IncrementalNearDup(
+        spark, str(tmp_path / "open"), threshold=0.5, max_bucket_size=None
+    )
+    open_det.process_batch(_docs(spark, [(1, BASE)]), 0).collect()
+    ro = open_det.process_batch(_docs(spark, [(6, BASE)]), 1).collect()[0]
+    assert ro["is_dup"]
