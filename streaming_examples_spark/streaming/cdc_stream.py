@@ -80,6 +80,7 @@ class TxDenormBatchProcessor:
         n_buckets: int = 32,
         applied_retention_batches: int = 8,
         backend: StateStorageBackend | None = None,
+        emission_sink=None,
     ):
         from streaming_examples_spark.streaming.monitoring import PipelineMetrics
 
@@ -92,6 +93,16 @@ class TxDenormBatchProcessor:
         # flip, version GC) routes through here — see state_backend.py
         # for the object-store translation of each
         self.backend = backend if backend is not None else LocalPosixBackend()
+        #: optional per-batch emission consumer ``(emissions_df,
+        #: batch_id) -> None``, called in the SAME durability slot as
+        #: the parquet sink — after materialization, BEFORE the state
+        #: swap (crash between → replay re-emits: at-least-once, never
+        #: lost; the reference's sink level, DataStreamV2Job.java:102).
+        #: The Kafka upsert sink plugs in here:
+        #:   lambda df, _: upsert_sink_batch(df, topic=..., key_col=
+        #:   "order_key", ...)   (sources/kafka.py — tombstones as
+        #: null values, KafkaChangelogJob.java:50-65)
+        self.emission_sink = emission_sink
         self.metrics = PipelineMetrics()
         # previous batch's emissions cache, unpersisted at the next
         # batch's start (the caller may still read the CURRENT batch's
@@ -466,6 +477,8 @@ class TxDenormBatchProcessor:
                 .write.mode("append")
                 .parquet(self.output_dir)
             )
+        if self.emission_sink is not None:
+            self.emission_sink(emissions, batch_id)
         new_applied = emitted_txs.withColumn(
             "applied_in_batch", F.lit(batch_id).cast("long")
         )
@@ -516,6 +529,7 @@ def start_tx_denorm_stream(
     output_dir: str,
     checkpoint_dir: str,
     trigger_seconds: float = 1.0,
+    emission_sink=None,
 ):
     """Wire the three CDC streams (orders / order_lines / transaction
     metadata — the reference's three Kafka topics, DataStreamV2Job.
@@ -535,7 +549,9 @@ def start_tx_denorm_stream(
             tx_stream.select(F.lit("tx").alias("_stream"), F.to_json(F.struct("*")).alias("payload"))
         )
     )
-    processor = TxDenormBatchProcessor(spark, state_dir, output_dir)
+    processor = TxDenormBatchProcessor(
+        spark, state_dir, output_dir, emission_sink=emission_sink
+    )
 
     from streaming_examples_spark.model.envelope import (
         data_change_event_schema,

@@ -13,6 +13,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from streaming_examples_spark.sources.kafka import (
@@ -22,10 +24,12 @@ from streaming_examples_spark.sources.kafka import (
 )
 
 
-def _file_stub_factory(out_dir: str):
+def _file_stub_factory(out_dir: str, prefix: str = ""):
     """Producer factory whose instances record sends to one file per
     producer — executors share the local FS in local mode, so the
-    driver-side test can read back exactly what each partition sent."""
+    driver-side test can read back exactly what each partition sent.
+    ``prefix`` orders files across factories (e.g. per micro-batch);
+    a real broker orders per topic-partition instead."""
 
     def factory():
         import json as _json
@@ -34,7 +38,9 @@ def _file_stub_factory(out_dir: str):
 
         class _StubProducer:
             def __init__(self):
-                self.path = _os.path.join(out_dir, f"producer-{_uuid.uuid4().hex}.jsonl")
+                self.path = _os.path.join(
+                    out_dir, f"{prefix}producer-{_uuid.uuid4().hex}.jsonl"
+                )
                 self.records = []
                 self.flushed = False
 
@@ -160,3 +166,100 @@ def test_upsert_sink_decimal_and_nested_payload(spark, tmp_path):
     payload = json.loads(records[0]["value"])
     assert payload["d"] == "2024-01-05"
     assert payload["lines"] == [{"lid": 1, "price": "19.99"}]
+
+
+@pytest.mark.slow
+def test_stream_e2e_through_kafka_upsert_sink(spark, tmp_path):
+    """Full streaming pipeline → the REAL Kafka sink code path
+    (upsert_sink_batch inside the emission-sink slot, before the state
+    swap), against the file-backed producer double: closes the
+    env-gated seam where the sink was only unit-tested on synthetic
+    frames. Asserts the reference's wire semantics end to end
+    (KafkaChangelogJob.java:50-65, OrderWithLinesSerializationSchema
+    .java:41-75): key = order id utf-8, upserts as canonical JSON,
+    delete as a tombstone (null value), last-per-key state replayable
+    by an upsert consumer."""
+    from streaming_examples_spark.model.fixtures import (
+        LINE_ROW_SCHEMA,
+        ORDER_ROW_SCHEMA,
+        TxLog,
+    )
+    from streaming_examples_spark.sources.files import (
+        read_envelope_log,
+        read_tx_log,
+        write_event_log,
+    )
+    from streaming_examples_spark.streaming.cdc_stream import start_tx_denorm_stream
+
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="19.99"),
+    )
+    log.tx(
+        lambda t: t.insert_order(10002),
+        lambda t: t.update_order(10001, shipping_address="2 Oak Ave"),
+    )
+    log.tx(lambda t: t.delete_order(10002))
+
+    orders = [e for e in log.events if e["source"]["table"] == "orders"]
+    lines = [e for e in log.events if e["source"]["table"] == "order_lines"]
+    dirs = {n: str(tmp_path / n) for n in ("orders", "lines", "txs", "out", "state", "ckpt", "sent")}
+    os.makedirs(dirs["sent"])
+    write_event_log(orders, dirs["orders"], files=2)  # multiple micro-batches
+    write_event_log(lines, dirs["lines"], files=1)
+    write_event_log(log.tx_events, dirs["txs"], files=1)
+
+    def sink(emissions, batch_id):
+        # one producer file per batch, batch-ordered by name, rows in
+        # commit-LSN order (coalesce(1) concatenates the range
+        # partitions in index order) — stands in for Kafka's per-
+        # topic-partition ordering so per-key sequences are assertable
+        upsert_sink_batch(
+            emissions.coalesce(1),
+            bootstrap_servers="unused:9092",
+            topic="docs.upserts",
+            key_col="order_key",
+            producer_factory=_file_stub_factory(
+                dirs["sent"], prefix=f"{batch_id:05d}-"
+            ),
+        )
+
+    q = start_tx_denorm_stream(
+        spark,
+        read_envelope_log(spark, dirs["orders"], ORDER_ROW_SCHEMA, streaming=True),
+        read_envelope_log(spark, dirs["lines"], LINE_ROW_SCHEMA, streaming=True),
+        read_tx_log(spark, dirs["txs"], streaming=True),
+        state_dir=dirs["state"],
+        output_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        emission_sink=sink,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sent = [r for p in _read_sent(dirs["sent"]) for r in p]
+    assert sent and all(r["topic"] == "docs.upserts" for r in sent)
+    # at-least-once: no LOST emissions; replay an upsert consumer
+    # (last value per key in commit order) over the wire records
+    by_key: dict[str, list] = {}
+    for r in sent:
+        by_key.setdefault(r["key"], []).append(r["value"])
+    assert set(by_key) == {"10001", "10002"}
+    # order 10001: two upserts (insert, address update), never deleted
+    payloads = [json.loads(v) for v in by_key["10001"] if v is not None]
+    assert len(payloads) == len(by_key["10001"])  # no tombstone for 10001
+    assert {p["shipping_address"] for p in payloads} == {"1 Main St", "2 Oak Ave"}
+    final = max(payloads, key=lambda p: p["commit_lsn"])
+    assert final["shipping_address"] == "2 Oak Ave"
+    assert [ln["id"] for ln in final["lines"]] == [100001]
+    # order 10002: insert then delete → last record is a TOMBSTONE
+    assert by_key["10002"][-1] is None
+    assert json.loads(by_key["10002"][0])["shipping_address"] == "1 Main St"
+    # the deleted flag itself never rides the wire (tombstone IS the delete)
+    for vs in by_key.values():
+        for v in vs:
+            if v is not None:
+                assert "deleted" not in json.loads(v)
