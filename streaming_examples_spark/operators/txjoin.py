@@ -107,6 +107,7 @@ def tx_denormalize(
     carryover_lines: DataFrame | None = None,
     schema: str = "public",
     dedup_events: bool | None = None,
+    persist_ends: bool = True,
 ) -> TxDenormResult:
     """Run the flagship pipeline over one batch of envelope events.
 
@@ -177,9 +178,21 @@ def tx_denormalize(
     # narrow MB, bounded by |txs in batch|) instead of paying it 4×
     # (measured: the whole pipeline drops from 2.26 s to 1.6 s warm).
     # Pinned below; cdc_stream / catalog.release() unpersist it.
+    #
+    # persist_ends=False is the GIANT-batch escape hatch (measured at
+    # 20 M txs / 70 M events, tools/probe_tx_scale.py r7): a 20 M-row
+    # END cache evicts the heap the 20 M-key gate broadcasts need —
+    # the broadcast build OOMs at the default 16 g driver, and even at
+    # 48 g the cached run is 3× slower than recomputing the agg per
+    # consumer (379 s vs 122.8 s at 16 g uncached, which matches the
+    # r5 record). Micro-batches — the streaming operating point — keep
+    # the default True; backfill-scale callers (≥ ~10 M txs in ONE
+    # batch) pass False, or better, split the batch.
     from streaming_examples_spark.operators.txgroup import tx_end_events
 
-    ends_full = tx_end_events(tx_events).persist()
+    ends_full = tx_end_events(tx_events)
+    if persist_ends:
+        ends_full = ends_full.persist()
     norm_o = stamp_commit_lsn(norm_o, ends=ends_full)
     norm_l = stamp_commit_lsn(norm_l, ends=ends_full)
 
@@ -392,5 +405,5 @@ def tx_denormalize(
         carryover_orders=o_carry,
         carryover_lines=l_carry,
         emitted_txs=emit_txs,
-        pinned=(emit_txs, touched, ends_full),
+        pinned=(emit_txs, touched) + ((ends_full,) if persist_ends else ()),
     )

@@ -27,7 +27,11 @@ Design (all equi-joins, no pair space, state ∝ unique corpus):
     measured default 256): a key whose combined store+batch membership
     exceeds ``max_bucket_size`` is skipped by both the store probe and
     the within-batch self-join, so one template key accumulated in the
-    store can never make every future batch pay its full fan-out.
+    store can never make every future batch pay its full fan-out. The
+    membership counts are amortized — a compact-built ``band_hot``
+    summary + driver-side counts of since-compact appends, never a
+    per-batch store scan (see the viral-cap section below, ~4-5 %
+    measured premium).
 
 At 100 TB pass ``bands_buckets=N``: BOTH stores become EXTERNAL
 BUCKETED tables — ``bands`` on (band_id, band_key), ``sigs`` on
@@ -144,6 +148,7 @@ class IncrementalNearDup:
         bands_buckets: int | None = None,
         sigs_buckets: int | None = None,
         max_bucket_size: int | None = 256,
+        cap_cache_max_keys: int = 5_000_000,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -168,6 +173,13 @@ class IncrementalNearDup:
         #: membership exceeds this are skipped by probe AND self-join;
         #: near-dups still pair through their other, selective bands.
         self.max_bucket_size = max_bucket_size
+        #: memory bound for the driver-side since-compact count cache
+        #: (_cap_delta): beyond this many keys, singleton entries are
+        #: evicted (each eviction can understate that key by 1 — the
+        #: cap fires late, the safe direction). The bound exists for
+        #: deployments that outrun the documented compact cadence;
+        #: compact() resets the cache against the exact rebuilt summary.
+        self.cap_cache_max_keys = cap_cache_max_keys
         self._reset_cap_cache()
         if self.bands_buckets or self.sigs_buckets:
             import hashlib
@@ -470,6 +482,33 @@ class IncrementalNearDup:
                 if self._cap_hot.get(key, 0) + total >= self.max_bucket_size:
                     self._cap_store_viral.add(key)
             self._cap_seen.update(new_files)
+            if len(self._cap_delta) > self.cap_cache_max_keys:
+                # bound driver memory between compacts: drop singleton
+                # counts first (understate ≤1 each — the cap fires one
+                # member late, the safe direction; a key that matters
+                # re-crosses 2 quickly and re-enters). If collision keys
+                # alone exceed the bound the store is overdue for
+                # compact(); warn and shed the smallest counts — the cap
+                # degrades to firing late, never to skipping early.
+                self._cap_delta = {
+                    k: n for k, n in self._cap_delta.items() if n >= 2
+                }
+                if len(self._cap_delta) > self.cap_cache_max_keys:
+                    import warnings
+
+                    warnings.warn(
+                        "incremental-dedup viral-cap cache exceeds "
+                        f"cap_cache_max_keys={self.cap_cache_max_keys} even "
+                        "after singleton eviction — the store is overdue "
+                        "for compact(); shedding the smallest counts (the "
+                        "cap may fire late until the next compact)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    keep = sorted(
+                        self._cap_delta.items(), key=lambda kv: -kv[1]
+                    )[: self.cap_cache_max_keys]
+                    self._cap_delta = dict(keep)
         if cold and self._cap_hot:
             cap = self.max_bucket_size
             for key, n in self._cap_hot.items():
@@ -493,7 +532,17 @@ class IncrementalNearDup:
         (see :meth:`_writer_lock`), so the overlap raises instead.
         """
         with self._writer_lock("process_batch"):
-            return self._process_batch_locked(docs, batch_id)
+            try:
+                return self._process_batch_locked(docs, batch_id)
+            except BaseException:
+                # a failed batch may have appended bands without sigs;
+                # its in-process retry would re-append the same docs and
+                # the incremental count cache would read both file sets
+                # (stale-HIGH — the unsafe direction). Dropping the
+                # cache forces the next refresh cold, which re-reads all
+                # since-compact files WITH the global (key, doc) dedup.
+                self._reset_cap_cache()
+                raise
 
     def _process_batch_locked(self, docs: DataFrame, batch_id: int) -> DataFrame:
         sigs_store = self._load_store("sigs")

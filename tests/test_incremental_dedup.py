@@ -774,3 +774,26 @@ def test_cap_uses_compacted_summary_and_survives_restart(spark, tmp_path):
     open_det.process_batch(_docs(spark, [(1, BASE)]), 0).collect()
     ro = open_det.process_batch(_docs(spark, [(6, BASE)]), 1).collect()[0]
     assert ro["is_dup"]
+
+
+def test_cap_cache_singleton_eviction_bounds_driver_memory(spark, tmp_path):
+    """cap_cache_max_keys bounds the driver-side since-compact count
+    cache: overflow evicts singleton entries (understate ≤1 — the cap
+    fires late, never early). With a tiny bound, a refresh that reads
+    prior appends must leave the cache within the bound."""
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+
+    det = IncrementalNearDup(
+        spark,
+        str(tmp_path / "state"),
+        threshold=0.5,
+        max_bucket_size=100,
+        cap_cache_max_keys=3,
+    )
+    det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0).count()
+    # batch 1's refresh reads batch 0's appended band files (~18
+    # singleton keys > bound 3) and must evict down to the bound
+    det.process_batch(_docs(spark, [(3, NEAR)]), 1).count()
+    assert len(det._cap_delta) <= 3

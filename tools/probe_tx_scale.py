@@ -53,6 +53,24 @@ def main() -> int:
         whale = int(argv[i + 1])
         del argv[i : i + 2]
     sizes = [int(s) for s in argv] or [1_000_000, 5_000_000, 20_000_000]
+    if len(sizes) > 1:
+        # one JVM per size: a shared JVM carries the previous sizes'
+        # dead gate-broadcast relations until ContextCleaner reaps them
+        # (driver GC + py4j ref release — neither promptly forceable),
+        # and the 20 M size then OOMs its own broadcast build at the
+        # default heap even though it passes alone (122.8 s at 16 g,
+        # measured r7). Fresh processes make every size's number a
+        # clean, reproducible measurement.
+        import subprocess
+
+        for n in sizes:
+            args = [sys.executable, os.path.abspath(__file__)]
+            if whale:
+                args += ["--whale", str(whale)]
+            rc = subprocess.run(args + [str(n)]).returncode
+            if rc:
+                return rc
+        return 0
     spark = get_spark("tx-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM + codegen for the pipeline shape
@@ -62,12 +80,17 @@ def main() -> int:
     print(f"{'n_txs':>10} {'events':>10} {'mode':<12} {'wall_s':>7} {'ev/s':>9} {'emitted':>10}")
     for n_txs in sizes:
         parts = min(256, max(32, n_txs // 100_000))
+        # giant-batch shape: the END cache evicts the heap the gate
+        # broadcasts need (r7 A/B: 20M w/ persist OOMs at 16g driver,
+        # 379s at 48g; w/o persist 122.8s at 16g) — micro-batches keep
+        # the default, backfill-scale batches turn it off
+        kw = {"persist_ends": n_txs < 10_000_000}
         o, l, x = generate_workload(spark, n_txs, partitions=parts)
         n_events = n_txs + l.count()  # orders + lines
 
         # -- full batch, all complete (the r4-comparable number) ------
         t0 = time.time()
-        res = tx_denormalize(o, l, x)
+        res = tx_denormalize(o, l, x, **kw)
         res.emissions.write.format("noop").mode("overwrite").save()
         n_emit = res.emissions.count()
         wall = time.time() - t0
@@ -85,7 +108,7 @@ def main() -> int:
         tx_id = F.split(F.col("id"), ":").getItem(0).cast("long")
         x1 = x.filter(tx_id % 10 != 0)
         t0 = time.time()
-        res1 = tx_denormalize(o, l, x1)
+        res1 = tx_denormalize(o, l, x1, **kw)
         res1.emissions.write.format("noop").mode("overwrite").save()
         n_emit1 = res1.emissions.count()
         # carry frames are state: materialize them the way the stream
@@ -103,7 +126,7 @@ def main() -> int:
         t0 = time.time()
         res2 = tx_denormalize(
             o.limit(0), l.limit(0), x2,
-            carryover_orders=carry_o, carryover_lines=carry_l,
+            carryover_orders=carry_o, carryover_lines=carry_l, **kw,
         )
         res2.emissions.write.format("noop").mode("overwrite").save()
         n_emit2 = res2.emissions.count()
@@ -124,7 +147,7 @@ def main() -> int:
             )
             nw_events = n_events + whale + 1
             t0 = time.time()
-            resw = tx_denormalize(ow, lw, xw)
+            resw = tx_denormalize(ow, lw, xw, **kw)
             resw.emissions.write.format("noop").mode("overwrite").save()
             nw_emit = resw.emissions.count()
             wallw = time.time() - t0
