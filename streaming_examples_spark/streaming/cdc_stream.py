@@ -451,6 +451,12 @@ class TxDenormBatchProcessor:
             .sortWithinPartitions("commit_lsn")
             .cache()
         )
+        # track the cache the moment it exists: a failure anywhere below
+        # leaves it registered, and the retry's start-of-batch unpersist
+        # is the only hook that can reclaim it (the caller contract —
+        # the returned frame stays readable until the NEXT batch — is
+        # unaffected, since unpersist still happens only at that start)
+        self._prev_emissions = emissions
         emissions.count()  # materialize before any state dir changes
         # monitoring (§6 metric catalog): events seen, source lag, backlog
         n_events = order_events.count() + line_events.count()
@@ -514,8 +520,7 @@ class TxDenormBatchProcessor:
         for frame in res.pinned:
             frame.unpersist()
         # emissions stays cached until the next batch starts (caller
-        # may still read it); tracked so that batch unpersists it
-        self._prev_emissions = emissions
+        # may still read it); tracked above so that batch unpersists it
         return emissions
 
 

@@ -744,3 +744,41 @@ def test_hardlink_refused_falls_back_to_copy(spark, tmp_path, monkeypatch):
     state = spark.read.parquet(proc._frame_path("order_state"))
     keys = {r["order_key"] for r in state.select("order_key").collect()}
     assert {10001, 77001} <= keys
+
+
+def test_failed_batch_emissions_cache_reclaimed_on_retry(spark, tmp_path):
+    """A batch that fails AFTER caching its emissions (e.g. the sink
+    raises) must not leak that cache entry forever: the cache is
+    tracked the moment it exists, so the retry's start-of-batch
+    unpersist reclaims it. Storage entry count after the successful
+    retry must equal a clean batch's."""
+
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    boom = {"armed": True}
+
+    def sink(df, batch_id):
+        if boom["armed"]:
+            raise RuntimeError("sink down")
+
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(30001), lambda t: t.insert_line(300001, 30001))
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    base = n_stored()
+    proc = TxDenormBatchProcessor(
+        spark, str(tmp_path / "state"), emission_sink=sink
+    )
+    with pytest.raises(RuntimeError, match="sink down"):
+        proc.process(o, l, x, 0)
+    assert n_stored() > base  # the failed batch's cache IS registered...
+    boom["armed"] = False
+    assert proc.process(o, l, x, 0).count() == 1
+    # ...and the retry reclaimed it: only the retry's own emissions
+    # remain (the failed attempt never swapped state, so the replay is
+    # a full re-run, not an applied-txs drop)
+    assert n_stored() == base + 1
