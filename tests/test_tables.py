@@ -36,3 +36,26 @@ def test_events_ts_is_usable_timestamp(spark):
     ev = load_table(spark, SF_DIR, "events")
     row = ev.select(F.unix_micros("ts").alias("us")).limit(1).collect()
     assert row and row[0]["us"] is not None
+
+
+@pytest.mark.parametrize("name", TABLE_NAMES)
+def test_footer_schema_matches_jvm_inference(spark, name):
+    """load_table hands spark.read an explicit schema built from a
+    pyarrow footer read (skips the JVM inference pass, ~4× faster per
+    read). The shortcut is only legal if the schema is EXACTLY what
+    inference would produce — a drift (wrong width, missed nanos
+    override) would surface as scan errors or silent misreads."""
+    path = os.path.join(SF_DIR, f"{name}.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not in testdata")
+    from streaming_examples_spark.tables import _footer_info
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    inferred = spark.read.parquet(path).schema
+    explicit, _ = _footer_info(path)
+    assert explicit == inferred, (
+        f"{name}: footer-derived schema diverges from inference:\n"
+        f"  explicit: {explicit.simpleString()}\n"
+        f"  inferred: {inferred.simpleString()}"
+    )
