@@ -65,6 +65,17 @@ def get_spark(
         #    TIMESTAMP — identical values under the UTC session timezone)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # -- python plan-construction overhead --------------------------------
+        # PySpark's DataFrame-debugging wrapper pays THREE py4j round
+        # trips per DataFrame op (a conf.get, a PySparkCurrentOrigin.set,
+        # a .clear) plus a Python stack walk, only to stamp user-code
+        # call sites into error contexts. Measured on the flagship
+        # pipeline: 58 % of ALL py4j traffic during plan construction
+        # (5,882 → 2,466 round trips, ~2 s of driver latency per cold
+        # construction). An engine library pays that tax on every
+        # operation of every query; the call-site garnish is not worth
+        # it. Override via extra_conf to debug a failing analysis.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # -- determinism -----------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
