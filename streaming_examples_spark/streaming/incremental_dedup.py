@@ -438,6 +438,15 @@ class IncrementalNearDup:
             # the next compact()
             usable = set(covered) <= set(all_files)
         epoch = tuple(sorted(covered)) if usable else ("<no-summary>",)
+        if self._cap_seen - set(all_files):
+            # a file we already counted VANISHED (e.g. a compact swapped
+            # the bands dir but died before the summary swap, leaving the
+            # epoch token unchanged at '<no-summary>'): retained delta
+            # counts reference deleted files while the rewritten files
+            # would be counted on top — stale-HIGH, spurious virality,
+            # permanent false admits. Start cold: re-read all live files
+            # with the global (key, doc) dedup.
+            self._reset_cap_cache()
         if epoch != self._cap_epoch:
             # new compact epoch (or first refresh): reload the summary,
             # restart the delta from the files it covers
@@ -717,7 +726,20 @@ class IncrementalNearDup:
         so the overlap raises instead.
         """
         with self._writer_lock("compact"):
-            self._compact_locked(target_partitions, hot_bucket_threshold)
+            try:
+                self._compact_locked(target_partitions, hot_bucket_threshold)
+            except BaseException:
+                # a partial compact may have swapped a store dir without
+                # reaching the summary swap — in the '<no-summary>' epoch
+                # the token would NOT change, so a same-process refresh
+                # would keep delta counts for deleted files AND re-count
+                # their rewritten replacements (stale-HIGH, the unsafe
+                # direction). Drop the cache; the next refresh goes cold
+                # (mirrors process_batch's failure path; the vanished-
+                # file check in _refresh_cap_counts is the cross-process
+                # backstop for the same window).
+                self._reset_cap_cache()
+                raise
 
     def _compact_locked(
         self, target_partitions: int, hot_bucket_threshold: int | None

@@ -30,6 +30,20 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nested_nanos(t) -> bool:
+    """True if a ``timestamp[ns]`` occurs anywhere INSIDE ``t`` (below
+    the top level): struct fields, list elements, map entries."""
+    import pyarrow as pa
+
+    for i in range(t.num_fields):
+        child = t.field(i).type
+        if (pa.types.is_timestamp(child) and child.unit == "ns") or _nested_nanos(
+            child
+        ):
+            return True
+    return False
+
+
 @lru_cache(maxsize=256)
 def _footer_info(path: str):
     """One local pyarrow footer read per path: the Spark read schema
@@ -44,11 +58,22 @@ def _footer_info(path: str):
     official Arrow→Spark one (``from_arrow_schema``); NANOS timestamps
     are overridden to LONG because that is what the scan yields under
     ``nanosAsLong`` (schema equality with inference is pinned in
-    tests/test_tables.py for every testdata table)."""
+    tests/test_tables.py for every testdata table).
+
+    The LONG override only applies to TOP-LEVEL nanos columns. A nanos
+    timestamp nested inside a struct/array/map would also scan as LONG
+    under ``nanosAsLong``, but ``from_arrow_schema`` maps it to
+    TimestampType — the explicit schema would diverge from the files
+    and the read break. No testdata table has one; if a future file
+    does, return ``(None, ())`` so ``load_table`` falls back to plain
+    JVM inference for that path (correct, just without the footer
+    fast-path)."""
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import from_arrow_schema
 
     pa_schema = pq.read_schema(path)
+    if any(_nested_nanos(f.type) for f in pa_schema):
+        return None, ()
     spark_schema = from_arrow_schema(pa_schema, prefer_timestamp_ntz=False)
     nanos = tuple(
         f.name for f in pa_schema if str(f.type).startswith("timestamp[ns")
@@ -81,7 +106,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema, nanos_cols = _footer_info(path)
-    df = spark.read.schema(schema).parquet(path)
+    if schema is None:
+        # nested nanos timestamp in the footer: the top-level LONG
+        # override can't describe it — use JVM inference (see
+        # _footer_info docstring)
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     # Defensive: if a future encoding change still yields TIMESTAMP_NTZ

@@ -797,3 +797,54 @@ def test_cap_cache_singleton_eviction_bounds_driver_memory(spark, tmp_path):
     # singleton keys > bound 3) and must evict down to the bound
     det.process_batch(_docs(spark, [(3, NEAR)]), 1).count()
     assert len(det._cap_delta) <= 3
+
+
+def test_compact_crash_before_summary_swap_resets_cap_cache(spark, tmp_path):
+    """A compact() that rewrites the bands store but dies BEFORE the
+    band_hot summary swap leaves the epoch token unchanged (still
+    '<no-summary>'): a cache that survived would keep delta counts for
+    the DELETED files while re-counting their rewritten replacements —
+    counts double (stale-HIGH), keys turn spuriously viral, probes get
+    skipped forever. Both guards must hold: the same-process compact
+    failure drops the cache outright, and a DIFFERENT process whose
+    cache references the vanished files goes cold at its next refresh."""
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+
+    state = str(tmp_path / "state")
+    det = IncrementalNearDup(spark, state, threshold=0.5, max_bucket_size=100)
+    det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0).count()
+    # batch 1's refresh folds batch 0's append files into the delta
+    det.process_batch(_docs(spark, [(3, NEAR)]), 1).count()
+    assert det._cap_seen and det._cap_delta
+
+    # a second process's cache also warmed from the same files
+    other = IncrementalNearDup(spark, state, threshold=0.5, max_bucket_size=100)
+    other._refresh_cap_counts()
+    assert det._cap_seen <= other._cap_seen  # det has not seen batch 1's own appends yet
+
+    def boom():
+        raise RuntimeError("crash before summary swap")
+
+    det._rebuild_hot = boom  # bands rewrite completes, summary never lands
+    with pytest.raises(RuntimeError, match="summary swap"):
+        det.compact()
+    # guard 1: the failing process dropped its cache on the way out
+    assert det._cap_epoch is None and not det._cap_seen and not det._cap_delta
+    # the rewrite replaced every pre-crash file name
+    assert not (other._cap_seen & set(det._bands_data_files()))
+
+    # guard 2: the OTHER process's next refresh sees its counted files
+    # vanished and restarts cold instead of double-counting
+    other._refresh_cap_counts()
+    fresh = IncrementalNearDup(spark, state, threshold=0.5, max_bucket_size=100)
+    fresh._refresh_cap_counts()  # exact cold rebuild from the live store
+    assert other._cap_delta == fresh._cap_delta
+    assert other._cap_seen == fresh._cap_seen
+
+    # and the failing process's own next batch rebuilds exact counts too
+    det.process_batch(_docs(spark, [(4, BASE + " extra tail words")]), 2).count()
+    for key, n in fresh._cap_delta.items():
+        assert det._cap_delta.get(key, 0) >= n  # includes batch 2's appends
+        assert det._cap_delta[key] <= n + 1  # never doubled

@@ -59,3 +59,40 @@ def test_footer_schema_matches_jvm_inference(spark, name):
         f"  explicit: {explicit.simpleString()}\n"
         f"  inferred: {inferred.simpleString()}"
     )
+
+
+def test_nested_nanos_timestamp_falls_back_to_inference(spark, tmp_path):
+    """A TIMESTAMP(NANOS) nested inside a struct can't be described by
+    the footer fast-path's top-level LONG override (from_arrow_schema
+    maps it to TimestampType while the nanosAsLong scan yields LONG) —
+    load_table must detect it in the footer and fall back to plain JVM
+    inference so the read still works and matches inference exactly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streaming_examples_spark.tables import _footer_info, load_table
+
+    ts = pa.array(
+        [datetime.datetime(2024, 1, 1, 12, 0, 0)], type=pa.timestamp("ns")
+    )
+    table = pa.table(
+        {
+            "id": pa.array([1], type=pa.int64()),
+            "meta": pa.StructArray.from_arrays([ts], names=["created"]),
+            "history": pa.ListArray.from_arrays(pa.array([0, 1]), ts),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path)
+
+    schema, nanos = _footer_info(path)
+    assert schema is None and nanos == ()  # fallback signalled
+
+    df = load_table(spark, str(tmp_path), "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    assert df.schema == spark.read.parquet(path).schema
+    row = df.collect()[0]
+    assert row["id"] == 1 and row["meta"]["created"] is not None

@@ -303,14 +303,21 @@ def test_catalog_release_frees_pinned_storage(spark):
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-    def n_stored():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def stored_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
-    before = n_stored()
+    # target the entry's OWN cached-RDD ids rather than a session-global
+    # storage count: other tests' lingering checkpoint RDDs get reaped by
+    # the async ContextCleaner mid-test and perturb absolute counts
+    before = stored_ids()
     entries()["tx_denorm_orders"].fn(spark, sf_dir).count()
-    assert n_stored() > before  # emit/touched gates are pinned
+    pinned = stored_ids() - before
+    assert pinned  # emit/touched gates are pinned
     assert release(spark, "tx_denorm_orders", sf_dir) == 1
-    assert n_stored() == before
+    assert not (stored_ids() & pinned)
 
 
 def test_completeness_random_bulk_vs_python_reference(spark):
