@@ -24,28 +24,128 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def kafka_envelope_stream(
+# the exact frame Spark's Kafka source produces — a consumer double
+# must emit this shape for the decode path to be the real one
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def decode_kafka_wire(
+    raw: DataFrame,
+    row_schema=None,
+    *,
+    value_schema=None,
+    include_metadata: bool = False,
+) -> DataFrame:
+    """The source-side decode over a Kafka wire frame (S1 + S4): parse
+    ``value`` as a Debezium-JSON envelope (``row_schema`` → envelope
+    schema, or an explicit ``value_schema`` for non-envelope topics
+    like transaction metadata), and optionally attach the metadata the
+    reference declares as METADATA VIRTUAL columns
+    (KafkaChangelogJob.java:33-35; value.fields-include=EXCEPT_KEY
+    keeps the key out of the value, KafkaAppendStreamJob.java:17-59):
+
+      kafka_key       ← key bytes as UTF-8 ('key.fields'='id')
+      source_topic    ← topic
+      kafka_partition / kafka_offset ← wire coordinates (scan order)
+      ingestion_ts    ← broker timestamp ('value.ingestion-timestamp')
+
+    Split out from the stream builder so the decode executes against
+    any wire-shaped frame — the broker-less consumer double included.
+    """
+    from streaming_examples_spark.model.envelope import data_change_event_schema
+
+    env = value_schema if value_schema is not None else data_change_event_schema(row_schema)
+    out = raw.select(
+        F.from_json(F.col("value").cast("string"), env).alias("e"),
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("topic").alias("source_topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        F.col("timestamp").alias("ingestion_ts"),
+    )
+    if include_metadata:
+        return out.select(
+            "e.*",
+            "kafka_key",
+            "source_topic",
+            "kafka_partition",
+            "kafka_offset",
+            "ingestion_ts",
+        )
+    return out.select("e.*")
+
+
+def _subscribe(
     spark: SparkSession,
     *,
-    bootstrap_servers: str,
+    bootstrap_servers: str | None,
     topic: str,
-    row_schema,
-    starting_offsets: str = "earliest",
+    starting_offsets: str,
+    consumer_factory,
 ) -> DataFrame:
-    """S1: append-scan over a topic of Debezium-JSON envelopes."""
-    from streaming_examples_spark.operators.ingest import parse_envelope
-
-    raw = (
+    """One subscription → one wire frame. ``consumer_factory`` is the
+    broker-less seam (mirror of the sink's ``producer_factory``): a
+    ``(spark, topic) -> DataFrame`` returning KAFKA_WIRE_SCHEMA rows —
+    everything downstream of it is the production decode path."""
+    if consumer_factory is not None:
+        return consumer_factory(spark, topic)
+    if bootstrap_servers is None:
+        raise ValueError("bootstrap_servers is required without a consumer_factory")
+    return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    env = parse_envelope(raw, row_schema)
-    # S4 metadata: Kafka's own columns stay available pre-parse; we
-    # re-attach the ones the reference exposes as METADATA VIRTUAL
-    return env
+
+
+def kafka_envelope_stream(
+    spark: SparkSession,
+    *,
+    topic: str,
+    row_schema,
+    bootstrap_servers: str | None = None,
+    starting_offsets: str = "earliest",
+    consumer_factory=None,
+    include_metadata: bool = False,
+) -> DataFrame:
+    """S1: append-scan over a topic of Debezium-JSON envelopes.
+    ``include_metadata=True`` adds the S4 METADATA VIRTUAL columns."""
+    raw = _subscribe(
+        spark,
+        bootstrap_servers=bootstrap_servers,
+        topic=topic,
+        starting_offsets=starting_offsets,
+        consumer_factory=consumer_factory,
+    )
+    return decode_kafka_wire(raw, row_schema, include_metadata=include_metadata)
+
+
+def kafka_transaction_stream(
+    spark: SparkSession,
+    *,
+    topic: str,
+    bootstrap_servers: str | None = None,
+    starting_offsets: str = "earliest",
+    consumer_factory=None,
+) -> DataFrame:
+    """S7's third source: the transaction-metadata topic
+    (DataStreamV2Job.java:86-97) — same wire decode, TransactionEvent
+    value schema instead of a row envelope."""
+    from streaming_examples_spark.model.envelope import transaction_event_schema
+
+    raw = _subscribe(
+        spark,
+        bootstrap_servers=bootstrap_servers,
+        topic=topic,
+        starting_offsets=starting_offsets,
+        consumer_factory=consumer_factory,
+    )
+    return decode_kafka_wire(raw, value_schema=transaction_event_schema())
 
 
 def changelog_kv(df: DataFrame, key_col: str) -> DataFrame:

@@ -138,6 +138,18 @@ class TxDenormBatchProcessor:
         The layout file written with the first commit makes a restart
         with a different n_buckets raise instead — same guard the
         incremental-dedup store carries for its bucket counts."""
+        marker = os.path.join(self.state_dir, "_migration.json")
+        if os.path.exists(marker):
+            # tools/migrate_state.py writes this FIRST and removes it
+            # LAST: its presence means a legacy-layout migration is in
+            # progress or crashed mid-way — frames may be split between
+            # the root and v1/, so neither layout is readable yet
+            raise ValueError(
+                f"tx state at {self.state_dir} has a migration marker "
+                "(_migration.json): a legacy-layout migration is in progress "
+                "or crashed part-way. Re-run tools/migrate_state.py on this "
+                "directory to complete it, then restart the processor."
+            )
         if not os.path.exists(self._layout_path()):
             if self._current_version() == 0:
                 # no committed version — but a PRE-versioned (legacy
@@ -226,15 +238,24 @@ class TxDenormBatchProcessor:
         return None
 
     def _load_buckets(self, name: str, buckets: list[int]) -> DataFrame | None:
-        """Read only the listed hash buckets of a bucketed state table
-        (partition pruning on the ``_bucket=N`` dirs)."""
+        """Read only the listed hash buckets of a bucketed state table.
+
+        Pruning is driver-side path selection (≤ n_buckets dirs
+        resolved through ``backend.read_locations``), strictly stronger
+        than a ``_bucket``-partition filter: untouched buckets are
+        never even listed, and carried buckets with no local bytes
+        (manifest backends) still resolve to their physical files."""
         path = self._frame_path(name)
-        if not os.path.exists(path) or not buckets:
+        if not buckets or not self.backend.dir_exists(path):
             return None
-        if not any(e.startswith("_bucket=") for e in os.listdir(path)):
-            return None  # state emptied out entirely
-        df = self.spark.read.parquet(path)
-        return df.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
+        locs: list[str] = []
+        for b in buckets:
+            locs.extend(
+                self.backend.read_locations(os.path.join(path, f"_bucket={b}"))
+            )
+        if not locs:
+            return None  # none of the touched buckets holds state
+        return self.spark.read.parquet(*locs)
 
     def _store_all(
         self,
@@ -282,14 +303,19 @@ class TxDenormBatchProcessor:
             )
             old_path = self._frame_path(name, cur)
             touched = {f"_bucket={b}" for b in buckets}
-            if os.path.exists(old_path):
-                for part in os.listdir(old_path):
+            # listings go through the backend: under a manifest backend
+            # a bucket carried for 2+ batches has no local bytes at its
+            # logical path — os.listdir would silently drop it from the
+            # carry set (state loss), which is exactly the POSIX
+            # assumption this seam exists to keep out of the protocol
+            if self.backend.dir_exists(old_path):
+                for part in self.backend.list_dir(old_path):
                     if not part.startswith("_bucket=") or part in touched:
                         continue
                     src_dir = os.path.join(old_path, part)
                     dst_dir = os.path.join(new_path, part)
                     self.backend.prepare_dir(dst_dir)
-                    for f in os.listdir(src_dir):
+                    for f in self.backend.list_dir(src_dir):
                         self.backend.carry_file(
                             os.path.join(src_dir, f), os.path.join(dst_dir, f)
                         )

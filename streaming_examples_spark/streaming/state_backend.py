@@ -20,10 +20,19 @@ and table formats ship on S3/GCS:
   prepare_dir     → a no-op (object stores have no directories)
   remove_file     → a single-object delete
 
-Only ``LocalPosixBackend`` is implemented here — the container has no
-object store — but the crash-injection suite drives every primitive
-through this seam, so a new backend inherits the protocol's tested
-crash semantics and needs to supply only the five operations.
+Two implementations ship: ``LocalPosixBackend`` (hardlinks + rename
+flip — the production local backend) and ``ManifestBackend``, a
+test-double that enforces object-store constraints over a local
+directory — NO hardlinks, NO directory renames: carry is a JSON
+manifest entry referencing the original physical file, commit is a
+conditional-put emulation (exclusive create of a monotonically
+numbered generation object), and remove_tree is a DEFERRED prefix
+delete that retains any file still referenced from the committed
+version's manifests. The crash-injection suite runs parameterized
+over both (tests/test_streaming.py), which is what proves the
+protocol itself — reads resolve through ``read_locations`` and carry
+listings through ``list_dir``, never by assuming the physical tree is
+the logical content.
 
 Reference parity: the reference delegates the equivalent durability to
 Kafka-backed Flink checkpoints (streaming-examples
@@ -77,9 +86,34 @@ class StateStorageBackend:
         raise NotImplementedError
 
     def remove_tree(self, path: str) -> None:
+        """Logically delete the prefix ``path``. May defer physical
+        deletion of bytes still referenced elsewhere (manifest carry);
+        must be idempotent — the GC re-issues it every batch."""
         raise NotImplementedError
 
     def remove_file(self, path: str) -> None:
+        raise NotImplementedError
+
+    # -- logical namespace (reads + carry listings) ----------------------
+    # The physical tree is NOT necessarily the logical content: under a
+    # manifest backend a carried file has no local bytes at its logical
+    # path. Everything in the commit protocol that enumerates or reads
+    # state must come through these three, never through os.listdir /
+    # spark.read on the logical dir.
+
+    def dir_exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[str]:
+        """Logical entries of ``path``: physical names plus
+        manifest-carried names, minus backend-internal files."""
+        raise NotImplementedError
+
+    def read_locations(self, path: str) -> list[str]:
+        """Concrete locations a Spark reader can scan for the logical
+        dir ``path`` — ``[path]`` when the physical tree IS the
+        logical content; the dereferenced file list otherwise. Empty
+        when the logical dir is absent or holds no data files."""
         raise NotImplementedError
 
 
@@ -134,3 +168,193 @@ class LocalPosixBackend(StateStorageBackend):
             os.unlink(path)
         except OSError:
             pass
+
+    def dir_exists(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+    def read_locations(self, path: str) -> list[str]:
+        return [path] if os.path.exists(path) else []
+
+
+class ManifestBackend(StateStorageBackend):
+    """Object-store semantics emulated over a local directory: the
+    test-double that proves the commit protocol holds WITHOUT POSIX's
+    two load-bearing conveniences. Forbidden here, by construction:
+
+    - **hardlinks** — ``carry_file`` never touches the bytes; it
+      appends ``{dst_name: physical_src}`` to the destination dir's
+      ``_carry.json`` (the manifest pattern of S3/GCS table formats:
+      the "directory" is a file list, a carried object is a reference
+      to the original). Chains stay depth-1: carrying an
+      already-carried file records the ORIGINAL physical path.
+    - **renames** — ``commit_pointer`` emulates a conditional put:
+      exclusive create of ``_pointer/gen-<g+1>`` (if-match on the
+      previous generation; a concurrent committer loses with an error
+      instead of last-writer-wins). ``read_pointer`` resolves the
+      highest generation object.
+    - **synchronous prefix delete** — ``remove_tree`` is DEFERRED: a
+      file still referenced from the committed version's manifests
+      survives (deleting it would destroy carried state — the POSIX
+      backend never faces this because hardlinked bytes outlive their
+      directory). Unreferenced files and manifests go immediately;
+      retained files fall out on a later pass once the buckets
+      referencing them are rewritten. Idempotent, like the
+      orphan-file GC of any manifest table format.
+
+    Reads resolve through ``read_locations`` (physical data files plus
+    dereferenced manifest entries), which is exactly what forces the
+    protocol to stop assuming the physical tree is the logical
+    content."""
+
+    MANIFEST = "_carry.json"
+
+    # -- manifest helpers -------------------------------------------------
+    def _manifest(self, dirpath: str) -> dict[str, str]:
+        p = os.path.join(dirpath, self.MANIFEST)
+        if not os.path.exists(p):
+            return {}
+        import json
+
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, dirpath: str, entries: dict[str, str]) -> None:
+        import json
+
+        p = os.path.join(dirpath, self.MANIFEST)
+        with open(p, "w") as fh:
+            json.dump(entries, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def prepare_dir(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def carry_file(self, src: str, dst: str) -> None:
+        # dereference so reference chains never deepen: the manifest
+        # entry always names a PHYSICAL file
+        src_dir, src_name = os.path.split(src)
+        physical = self._manifest(src_dir).get(src_name)
+        if physical is None:
+            if not os.path.exists(src):
+                raise FileNotFoundError(src)
+            physical = os.path.abspath(src)
+        dst_dir, dst_name = os.path.split(dst)
+        entries = self._manifest(dst_dir)
+        entries[dst_name] = physical
+        self._write_manifest(dst_dir, entries)
+
+    def commit_pointer(self, state_dir: str, version: int) -> None:
+        gen_dir = os.path.join(state_dir, "_pointer")
+        os.makedirs(gen_dir, exist_ok=True)
+        prev = self._generations(gen_dir)
+        nxt = (prev[-1][0] + 1) if prev else 1
+        target = os.path.join(gen_dir, f"gen-{nxt:012d}")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"pointer generation conflict at {target}: another writer "
+                "committed concurrently (conditional put failed)"
+            )
+        try:
+            os.write(fd, str(version).encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        dirfd = os.open(gen_dir, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
+        # superseded generations: plain object deletes, best-effort
+        for g, name in prev:
+            try:
+                os.unlink(os.path.join(gen_dir, name))
+            except OSError:
+                pass
+
+    @staticmethod
+    def _generations(gen_dir: str) -> list[tuple[int, str]]:
+        out = []
+        try:
+            names = os.listdir(gen_dir)
+        except FileNotFoundError:
+            return []
+        for name in names:
+            if name.startswith("gen-"):
+                try:
+                    out.append((int(name[4:]), name))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def read_pointer(self, state_dir: str) -> int:
+        gens = self._generations(os.path.join(state_dir, "_pointer"))
+        if not gens:
+            return 0
+        with open(os.path.join(state_dir, "_pointer", gens[-1][1])) as fh:
+            return int(fh.read().strip())
+
+    def _live_refs(self, state_dir: str) -> set[str]:
+        """Physical paths referenced by the COMMITTED version's
+        manifests — the files a deferred delete must retain."""
+        cur = self.read_pointer(state_dir)
+        refs: set[str] = set()
+        if cur == 0:
+            return refs
+        root = os.path.join(state_dir, f"v{cur}")
+        for dirpath, _dirs, files in os.walk(root):
+            if self.MANIFEST in files:
+                refs.update(
+                    os.path.realpath(p) for p in self._manifest(dirpath).values()
+                )
+        return refs
+
+    def remove_tree(self, path: str) -> None:
+        if not os.path.isdir(path):
+            return
+        # version dirs live directly under the state root; the root is
+        # where the pointer (and thus the live-reference set) resolves
+        state_dir = os.path.dirname(os.path.abspath(path))
+        live = self._live_refs(state_dir)
+        for dirpath, _dirs, files in os.walk(path, topdown=False):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                if os.path.realpath(full) in live:
+                    continue  # deferred: still carried by the live version
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
+            try:
+                os.rmdir(dirpath)  # only succeeds once truly empty
+            except OSError:
+                pass
+
+    def remove_file(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+    def dir_exists(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        physical = [n for n in os.listdir(path) if n != self.MANIFEST]
+        return sorted(set(physical) | set(self._manifest(path)))
+
+    def read_locations(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        locs = [
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if not n.startswith(("_", "."))
+        ]
+        locs.extend(self._manifest(path).values())
+        return sorted(locs)

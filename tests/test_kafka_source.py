@@ -1,0 +1,247 @@
+"""Kafka SOURCE logic without a broker (SURVEY §2.1 S1/S3/S4/S7) —
+the consumer-double mirror of test_kafka_sink's producer double.
+
+A file-backed consumer factory feeds KAFKA_WIRE_SCHEMA frames (key /
+value bytes, topic, partition, offset, timestamp) through the REAL
+decode path: value→envelope JSON parse, key decode, offset/metadata
+column mapping, and the three-topic subscription shape of
+DataStreamV2Job.java:70-97 driving the flagship pipeline end-to-end.
+Reference wire semantics: KafkaAppendStreamJob.java:17-59 (earliest
+offset, EXCEPT_KEY values, key.fields=id)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.model.fixtures import (
+    LINE_ROW_SCHEMA,
+    ORDER_ROW_SCHEMA,
+    TxLog,
+)
+from streaming_examples_spark.sources.kafka import (
+    KAFKA_WIRE_SCHEMA,
+    kafka_envelope_stream,
+    kafka_transaction_stream,
+)
+
+# JSON-file encoding of the wire: strings for the byte fields, epoch
+# millis for the broker timestamp — the factory casts to the real
+# wire schema, so everything after it is production shape
+_WIRE_JSON_SCHEMA = (
+    "key string, value string, topic string, partition int, "
+    "offset long, ts long"
+)
+
+
+def _topic_of(event: dict) -> str:
+    return event["source"]["table"].split(".")[-1]
+
+
+def _key_of(event: dict) -> str:
+    after, before = event.get("after"), event.get("before")
+    return json.dumps({"id": (after or before)["id"]})
+
+
+def write_wire_log(tmp_path, log: TxLog, files: int = 1) -> str:
+    """TxLog → NDJSON wire records across three topics with per
+    (topic, partition) monotonically increasing offsets — what a
+    broker would hand the consumer, chunked so maxFilesPerTrigger=1
+    replays it as micro-batches."""
+    wire_dir = str(tmp_path / "wire")
+    os.makedirs(wire_dir, exist_ok=True)
+    offsets: dict[tuple[str, int], int] = {}
+    records = []
+    for e in log.events:
+        topic, key = _topic_of(e), _key_of(e)
+        part = ((e.get("after") or e["before"])["id"]) % 2  # deterministic
+        off = offsets.setdefault((topic, part), 0)
+        offsets[(topic, part)] = off + 1
+        records.append(
+            {
+                "key": key,
+                "value": json.dumps(e),
+                "topic": topic,
+                "partition": part,
+                "offset": off,
+                "ts": e["ts_ms"],
+            }
+        )
+    for t in log.tx_events:
+        off = offsets.setdefault(("transactions", 0), 0)
+        offsets[("transactions", 0)] = off + 1
+        records.append(
+            {
+                "key": json.dumps({"id": t["id"]}),
+                "value": json.dumps(t),
+                "topic": "transactions",
+                "partition": 0,
+                "offset": off,
+                "ts": t["ts_ms"],
+            }
+        )
+    per = max(1, (len(records) + files - 1) // files)
+    for i in range(0, len(records), per):
+        with open(os.path.join(wire_dir, f"chunk-{i // per:05d}.json"), "w") as f:
+            for r in records[i : i + per]:
+                f.write(json.dumps(r) + "\n")
+    return wire_dir
+
+
+def _consumer_factory(wire_dir: str, *, streaming: bool = False):
+    """The seam's test double: subscribe(topic) → wire frame read from
+    files. Accepts the comma-separated multi-topic subscription the
+    real source option does."""
+
+    def factory(spark, topic):
+        if streaming:
+            raw = (
+                spark.readStream.schema(_WIRE_JSON_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .json(wire_dir)
+            )
+        else:
+            raw = spark.read.schema(_WIRE_JSON_SCHEMA).json(wire_dir)
+        return raw.filter(
+            F.col("topic").isin([t.strip() for t in topic.split(",")])
+        ).select(
+            F.col("key").cast("binary"),
+            F.col("value").cast("binary"),
+            "topic",
+            "partition",
+            "offset",
+            F.timestamp_millis(F.col("ts")).alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+
+    return factory
+
+
+def _tx_log():
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="19.99"),
+        lambda t: t.insert_line(100002, 10001, price="5.00"),
+    )
+    log.tx(lambda t: t.update_order(10001, shipping_address="2 Oak Ave"))
+    log.tx(lambda t: t.insert_order(10002), lambda t: t.insert_line(100003, 10002))
+    return log
+
+
+@pytest.mark.slow
+def test_wire_decode_key_value_and_offsets(spark, tmp_path):
+    """Key bytes, value envelope, and every offset/metadata column
+    survive the decode: what went onto the wire is what the typed
+    frame shows, coordinates included."""
+    log = _tx_log()
+    wire_dir = write_wire_log(tmp_path, log)
+    factory = _consumer_factory(wire_dir)
+
+    orders = kafka_envelope_stream(
+        spark,
+        topic="orders",
+        row_schema=ORDER_ROW_SCHEMA,
+        consumer_factory=factory,
+        include_metadata=True,
+    )
+    rows = orders.orderBy("kafka_partition", "kafka_offset").collect()
+    sent = [e for e in log.events if _topic_of(e) == "orders"]
+    assert len(rows) == len(sent)
+    # value decode: envelope fields match what was serialized
+    assert sorted(r["op"] for r in rows) == sorted(e["op"] for e in sent)
+    by_lsn = {e["source"]["lsn"]: e for e in sent}
+    for r in rows:
+        e = by_lsn[r["source"]["lsn"]]
+        # key decode (EXCEPT_KEY: the key is NOT in the value; it must
+        # come from the key bytes)
+        assert json.loads(r["kafka_key"]) == json.loads(_key_of(e))
+        assert r["source_topic"] == "orders"
+        assert r["ingestion_ts"] is not None
+        if e["after"] is not None:
+            assert r["after"]["id"] == e["after"]["id"]
+    # offset mapping: per-partition offsets are exactly the wire's —
+    # dense from 0 within each partition
+    for part in {r["kafka_partition"] for r in rows}:
+        offs = [r["kafka_offset"] for r in rows if r["kafka_partition"] == part]
+        assert offs == list(range(len(offs)))
+
+    # multi-topic subscription (one comma list, like the real option):
+    # both topics arrive tagged; per-topic counts survive the union
+    both = kafka_envelope_stream(
+        spark,
+        topic="orders, order_lines",
+        row_schema=ORDER_ROW_SCHEMA,
+        consumer_factory=factory,
+        include_metadata=True,
+    )
+    counts = {
+        r["source_topic"]: r["n"]
+        for r in both.groupBy("source_topic").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        "orders": len(sent),
+        "order_lines": sum(1 for e in log.events if _topic_of(e) == "order_lines"),
+    }
+
+
+@pytest.mark.slow
+def test_three_topic_stream_drives_flagship_pipeline(spark, tmp_path):
+    """The reference's source topology (S7: three Kafka topics —
+    orders, order_lines, transactions; DataStreamV2Job.java:70-97)
+    through the consumer double as REAL micro-batch streams, feeding
+    start_tx_denorm_stream: the flagship emissions must match the
+    batch run of the same TxLog."""
+    from streaming_examples_spark.operators.txjoin import tx_denormalize
+    from streaming_examples_spark.streaming.cdc_stream import start_tx_denorm_stream
+
+    log = _tx_log()
+    wire_dir = write_wire_log(tmp_path, log, files=3)
+    factory = _consumer_factory(wire_dir, streaming=True)
+    dirs = {n: str(tmp_path / n) for n in ("out", "state", "ckpt")}
+
+    q = start_tx_denorm_stream(
+        spark,
+        kafka_envelope_stream(
+            spark, topic="orders", row_schema=ORDER_ROW_SCHEMA, consumer_factory=factory
+        ),
+        kafka_envelope_stream(
+            spark,
+            topic="order_lines",
+            row_schema=LINE_ROW_SCHEMA,
+            consumer_factory=factory,
+        ),
+        kafka_transaction_stream(
+            spark, topic="transactions", consumer_factory=factory
+        ),
+        state_dir=dirs["state"],
+        output_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["id"], r["commit_lsn"]): sorted(
+            (ln["id"], str(ln["price"])) for ln in (r["lines"] or [])
+        )
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    batch = tx_denormalize(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    want = {
+        (r["id"], r["commit_lsn"]): sorted(
+            (ln["id"], str(ln["price"])) for ln in (r["lines"] or [])
+        )
+        for r in batch.emissions.collect()
+    }
+    assert got == want and want  # non-trivial: several txs, both tables

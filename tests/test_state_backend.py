@@ -1,0 +1,308 @@
+"""The storage seam, proven with TWO backends.
+
+`StateStorageBackend` (streaming/state_backend.py) documents an
+object-store translation of the versioned pointer-commit protocol;
+until round 8 only `LocalPosixBackend` existed, so a POSIX-shaped
+assumption could hide in the protocol itself (reads resolving by
+directory listing, carry targets assumed to have local bytes,
+remove_tree assumed synchronous-visible). `ManifestBackend` enforces
+the object-store constraints — no hardlinks, no directory renames,
+deferred reference-aware deletes — and this module drives the SAME
+lifecycle + crash-window suite through both backends, with the crash
+injected at the seam (the backend methods), not at POSIX primitives.
+
+Reference parity: the reference delegates equivalent durability to
+Flink checkpoints + Kafka (transactional-cdc-processing
+DataStreamV2Job.java:62-65 sync hashmap state backend); this engine
+owns its state files, so it owns — and must prove — the protocol.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_examples_spark.model.fixtures import TxLog
+from streaming_examples_spark.streaming.cdc_stream import TxDenormBatchProcessor
+from streaming_examples_spark.streaming.state_backend import (
+    LocalPosixBackend,
+    ManifestBackend,
+)
+
+BACKENDS = {"posix": LocalPosixBackend, "manifest": ManifestBackend}
+
+
+@pytest.fixture(params=sorted(BACKENDS))
+def backend_cls(request):
+    return BACKENDS[request.param]
+
+
+def _seed_log(n=8, base=30000):
+    log = TxLog()
+    for i in range(n):
+        oid = base + i
+        log.tx(
+            lambda t, oid=oid: t.insert_order(oid),
+            lambda t, oid=oid: t.insert_line(oid * 10, oid, price="5.00"),
+        )
+    return log
+
+
+def _dfs(spark, log):
+    return (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+
+
+def _one_line_tx(lsn, tx, line_id, order_id, price):
+    log = TxLog()
+    log._lsn, log._next_tx = lsn, tx
+    log.tx(lambda t: t.insert_line(line_id, order_id, price=price))
+    return log
+
+
+def _crash_once(obj, method, should, exc_msg="injected crash"):
+    """Wrap a backend method on the INSTANCE: raise once when `should`
+    matches, pass through otherwise — the seam-level analog of the
+    os.replace/os.link monkeypatching the POSIX-specific tests do."""
+    real = getattr(obj, method)
+    state = {"armed": True}
+
+    def wrapper(*a, **kw):
+        if state["armed"] and should(*a, **kw):
+            state["armed"] = False
+            raise RuntimeError(exc_msg)
+        return real(*a, **kw)
+
+    setattr(obj, method, wrapper)
+    return state
+
+
+# -- lifecycle: multi-batch, carry chains, restart -----------------------
+
+
+def test_lifecycle_carry_chain_and_restart(spark, tmp_path, backend_cls):
+    """Three batches where most buckets go UNTOUCHED twice in a row
+    (the manifest backend then carries a reference to a reference —
+    must stay depth-1 and readable), then a fresh processor restarts
+    over the same state dir and both old and new keys resolve."""
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend_cls())
+    assert proc.process(*_dfs(spark, _seed_log()), batch_id=0).count() == 8
+
+    # batches 1 and 2 each touch ONE order: 30000's bucket twice
+    d1 = proc.process(
+        *_dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00")), batch_id=1
+    ).collect()
+    assert sorted(str(l["price"]) for l in d1[0]["lines"]) == ["5.00", "9.00"]
+    d2 = proc.process(
+        *_dfs(spark, _one_line_tx(95000, 950, 300002, 30000, "2.00")), batch_id=2
+    ).collect()
+    assert sorted(str(l["price"]) for l in d2[0]["lines"]) == ["2.00", "5.00", "9.00"]
+
+    # restart: a DIFFERENT order whose bucket has been carried through
+    # v1→v2→v3 must still see its batch-0 state
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend_cls())
+    d3 = fresh.process(
+        *_dfs(spark, _one_line_tx(99000, 990, 300073, 30007, "3.00")), batch_id=3
+    ).collect()
+    assert len(d3) == 1
+    assert sorted(str(l["price"]) for l in d3[0]["lines"]) == ["3.00", "5.00"]
+
+
+def test_manifest_backend_never_links_or_renames_dirs(spark, tmp_path, monkeypatch):
+    """The constraint the double exists to enforce, enforced with
+    tripwires: run the carry-heavy lifecycle under ManifestBackend
+    while os.link on state files and any directory rename raise
+    unconditionally — the batches must still commit, so the backend
+    provably used neither."""
+    import shutil as _shutil
+
+    state = str(tmp_path / "state")
+    real_link, real_rename, real_replace = os.link, os.rename, os.replace
+
+    def no_link(src, dst, **kw):
+        if "_bucket=" in str(dst):
+            raise AssertionError(f"hardlink attempted on state file: {dst}")
+        return real_link(src, dst, **kw)  # writer lock's claim stays legal
+
+    def no_dir_rename(real):
+        def guard(src, dst, **kw):
+            if os.path.isdir(src):
+                raise AssertionError(f"directory rename attempted: {src}")
+            return real(src, dst, **kw)
+
+        return guard
+
+    monkeypatch.setattr("os.link", no_link)
+    monkeypatch.setattr("os.rename", no_dir_rename(real_rename))
+    monkeypatch.setattr("os.replace", no_dir_rename(real_replace))
+    monkeypatch.setattr(  # shutil.move falls back to copy? forbid too
+        "shutil.move",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("move attempted")),
+    )
+
+    proc = TxDenormBatchProcessor(
+        spark, state, n_buckets=8, backend=ManifestBackend()
+    )
+    assert proc.process(*_dfs(spark, _seed_log()), batch_id=0).count() == 8
+    docs = proc.process(
+        *_dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00")), batch_id=1
+    ).collect()
+    assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["5.00", "9.00"]
+    # and the carried buckets really are manifests, not byte copies:
+    # the current version holds _carry.json entries pointing at v1
+    cur = ManifestBackend().read_pointer(state)
+    carried = []
+    for frame in ("order_state", "line_state"):
+        froot = os.path.join(state, f"v{cur}", frame)
+        for b in os.listdir(froot):
+            mp = os.path.join(froot, b, "_carry.json")
+            if b.startswith("_bucket=") and os.path.exists(mp):
+                import json
+
+                carried += list(json.load(open(mp)).values())
+    assert carried and all(f"{os.sep}v1{os.sep}" in p for p in carried)
+    _shutil  # keep import referenced
+
+
+def test_manifest_deferred_delete_retains_referenced_bytes(spark, tmp_path):
+    """remove_tree on a superseded version is a DEFERRED delete: files
+    still referenced from the committed version's manifests survive it
+    (deleting them would destroy carried state); everything else in
+    the prefix goes. Once a later batch rewrites the referencing
+    bucket, a subsequent GC pass finally drops the orphans."""
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(
+        spark, state, n_buckets=4, backend=ManifestBackend()
+    )
+    # two orders in DIFFERENT buckets (4 buckets, 8 seeded keys ⇒ pick
+    # two that land apart is not guaranteed — derive from the layout)
+    assert proc.process(*_dfs(spark, _seed_log(n=8)), batch_id=0).count() == 8
+
+    proc.process(
+        *_dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00")), batch_id=1
+    ).count()
+    # v1 survived the post-commit remove_tree exactly where referenced
+    v1 = os.path.join(state, "v1")
+    assert os.path.isdir(v1)
+    remaining = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(v1) for f in fs
+    ]
+    assert remaining, "deferred delete must retain referenced bytes"
+    live = ManifestBackend()._live_refs(state)
+    assert {os.path.realpath(p) for p in remaining} <= live
+
+    # drive more batches touching the SAME key: v1's bytes stay exactly
+    # the carried ones; the moment every bucket has been rewritten the
+    # references drop and GC may clear it (not asserted — cadence is
+    # an implementation detail; what matters is no LIVE byte vanishes)
+    d = proc.process(
+        *_dfs(spark, _one_line_tx(95000, 950, 300002, 30000, "2.00")), batch_id=2
+    ).collect()
+    assert sorted(str(l["price"]) for l in d[0]["lines"]) == ["2.00", "5.00", "9.00"]
+
+
+def test_manifest_commit_is_conditional_put(tmp_path):
+    """Two writers committing the same generation: exactly one wins,
+    the other gets the conditional-put conflict error — never a silent
+    last-writer-wins overwrite (the property object stores actually
+    give you, and the one the protocol's single-writer lock assumes)."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    a, b = ManifestBackend(), ManifestBackend()
+    a.commit_pointer(state, 1)
+    assert b.read_pointer(state) == 1
+    # simulate the race: b lists generations (its read of the current
+    # etag), a commits first, then b acts on the STALE listing — b's
+    # exclusive create of the same generation object must fail
+    gen_dir = os.path.join(state, "_pointer")
+    stale = ManifestBackend._generations(gen_dir)
+    a.commit_pointer(state, 2)
+    b._generations = lambda _dir: stale  # freeze b's view at the stale read
+    with pytest.raises(RuntimeError, match="conditional put"):
+        b.commit_pointer(state, 3)
+    assert a.read_pointer(state) == 2  # a's commit stands, untouched
+
+
+# -- crash windows, injected at the seam ---------------------------------
+
+
+def _first_batch(spark, tmp_path, backend):
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend)
+    assert proc.process(*_dfs(spark, _seed_log()), batch_id=0).count() == 8
+    return state, proc
+
+
+def test_crash_during_carry_replays_complete_old_state(
+    spark, tmp_path, backend_cls
+):
+    """Seam-level twin of the POSIX hardlink-crash test: carry_file
+    raises mid-carry, the pointer never flips, the replay sees
+    complete OLD state and converges — for BOTH backends."""
+    state, proc = _first_batch(spark, tmp_path, backend_cls())
+    _crash_once(
+        proc.backend, "carry_file", lambda src, dst: "_bucket=" in str(dst)
+    )
+    batch = _dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc.process(*batch, batch_id=1)
+
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend_cls())
+    docs = fresh.process(*batch, batch_id=1).collect()
+    assert len(docs) == 1
+    assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["5.00", "9.00"]
+    # untouched keys survived the crash + replay
+    d2 = fresh.process(
+        *_dfs(spark, _one_line_tx(95000, 950, 300073, 30007, "3.00")), batch_id=2
+    ).collect()
+    assert sorted(str(l["price"]) for l in d2[0]["lines"]) == ["3.00", "5.00"]
+
+
+def test_crash_at_commit_replays_and_reemits(spark, tmp_path, backend_cls):
+    """commit_pointer raises before committing: every frame of the new
+    version is on disk but the batch is NOT committed — the replay
+    must re-run in full and re-emit (at-least-once), with no
+    mixed-frame view."""
+    state, proc = _first_batch(spark, tmp_path, backend_cls())
+    _crash_once(proc.backend, "commit_pointer", lambda *a, **kw: True)
+    batch = _dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc.process(*batch, batch_id=1)
+    assert backend_cls().read_pointer(state) == 1  # still the old version
+
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend_cls())
+    docs = fresh.process(*batch, batch_id=1).collect()
+    assert len(docs) == 1  # re-emitted, exactly the once for the replay
+    assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["5.00", "9.00"]
+    assert backend_cls().read_pointer(state) == 2
+
+
+def test_crash_after_commit_filters_replay(spark, tmp_path, backend_cls):
+    """remove_tree raises during post-commit cleanup: state is
+    committed, so the replayed batch is dropped by the applied-txs
+    filter (its output already reached the sink) and the leftover
+    superseded version is GC'd by the next batch."""
+    state, proc = _first_batch(spark, tmp_path, backend_cls())
+    _crash_once(
+        proc.backend,
+        "remove_tree",
+        lambda path: str(path).rstrip(os.sep).endswith("v1")
+        and proc.backend.read_pointer(state) == 2,
+    )
+    batch = _dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        proc.process(*batch, batch_id=1)
+    assert backend_cls().read_pointer(state) == 2  # commit stuck
+
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend_cls())
+    assert fresh.process(*batch, batch_id=2).count() == 0  # replay filtered
+    d = fresh.process(
+        *_dfs(spark, _one_line_tx(95000, 950, 300002, 30000, "2.00")), batch_id=3
+    ).collect()
+    assert sorted(str(l["price"]) for l in d[0]["lines"]) == ["2.00", "5.00", "9.00"]

@@ -800,3 +800,144 @@ def test_failed_batch_emissions_cache_reclaimed_on_retry(spark, tmp_path):
     assert not (stored_ids() & failed_ids)
     lvl = out.storageLevel
     assert lvl.useMemory or lvl.useDisk
+
+
+def _demigrate(state: str) -> None:
+    """Turn a committed versioned state dir back into the r5 legacy
+    layout (frames at the root, no pointer/layout) — the fixture for
+    migration tests, built from REAL state so the migrated store's
+    content is genuine."""
+    import os
+    import shutil
+
+    v1 = os.path.join(state, "v1")
+    for d in os.listdir(v1):
+        os.rename(os.path.join(v1, d), os.path.join(state, d))
+    os.rmdir(v1)
+    for f in ("CURRENT", "_layout.json"):
+        p = os.path.join(state, f)
+        if os.path.exists(p):
+            os.unlink(p)
+    shutil.rmtree(os.path.join(state, "_pointer"), ignore_errors=True)
+
+
+def test_migrate_state_tool_end_to_end(spark, tmp_path):
+    """tools/migrate_state.py performs the refusal message's manual
+    steps: legacy frames → v1/, CURRENT=1, sealed _layout.json. After
+    migration a fresh processor resumes with the prior state VISIBLE
+    (the whole point — a reset would silently pass too); dry-run
+    changes nothing and the refusal stays in force."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from migrate_state import migrate
+
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="7.00"),
+    )
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    assert proc.process(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+        0,
+    ).count() == 1
+    _demigrate(state)
+
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_line(100002, 10001, price="3.00"))
+    b1 = (
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+    )
+    # un-migrated: refused (the r7 guard)
+    with pytest.raises(ValueError, match="legacy per-frame state dirs"):
+        TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1)
+    # dry run: prints the plan, writes nothing → still refused
+    migrate(state, 8, dry_run=True)
+    with pytest.raises(ValueError, match="legacy per-frame state dirs"):
+        TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1)
+
+    migrate(state, 8)
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    docs = fresh.process(*b1, 1).collect()
+    assert len(docs) == 1
+    # prior state visible: the pre-migration line joins the new one
+    assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["3.00", "7.00"]
+
+
+def test_migrate_state_tool_crash_resume_and_guards(spark, tmp_path):
+    """A migration that crashes mid-move leaves the marker: the
+    processor refuses with the migration hint (not the legacy hint,
+    not a silent fresh start), and re-running the tool completes
+    idempotently. Wrong --n-buckets values are refused up front."""
+    import os
+    import sys
+
+    sys.path.insert(0, "tools")
+    import pytest as _pytest
+
+    from migrate_state import MigrationError, migrate, plan_migration
+
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="7.00"),
+    )
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    assert proc.process(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+        0,
+    ).count() == 1
+    _demigrate(state)
+
+    # a declared count smaller than an existing bucket id is provably
+    # wrong — refused before anything moves
+    buckets = [
+        int(e.split("=")[1])
+        for e in os.listdir(os.path.join(state, "order_state"))
+        if e.startswith("_bucket=")
+    ] + [
+        int(e.split("=")[1])
+        for e in os.listdir(os.path.join(state, "line_state"))
+        if e.startswith("_bucket=")
+    ]
+    too_small = max(buckets)  # at least one id ≥ this count exists
+    if too_small > 0:
+        with _pytest.raises(SystemExit, match="provably wrong"):
+            plan_migration(state, too_small)
+
+    # simulate a crash: marker written, ONE frame moved, then death
+    import json
+
+    with open(os.path.join(state, "_migration.json"), "w") as fh:
+        json.dump({"n_buckets": 8}, fh)
+    os.makedirs(os.path.join(state, "v1"), exist_ok=True)
+    os.rename(
+        os.path.join(state, "carry_txs"), os.path.join(state, "v1", "carry_txs")
+    )
+
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_line(100002, 10001, price="3.00"))
+    b1 = (
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+    )
+    with pytest.raises(ValueError, match="migration marker"):
+        TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1)
+    # resuming with a DIFFERENT count is refused
+    with _pytest.raises(SystemExit, match="crashed migration recorded"):
+        migrate(state, 16)
+    migrate(state, 8)  # resume completes the remaining moves
+    docs = TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1).collect()
+    assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["3.00", "7.00"]
