@@ -131,10 +131,11 @@ class TxDenormBatchProcessor:
 
     def _check_layout(self) -> None:
         """State hashed into N buckets read back by a processor declaring
-        M buckets loads the WRONG buckets — `_load_buckets` filters on
-        `pmod(hash(key), M)` over dirs written at `pmod(hash(key), N)`,
-        so touched keys silently see empty state and every emission
-        reconstructs from batch events alone (no error, corrupt docs).
+        M buckets loads the WRONG buckets — `_load_buckets` selects the
+        `_bucket=pmod(hash(key), M)` paths over dirs written at
+        `pmod(hash(key), N)`, so touched keys silently see empty state
+        and every emission reconstructs from batch events alone (no
+        error, corrupt docs).
         The layout file written with the first commit makes a restart
         with a different n_buckets raise instead — same guard the
         incremental-dedup store carries for its bucket counts."""
@@ -255,6 +256,26 @@ class TxDenormBatchProcessor:
             )
         if not locs:
             return None  # none of the touched buckets holds state
+        return self.spark.read.parquet(*locs)
+
+    def read_state(self, name: str) -> DataFrame | None:
+        """Committed view of one state frame (e.g. ``order_state``,
+        ``applied_txs``), resolved through the storage backend — the
+        only correct way to inspect state under a manifest backend,
+        where a carried bucket has no local bytes at its logical path
+        (a direct ``spark.read.parquet`` on the version dir would
+        silently miss it). Returns None for an absent/empty frame."""
+        path = self._frame_path(name)
+        if not self.backend.dir_exists(path):
+            return None
+        parts = [p for p in self.backend.list_dir(path) if p.startswith("_bucket=")]
+        if not parts:
+            return self._load(name)
+        locs: list[str] = []
+        for part in parts:
+            locs.extend(self.backend.read_locations(os.path.join(path, part)))
+        if not locs:
+            return None
         return self.spark.read.parquet(*locs)
 
     def _store_all(

@@ -113,6 +113,15 @@ def test_lifecycle_carry_chain_and_restart(spark, tmp_path, backend_cls):
     assert len(d3) == 1
     assert sorted(str(l["price"]) for l in d3[0]["lines"]) == ["3.00", "5.00"]
 
+    # backend-aware state inspection sees EVERY key — physical and
+    # carried buckets alike (a raw spark.read on the version dir would
+    # miss manifest-carried buckets)
+    keys = {
+        r["order_key"]
+        for r in fresh.read_state("order_state").select("order_key").collect()
+    }
+    assert keys == {30000 + i for i in range(8)}
+
 
 def test_manifest_backend_never_links_or_renames_dirs(spark, tmp_path, monkeypatch):
     """The constraint the double exists to enforce, enforced with

@@ -72,11 +72,51 @@ def main() -> int:
     targets: dict[str, object] = {
         "tx_denorm_orders": lambda s: cat["tx_denorm_orders"].fn(s, SF_DIR),
         "training_mix": lambda s: cat["training_mix"].fn(s, SF_DIR),
+        # r7 single-run bench drift watch (judge: +44 %/+30 % dedup_groups,
+        # +21 % text_stats, +38 % multimodal_audio on untouched code)
+        "dedup_groups": lambda s: cat["dedup_groups"].fn(s, SF_DIR),
+        "text_stats": lambda s: cat["text_stats"].fn(s, SF_DIR),
     }
     targets.update(_extras())
+    # construction-dominated entries (eager checkpoints / CC fixpoint:
+    # 78-92 % of their cold time is CONSTRUCTION, probe_cold_decomp) —
+    # exec-only repeats would miss the drifted term, so each run
+    # releases the memo and rebuilds from scratch
+    rebuild = {"dedup_groups"}
 
     out = {}
     for name, build in targets.items():
+        if name in rebuild:
+            from streaming_examples_spark.catalog import release
+
+            runs = []
+            df = None
+            for _ in range(n_runs):
+                if df is not None:
+                    release(spark, name, SF_DIR)
+                    spark.catalog.clearCache()
+                    df = None
+                    import gc
+
+                    gc.collect()  # free prior run's localCheckpoint blocks now
+                t0 = time.time()
+                df = build(spark)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            out[name] = {
+                "runs": runs,
+                "min": min(runs),
+                "median": round(statistics.median(runs), 3),
+                "mode": "construct+exec",
+            }
+            print(f"{name}: {runs} min={min(runs)}", file=sys.stderr, flush=True)
+            for p in getattr(df, "_sg_pinned", ()) or ():
+                try:
+                    p.unpersist()
+                except Exception:
+                    pass
+            spark.catalog.clearCache()
+            continue
         df = build(spark)  # construct once; repeats measure execution
         df.write.format("noop").mode("overwrite").save()  # warm (not timed)
         runs = []
