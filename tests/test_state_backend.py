@@ -85,6 +85,7 @@ def _crash_once(obj, method, should, exc_msg="injected crash"):
 # -- lifecycle: multi-batch, carry chains, restart -----------------------
 
 
+@pytest.mark.slow
 def test_lifecycle_carry_chain_and_restart(spark, tmp_path, backend_cls):
     """Three batches where most buckets go UNTOUCHED twice in a row
     (the manifest backend then carries a reference to a reference —
@@ -123,6 +124,7 @@ def test_lifecycle_carry_chain_and_restart(spark, tmp_path, backend_cls):
     assert keys == {30000 + i for i in range(8)}
 
 
+@pytest.mark.slow
 def test_manifest_backend_never_links_or_renames_dirs(spark, tmp_path, monkeypatch):
     """The constraint the double exists to enforce, enforced with
     tripwires: run the carry-heavy lifecycle under ManifestBackend
@@ -179,6 +181,7 @@ def test_manifest_backend_never_links_or_renames_dirs(spark, tmp_path, monkeypat
     _shutil  # keep import referenced
 
 
+@pytest.mark.slow
 def test_manifest_deferred_delete_retains_referenced_bytes(spark, tmp_path):
     """remove_tree on a superseded version is a DEFERRED delete: files
     still referenced from the committed version's manifests survive it
@@ -248,6 +251,7 @@ def _first_batch(spark, tmp_path, backend):
     return state, proc
 
 
+@pytest.mark.slow
 def test_crash_during_carry_replays_complete_old_state(
     spark, tmp_path, backend_cls
 ):
@@ -273,6 +277,7 @@ def test_crash_during_carry_replays_complete_old_state(
     assert sorted(str(l["price"]) for l in d2[0]["lines"]) == ["3.00", "5.00"]
 
 
+@pytest.mark.slow
 def test_crash_at_commit_replays_and_reemits(spark, tmp_path, backend_cls):
     """commit_pointer raises before committing: every frame of the new
     version is on disk but the batch is NOT committed — the replay
@@ -292,6 +297,7 @@ def test_crash_at_commit_replays_and_reemits(spark, tmp_path, backend_cls):
     assert backend_cls().read_pointer(state) == 2
 
 
+@pytest.mark.slow
 def test_crash_after_commit_filters_replay(spark, tmp_path, backend_cls):
     """remove_tree raises during post-commit cleanup: state is
     committed, so the replayed batch is dropped by the applied-txs

@@ -85,7 +85,7 @@ def plan_migration(state_dir: str, n_buckets: int) -> list[tuple[str, ...]]:
         if recorded != n_buckets:
             raise MigrationError(
                 f"a crashed migration recorded n_buckets={recorded}; pass "
-                "the same value to resume (got {n_buckets})."
+                f"the same value to resume (got {n_buckets})."
             )
     v1 = os.path.join(state_dir, "v1")
     pending = [
