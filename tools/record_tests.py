@@ -77,7 +77,14 @@ def main() -> int:
     oracle_out, oracle_dur, rc = _run(
         [sys.executable, "tools/check_oracle.py", args.sf_dir]
     )
-    oracle_line = oracle_out.strip().splitlines()[-1] if oracle_out.strip() else "NO OUTPUT"
+    # skip Spark progress-bar residue ("[Stage N:...]") and blanks;
+    # the checker's verdict is the last real line ("all queries match")
+    meaningful = [
+        ln.strip()
+        for ln in oracle_out.splitlines()
+        if ln.strip() and "[Stage" not in ln
+    ]
+    oracle_line = meaningful[-1] if meaningful else "NO OUTPUT"
     oracle = f"oracle {args.sf_dir.rstrip('/').rsplit('/', 1)[-1]}: {oracle_line} ({_mmss(oracle_dur)})"
     print(f"{oracle} (rc={rc})", flush=True)
     if rc != 0:
