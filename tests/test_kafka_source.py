@@ -245,3 +245,85 @@ def test_three_topic_stream_drives_flagship_pipeline(spark, tmp_path):
         for r in batch.emissions.collect()
     }
     assert got == want and want  # non-trivial: several txs, both tables
+
+
+@pytest.mark.slow
+def test_sink_to_source_wire_roundtrip(spark, tmp_path):
+    """Wire-format compatibility between the engine's OWN two halves:
+    what upsert_sink_batch puts on the wire (via the producer double)
+    must come back IDENTICAL through decode_kafka_wire (via the
+    consumer double) — payload rows byte-faithful, deletes surviving
+    as null-value tombstones with their keys. This is the upsert-Kafka
+    contract (S6→S3: a downstream consumer materializes last-per-key,
+    reference KafkaUpsertJob.java:23-38)."""
+    from tests.test_kafka_sink import _file_stub_factory, _read_sent
+    from streaming_examples_spark.sources.kafka import decode_kafka_wire
+    from streaming_examples_spark.sources.kafka import upsert_sink_batch
+
+    out_dir = str(tmp_path / "sent")
+    os.makedirs(out_dir)
+    batch = spark.createDataFrame(
+        [
+            (1, False, "first doc", 2),
+            (2, True, None, None),  # delete → tombstone
+            (3, False, "third doc", 9),
+        ],
+        "id long, deleted boolean, body string, n_lines int",
+    )
+    upsert_sink_batch(
+        batch,
+        bootstrap_servers="unused:9092",
+        topic="docs_out",
+        key_col="id",
+        producer_factory=_file_stub_factory(out_dir),
+    )
+    # splice the producer double's output into the consumer double's
+    # wire format (what a broker does between the two)
+    records = [r for p in _read_sent(out_dir) for r in p]
+    wire_dir = str(tmp_path / "wire")
+    os.makedirs(wire_dir)
+    with open(os.path.join(wire_dir, "chunk-00000.json"), "w") as f:
+        for off, r in enumerate(records):
+            f.write(
+                json.dumps(
+                    {
+                        "key": r["key"],
+                        "value": r["value"],
+                        "topic": r["topic"],
+                        "partition": 0,
+                        "offset": off,
+                        "ts": 1700000000000,
+                    }
+                )
+                + "\n"
+            )
+    raw = _consumer_factory(wire_dir)(spark, "docs_out")
+    decoded = decode_kafka_wire(
+        raw,
+        value_schema="id long, body string, n_lines int",
+        include_metadata=True,
+    ).collect()
+    by_key = {r["kafka_key"]: r for r in decoded}
+    assert set(by_key) == {"1", "2", "3"}
+    # payload rows round-trip byte-faithfully
+    assert (by_key["1"]["id"], by_key["1"]["body"], by_key["1"]["n_lines"]) == (
+        1, "first doc", 2,
+    )
+    assert (by_key["3"]["id"], by_key["3"]["body"], by_key["3"]["n_lines"]) == (
+        3, "third doc", 9,
+    )
+    # the tombstone survives the wire: null value → null payload, key kept
+    assert by_key["2"]["id"] is None and by_key["2"]["body"] is None
+    # last-per-key materialization downstream (the S3 consumer) drops it
+    from streaming_examples_spark.operators.windows import latest_per_key
+
+    live = latest_per_key(
+        spark.createDataFrame(
+            [(r["kafka_key"], r["body"], r["kafka_offset"]) for r in decoded],
+            "k string, body string, off long",
+        ),
+        key_cols=["k"],
+        order_col="off",
+        value_cols=["body"],
+    ).filter(F.col("body").isNotNull())
+    assert {r["k"] for r in live.collect()} == {"1", "3"}
