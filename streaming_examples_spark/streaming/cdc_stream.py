@@ -186,7 +186,8 @@ class TxDenormBatchProcessor:
         import json
 
         with open(self._layout_path()) as fh:
-            have = json.load(fh).get("n_buckets")
+            layout = json.load(fh)
+        have = layout.get("n_buckets")
         if have != self.n_buckets:
             raise ValueError(
                 f"tx state at {self.state_dir} was written with "
@@ -194,6 +195,19 @@ class TxDenormBatchProcessor:
                 f"n_buckets={self.n_buckets}; a mismatched restart loads the "
                 "wrong state buckets (silently empty touched keys, corrupt "
                 "emissions). Pass the stored count or rebuild the state dir."
+            )
+        # pre-r8 layouts carry no backend key; they were all written by
+        # the POSIX backend
+        have_backend = layout.get("backend", "local-posix")
+        if have_backend != self.backend.layout_id:
+            raise ValueError(
+                f"tx state at {self.state_dir} was committed by the "
+                f"{have_backend!r} storage backend but this processor uses "
+                f"{self.backend.layout_id!r}; the two encode the commit "
+                "pointer differently, so a cross-backend reopen reads "
+                "version 0 and the batch-start GC would delete the live "
+                "versions as garbage. Reopen with the matching backend (or "
+                "migrate the state explicitly)."
             )
 
     def _write_layout(self) -> None:
@@ -203,7 +217,17 @@ class TxDenormBatchProcessor:
 
         tmp = self._layout_path() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"n_buckets": self.n_buckets}, fh)
+            # backend identity sealed alongside the bucket count: the two
+            # backends encode the commit pointer differently (CURRENT
+            # file vs _pointer/gen-*), so a cross-backend reopen reads
+            # version 0, treats live state as fresh, and the batch-start
+            # GC would DELETE the other backend's committed versions as
+            # garbage — the same silent-loss class as an n_buckets
+            # mismatch, guarded the same way
+            json.dump(
+                {"n_buckets": self.n_buckets, "backend": self.backend.layout_id},
+                fh,
+            )
         os.replace(tmp, self._layout_path())
 
     def _current_version(self) -> int:

@@ -29,7 +29,7 @@ conditional-put emulation (exclusive create of a monotonically
 numbered generation object), and remove_tree is a DEFERRED prefix
 delete that retains any file still referenced from the committed
 version's manifests. The crash-injection suite runs parameterized
-over both (tests/test_streaming.py), which is what proves the
+over both (tests/test_state_backend.py), which is what proves the
 protocol itself — reads resolve through ``read_locations`` and carry
 listings through ``list_dir``, never by assuming the physical tree is
 the logical content.
@@ -67,6 +67,12 @@ class StateStorageBackend:
     one, never a torn or lost write. Everything else in the protocol
     tolerates partial completion (crash garbage is GC'd by version).
     """
+
+    #: identity sealed into the state dir's _layout.json — the two
+    #: backends encode the commit pointer differently, so a state dir
+    #: must be reopened by the backend that committed it (cdc_stream
+    #: validates this in _check_layout)
+    layout_id: str = "abstract"
 
     def prepare_dir(self, path: str) -> None:
         raise NotImplementedError
@@ -121,6 +127,8 @@ class LocalPosixBackend(StateStorageBackend):
     """The shipped backend: hardlink carry (copy fallback for
     filesystems that refuse links), fsync'd temp + ``os.replace``
     pointer flip, directory fsync for rename durability."""
+
+    layout_id = "local-posix"
 
     def prepare_dir(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -210,6 +218,7 @@ class ManifestBackend(StateStorageBackend):
     content."""
 
     MANIFEST = "_carry.json"
+    layout_id = "manifest"
 
     # -- manifest helpers -------------------------------------------------
     def _manifest(self, dirpath: str) -> dict[str, str]:

@@ -321,3 +321,29 @@ def test_crash_after_commit_filters_replay(spark, tmp_path, backend_cls):
         *_dfs(spark, _one_line_tx(95000, 950, 300002, 30000, "2.00")), batch_id=3
     ).collect()
     assert sorted(str(l["price"]) for l in d[0]["lines"]) == ["2.00", "5.00", "9.00"]
+
+
+def test_cross_backend_reopen_refused(spark, tmp_path):
+    """A state dir committed by one backend reopened under the other
+    must RAISE: the two encode the commit pointer differently (CURRENT
+    file vs _pointer/gen-*), so a cross-backend reopen reads version 0,
+    treats live state as fresh, and the batch-start GC would delete the
+    committed versions as garbage — the same silent-loss class as an
+    n_buckets mismatch, sealed in _layout.json the same way."""
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001), lambda t: t.insert_line(100001, 10001))
+    b0 = _dfs(spark, log)
+    for committer, reopener in (
+        (LocalPosixBackend, ManifestBackend),
+        (ManifestBackend, LocalPosixBackend),
+    ):
+        state = str(tmp_path / f"state_{committer.layout_id}")
+        proc = TxDenormBatchProcessor(spark, state, n_buckets=4, backend=committer())
+        assert proc.process(*b0, batch_id=0).count() == 1
+        wrong = TxDenormBatchProcessor(spark, state, n_buckets=4, backend=reopener())
+        with pytest.raises(ValueError, match="storage backend"):
+            wrong.process(*b0, batch_id=1)
+        # nothing was deleted by the refused open: the committed state
+        # is intact for the matching backend
+        again = TxDenormBatchProcessor(spark, state, n_buckets=4, backend=committer())
+        assert again.process(*b0, batch_id=1).count() == 0  # replay filtered
