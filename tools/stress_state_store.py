@@ -7,7 +7,13 @@ the chosen SF (one tx per order, via the same envelope synthesis as the
 tx_denorm_orders catalog query, LSN-offset per round); batches 1..K
 each touch a disjoint ~1% slice of the orders with NEW transactions.
 
-Usage: python tools/stress_state_store.py [sf_dir] [n_batches] [n_buckets] [slice_modulus]
+Usage: python tools/stress_state_store.py [sf_dir] [n_batches] [n_buckets] [slice_modulus] [backend]
+
+``backend`` = posix (default) | manifest. Under the manifest backend
+the inode accounting degenerates gracefully: carried buckets have NO
+local bytes at their logical path (manifest entries), so
+``state_written`` counts exactly the new physical files — the same
+O(touched) claim, measured object-store-style.
 Prints one line per batch: wall time, emissions, bytes written to the
 two bucketed state tables, and the bucket count rewritten.
 """
@@ -154,13 +160,22 @@ def main():
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     slice_mod = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
+    backend_name = sys.argv[5] if len(sys.argv) > 5 else "posix"
     spark = get_spark("stress-state")
     spark.sparkContext.setLogLevel("ERROR")
 
     import tempfile
 
+    from streaming_examples_spark.streaming.state_backend import (
+        LocalPosixBackend,
+        ManifestBackend,
+    )
+
+    backend = {"posix": LocalPosixBackend, "manifest": ManifestBackend}[backend_name]()
     state_dir = tempfile.mkdtemp(prefix="stress_state_")
-    proc = TxDenormBatchProcessor(spark, state_dir, n_buckets=n_buckets)
+    proc = TxDenormBatchProcessor(
+        spark, state_dir, n_buckets=n_buckets, backend=backend
+    )
 
     def run(batch_id, lsn_offset, key_filter, label):
         before = {}
@@ -179,6 +194,10 @@ def main():
                 prev = before[tbl].get(rel)
                 if prev is None or prev[0] != ino:  # new file, not a hardlink
                     written += size
+                    # backend-internal files (_carry.json manifests,
+                    # _SUCCESS markers) don't make a bucket "rewritten"
+                    if os.path.basename(rel).startswith("_"):
+                        continue
                     part = rel.split("_bucket=")
                     if len(part) > 1:
                         buckets.add((tbl, part[1].split("/")[0]))
