@@ -347,3 +347,63 @@ def test_cross_backend_reopen_refused(spark, tmp_path):
         # is intact for the matching backend
         again = TxDenormBatchProcessor(spark, state, n_buckets=4, backend=committer())
         assert again.process(*b0, batch_id=1).count() == 0  # replay filtered
+
+
+@pytest.mark.slow
+def test_manifest_orphans_reclaimed_and_versions_bounded(spark, tmp_path):
+    """Deferred deletes must CONVERGE, not accumulate: once later
+    batches rewrite the buckets whose manifests referenced an old
+    version's files, a subsequent GC pass reclaims that version dir
+    entirely, and across a long alternating run the number of version
+    dirs stays bounded (current + still-referenced + at most one
+    awaiting its next GC) — the orphan-file story of any manifest
+    table format."""
+    import re
+
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=2, backend=ManifestBackend())
+
+    # two keys provably in DIFFERENT buckets of 2
+    cand = [30000 + i for i in range(8)]
+    buckets = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in cand], "k long")
+        .select("k", proc._bucket_of(F.col("k")).alias("b"))
+        .collect()
+    }
+    key_a = cand[0]
+    key_b = next(k for k in cand if buckets[k] != buckets[key_a])
+
+    log = TxLog()
+    for oid in (key_a, key_b):
+        log.tx(
+            lambda t, oid=oid: t.insert_order(oid),
+            lambda t, oid=oid: t.insert_line(oid * 10, oid, price="5.00"),
+        )
+    assert proc.process(*_dfs(spark, log), batch_id=0).count() == 2
+
+    def version_dirs():
+        return sorted(
+            d for d in os.listdir(state)
+            if re.fullmatch(r"v\d+", d) and os.path.isdir(os.path.join(state, d))
+        )
+
+    lsn, tx, line = 90000, 900, 300001
+    for i in range(1, 7):
+        key = key_a if i % 2 else key_b
+        out = proc.process(
+            *_dfs(spark, _one_line_tx(lsn, tx, line, key, "1.00")), batch_id=i
+        )
+        assert out.count() == 1
+        vdirs = version_dirs()
+        assert len(vdirs) <= 3, vdirs  # bounded, never accumulating
+        lsn, tx, line = lsn + 5000, tx + 50, line + 1
+    # the seed version's bytes were dereferenced by the first rewrite of
+    # each bucket; GC has long since reclaimed the dir itself
+    assert "v1" not in version_dirs()
+    # and no live byte was lost along the way: every key still resolves
+    keys = {
+        r["order_key"]
+        for r in proc.read_state("order_state").select("order_key").collect()
+    }
+    assert keys == {key_a, key_b}
