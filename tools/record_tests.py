@@ -77,14 +77,15 @@ def main() -> int:
     oracle_out, oracle_dur, rc = _run(
         [sys.executable, "tools/check_oracle.py", args.sf_dir]
     )
-    # skip Spark progress-bar residue ("[Stage N:...]") and blanks;
-    # the checker's verdict is the last real line ("all queries match")
-    meaningful = [
+    # the checker's verdict line, specifically — stdout and stderr are
+    # concatenated, so "last line" heuristics pick up Spark progress
+    # bars or JVM WARNs instead of the verdict
+    verdicts = [
         ln.strip()
         for ln in oracle_out.splitlines()
-        if ln.strip() and "[Stage" not in ln
+        if "queries match" in ln or "MISMATCH" in ln
     ]
-    oracle_line = meaningful[-1] if meaningful else "NO OUTPUT"
+    oracle_line = verdicts[-1] if verdicts else "NO VERDICT LINE"
     oracle = f"oracle {args.sf_dir.rstrip('/').rsplit('/', 1)[-1]}: {oracle_line} ({_mmss(oracle_dur)})"
     print(f"{oracle} (rc={rc})", flush=True)
     if rc != 0:
