@@ -606,6 +606,8 @@ def start_tx_denorm_stream(
     checkpoint_dir: str,
     trigger_seconds: float = 1.0,
     emission_sink=None,
+    n_buckets: int = 32,
+    backend=None,
 ):
     """Wire the three CDC streams (orders / order_lines / transaction
     metadata — the reference's three Kafka topics, DataStreamV2Job.
@@ -626,7 +628,12 @@ def start_tx_denorm_stream(
         )
     )
     processor = TxDenormBatchProcessor(
-        spark, state_dir, output_dir, emission_sink=emission_sink
+        spark,
+        state_dir,
+        output_dir,
+        n_buckets=n_buckets,
+        backend=backend,
+        emission_sink=emission_sink,
     )
 
     from streaming_examples_spark.model.envelope import (

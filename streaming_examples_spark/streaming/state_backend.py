@@ -5,7 +5,7 @@ frames under the NEXT version dir, carry untouched bucket files over,
 flip one pointer atomically, GC superseded versions) is storage-
 agnostic, but its primitives are not: the shipped implementation is
 POSIX (hardlink carry, ``os.replace`` flip, directory fsync). This
-module isolates those five primitives behind ``StateStorageBackend``
+module isolates those primitives behind ``StateStorageBackend``
 so a deployer can swap in an object-store backend without touching the
 protocol. The translation each method documents is the one LSM engines
 and table formats ship on S3/GCS:
@@ -19,6 +19,8 @@ and table formats ship on S3/GCS:
                     through the pointer, never by listing)
   prepare_dir     → a no-op (object stores have no directories)
   remove_file     → a single-object delete
+  dir_exists/list_dir/read_locations → prefix listing + manifest
+                    resolution (the logical namespace; see below)
 
 Two implementations ship: ``LocalPosixBackend`` (hardlinks + rename
 flip — the production local backend) and ``ManifestBackend``, a

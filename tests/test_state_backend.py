@@ -407,3 +407,67 @@ def test_manifest_orphans_reclaimed_and_versions_bounded(spark, tmp_path):
         for r in proc.read_state("order_state").select("order_key").collect()
     }
     assert keys == {key_a, key_b}
+
+
+@pytest.mark.slow
+def test_stream_runs_on_manifest_backend(spark, tmp_path):
+    """start_tx_denorm_stream's backend/n_buckets passthrough: a real
+    micro-batch stream commits its state through ManifestBackend (the
+    generation-object pointer proves which backend ran), produces the
+    same emissions, and a restarted stream would reopen it — the seam
+    is usable from the public streaming entry point, not only from the
+    processor."""
+    import os
+
+    from streaming_examples_spark.model.fixtures import (
+        LINE_ROW_SCHEMA,
+        ORDER_ROW_SCHEMA,
+    )
+    from streaming_examples_spark.sources.files import (
+        read_envelope_log,
+        read_tx_log,
+        write_event_log,
+    )
+    from streaming_examples_spark.streaming.cdc_stream import start_tx_denorm_stream
+
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="19.99"),
+    )
+    log.tx(lambda t: t.insert_line(100002, 10001, price="5.00"))
+
+    orders = [e for e in log.events if e["source"]["table"] == "orders"]
+    lines = [e for e in log.events if e["source"]["table"] == "order_lines"]
+    dirs = {n: str(tmp_path / n) for n in ("o", "l", "x", "out", "state", "ckpt")}
+    write_event_log(orders, dirs["o"], files=1)
+    write_event_log(lines, dirs["l"], files=2)  # ≥2 micro-batches
+    write_event_log(log.tx_events, dirs["x"], files=1)
+
+    q = start_tx_denorm_stream(
+        spark,
+        read_envelope_log(spark, dirs["o"], ORDER_ROW_SCHEMA, streaming=True),
+        read_envelope_log(spark, dirs["l"], LINE_ROW_SCHEMA, streaming=True),
+        read_tx_log(spark, dirs["x"], streaming=True),
+        state_dir=dirs["state"],
+        output_dir=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        n_buckets=4,
+        backend=ManifestBackend(),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(dirs["out"]).orderBy("commit_lsn").collect()
+    assert [len(r["lines"] or []) for r in rows] == [1, 2]
+    # the manifest pointer encoding is on disk (not a CURRENT file) and
+    # the layout sealed the backend identity
+    assert os.path.isdir(os.path.join(dirs["state"], "_pointer"))
+    assert not os.path.exists(os.path.join(dirs["state"], "CURRENT"))
+    import json
+
+    with open(os.path.join(dirs["state"], "_layout.json")) as fh:
+        layout = json.load(fh)
+    assert layout == {"n_buckets": 4, "backend": "manifest"}
