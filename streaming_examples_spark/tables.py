@@ -65,29 +65,32 @@ def _footer_info(path: str):
     under ``nanosAsLong``, but ``from_arrow_schema`` maps it to
     TimestampType — the explicit schema would diverge from the files
     and the read break. No testdata table has one; if a future file
-    does, return ``(None, ())`` so ``load_table`` falls back to plain
-    JVM inference for that path (correct, just without the footer
-    fast-path)."""
+    does, return ``(None, <top-level nanos names>)`` so ``load_table``
+    falls back to plain JVM inference for that path, while STILL
+    decoding the top-level nanos columns it knows about — a nested
+    nanos field must not change the loaded type of an unrelated
+    top-level column (LONG on the fallback path vs TimestampType on
+    the fast path)."""
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import from_arrow_schema
 
     pa_schema = pq.read_schema(path)
-    if any(_nested_nanos(f.type) for f in pa_schema):
-        return None, ()
-    spark_schema = from_arrow_schema(pa_schema, prefer_timestamp_ntz=False)
-    nanos = tuple(
+    top_nanos = tuple(
         f.name for f in pa_schema if str(f.type).startswith("timestamp[ns")
     )
-    if nanos:
+    if any(_nested_nanos(f.type) for f in pa_schema):
+        return None, top_nanos
+    spark_schema = from_arrow_schema(pa_schema, prefer_timestamp_ntz=False)
+    if top_nanos:
         spark_schema = T.StructType(
             [
                 T.StructField(f.name, T.LongType(), f.nullable)
-                if f.name in nanos
+                if f.name in top_nanos
                 else f
                 for f in spark_schema.fields
             ]
         )
-    return spark_schema, nanos
+    return spark_schema, top_nanos
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -80,6 +80,9 @@ def test_nested_nanos_timestamp_falls_back_to_inference(spark, tmp_path):
     table = pa.table(
         {
             "id": pa.array([1], type=pa.int64()),
+            # top-level nanos NEXT TO the nested one: its loaded type
+            # must not depend on which path (fast/fallback) ran
+            "created_at": ts,
             "meta": pa.StructArray.from_arrays([ts], names=["created"]),
             "history": pa.ListArray.from_arrays(pa.array([0, 1]), ts),
         }
@@ -88,11 +91,14 @@ def test_nested_nanos_timestamp_falls_back_to_inference(spark, tmp_path):
     pq.write_table(table, path)
 
     schema, nanos = _footer_info(path)
-    assert schema is None and nanos == ()  # fallback signalled
+    # fallback signalled, but the footer still reports the TOP-LEVEL
+    # nanos columns so load_table decodes them on the inference path
+    # too — a nested nanos field must not flip an unrelated top-level
+    # column from TimestampType to LongType
+    assert schema is None and nanos == ("created_at",)
 
     df = load_table(spark, str(tmp_path), "events")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    assert df.schema == spark.read.parquet(path).schema
+    assert df.schema["created_at"].dataType.typeName() == "timestamp"
     row = df.collect()[0]
     assert row["id"] == 1 and row["meta"]["created"] is not None
+    assert row["created_at"] == datetime.datetime(2024, 1, 1, 12, 0, 0)

@@ -70,13 +70,12 @@ def plan_migration(state_dir: str, n_buckets: int) -> list[tuple[str, ...]]:
     directory un-migratable. Pure — performs no writes."""
     if not os.path.isdir(state_dir):
         raise MigrationError(f"{state_dir} is not a directory")
-    if os.path.exists(os.path.join(state_dir, "CURRENT")) or os.path.isdir(
-        os.path.join(state_dir, "_pointer")
-    ):
-        raise MigrationError(
-            f"{state_dir} already has a committed version pointer — it is "
-            "not a legacy layout; nothing to migrate."
-        )
+    # marker FIRST: a crash in the window between write-pointer and
+    # remove-marker leaves BOTH a committed pointer and the marker —
+    # the processor refuses while the marker exists and points here,
+    # so treating the pointer as "nothing to migrate" would wedge the
+    # dir permanently. With both present, the migration is complete
+    # except for the marker: validate and emit only its removal.
     marker_path = os.path.join(state_dir, MARKER)
     resuming = os.path.exists(marker_path)
     if resuming:
@@ -87,6 +86,35 @@ def plan_migration(state_dir: str, n_buckets: int) -> list[tuple[str, ...]]:
                 f"a crashed migration recorded n_buckets={recorded}; pass "
                 f"the same value to resume (got {n_buckets})."
             )
+    has_pointer = os.path.exists(os.path.join(state_dir, "CURRENT")) or os.path.isdir(
+        os.path.join(state_dir, "_pointer")
+    )
+    if has_pointer:
+        if not resuming:
+            raise MigrationError(
+                f"{state_dir} already has a committed version pointer — it is "
+                "not a legacy layout; nothing to migrate."
+            )
+        layout_path = os.path.join(state_dir, "_layout.json")
+        if not os.path.exists(layout_path):
+            raise MigrationError(
+                f"{state_dir} has a version pointer and a migration marker "
+                "but no _layout.json — the pointer was not written by this "
+                "tool's step order (layout precedes pointer); refusing to "
+                "finalize an unrecognized state."
+            )
+        with open(layout_path) as fh:
+            have = json.load(fh)
+        if have.get("n_buckets") != n_buckets:
+            raise MigrationError(
+                f"{layout_path} seals n_buckets={have.get('n_buckets')} but "
+                f"--n-buckets={n_buckets}; pass the sealed value to finalize."
+            )
+        for name in ("order_state", "line_state"):
+            frame = os.path.join(state_dir, "v1", name)
+            if os.path.isdir(frame):
+                _validate_buckets(frame, n_buckets)
+        return [("remove-marker", marker_path)]
     v1 = os.path.join(state_dir, "v1")
     pending = [
         d for d in _LEGACY_FRAME_DIRS if os.path.isdir(os.path.join(state_dir, d))
