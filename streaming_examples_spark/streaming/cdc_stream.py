@@ -425,6 +425,9 @@ class TxDenormBatchProcessor:
         # reading state, under the same writer lock
         self._check_layout()
         self._gc_state_versions()
+        # no committed version yet = this batch is the initial load
+        # (the snapshot phase, for the per-table RowsScanned counter)
+        initial_load = self._current_version() == 0
         # tx metadata persists across batches (the reference keeps it in
         # broadcast state, CommitLsnFixer.java:75-89): a tx's END may
         # arrive batches before/after its data events. GC below drops
@@ -530,7 +533,15 @@ class TxDenormBatchProcessor:
         self._prev_emissions = emissions
         emissions.count()  # materialize before any state dir changes
         # monitoring (§6 metric catalog): events seen, source lag, backlog
-        n_events = order_events.count() + line_events.count()
+        n_order_events, n_line_events = order_events.count(), line_events.count()
+        n_events = n_order_events + n_line_events
+        if initial_load:
+            # snapshot-phase RowsScanned (per table): the first batch
+            # over a fresh state dir is this engine's initial load —
+            # the reference tracks the same counter per table through
+            # its JMX snapshot metrics (jmx_exporter_config.yml:12-18)
+            self.metrics.observe_initial_load("orders", n_order_events)
+            self.metrics.observe_initial_load("lines", n_line_events)
         # committed-tx count MUST be taken before _store_all swaps the
         # state dirs: emitted_txs' lineage reads the pre-swap state
         # files, so a post-swap action would re-evaluate against the

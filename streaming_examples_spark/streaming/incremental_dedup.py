@@ -13,6 +13,23 @@ Design (all equi-joins, no pair space, state ∝ unique corpus):
     Only CANONICAL (non-duplicate) docs are stored, so state grows
     with unique content, not with stream length — re-crawled copies
     never inflate it.
+  * Every store commits through the same ``StateStorageBackend`` seam
+    as the tx state store (``state_backend.py``): each store's live
+    files sit under ``<store>/v<E>/`` and a per-store generation
+    pointer (``commit_pointer`` — POSIX rename flip or object-store
+    conditional put) names the committed epoch. Appends land in the
+    CURRENT epoch dir (Spark's write commit makes the files appear
+    whole); only COMPACTION bumps the epoch: the rewritten store is
+    fully written under ``v<E+1>`` before one pointer flip makes it
+    live, and the superseded epoch is removed through the backend
+    (deferred, reference-aware under a manifest backend). No
+    ``os.rename`` directory swaps anywhere — this store is the one a
+    100 TB deployment must host on object storage, so the commit
+    protocol carries no POSIX assumption (proven by running the crash
+    suite over ``LocalPosixBackend`` AND ``ManifestBackend``,
+    tests/test_incremental_dedup.py). Pre-r9 root-level stores are
+    adopted in place (``_adopt_legacy``: files → ``v1`` + pointer,
+    pure same-directory renames under the writer lock).
   * Per batch: new docs are shingled once (`shingle_base_hashes`, one
     md5 per shingle); candidates come from an equi-join on
     (band_id, band_key) against the store AND a within-batch band
@@ -86,6 +103,10 @@ from streaming_examples_spark.streaming.locks import (  # noqa: F401
     _pid_alive,  # re-exported: tests exercise the pid-liveness gate
     writer_lock,
 )
+from streaming_examples_spark.streaming.state_backend import (
+    LocalPosixBackend,
+    StateStorageBackend,
+)
 
 _SIG_SCHEMA = "doc_id long, sig array<long>"
 _BAND_SCHEMA = "band_id int, band_key string, doc_id long"
@@ -149,9 +170,15 @@ class IncrementalNearDup:
         sigs_buckets: int | None = None,
         max_bucket_size: int | None = 256,
         cap_cache_max_keys: int = 5_000_000,
+        backend: StateStorageBackend | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
+        #: storage primitives behind every store commit (epoch pointer
+        #: flips, epoch-dir removal, logical listings) — the same seam
+        #: the tx state store runs on; identity sealed in _layout.json
+        #: so a state dir is only reopened by the backend that wrote it
+        self.backend = backend if backend is not None else LocalPosixBackend()
         self.threshold = threshold
         self.k = k
         self.n_perms = n_perms
@@ -190,14 +217,73 @@ class IncrementalNearDup:
         self._check_layout()
 
     # -- state layout ---------------------------------------------------
+    # Each store (bands, sigs, band_hot) is its own pointer-committed
+    # unit: <state_dir>/<store>/v<E>/ holds the live files, and the
+    # backend's per-store pointer names E. Appends write into the
+    # current epoch (Spark's job commit makes files appear whole);
+    # only compaction creates a new epoch and flips the pointer — the
+    # single atomic commit point, replacing the pre-r9 two-rename
+    # directory swaps that could not run on an object store.
     def _path(self, name: str) -> str:
+        """Store ROOT (pointer + epoch dirs live under it)."""
         return os.path.join(self.state_dir, name)
+
+    def _epoch(self, name: str) -> int:
+        """Committed epoch of a store; 0 = store not created yet."""
+        return self.backend.read_pointer(self._path(name))
+
+    def _data_path(self, name: str, epoch: int | None = None) -> str | None:
+        """The epoch dir holding the store's live files (None before
+        the first append commits epoch 1)."""
+        e = self._epoch(name) if epoch is None else epoch
+        return os.path.join(self._path(name), f"v{e}") if e else None
+
+    def _ensure_epoch(self, name: str) -> str:
+        """Create-and-commit epoch 1 on first use; return the current
+        epoch dir. A crash between prepare and commit leaves an empty
+        v1 with no pointer — healed by ``_adopt_legacy``'s
+        pointer-finalize pass (same end state as a crashed adoption)."""
+        e = self._epoch(name)
+        if e == 0:
+            path = os.path.join(self._path(name), "v1")
+            self.backend.prepare_dir(path)
+            self.backend.commit_pointer(self._path(name), 1)
+            return path
+        return os.path.join(self._path(name), f"v{e}")
+
+    def _gc_epochs(self) -> None:
+        """Remove epoch dirs the pointer no longer names: crash garbage
+        from a compaction that died before its cleanup (superseded
+        epoch) or after writing but before committing (orphan next
+        epoch). Runs under the writer lock; idempotent — the manifest
+        backend's remove_tree is deferred/reference-aware by design."""
+        for name in (*_STORES, "band_hot"):
+            root = self._path(name)
+            if not self.backend.dir_exists(root):
+                continue
+            cur = self.backend.read_pointer(root)
+            for entry in self.backend.list_dir(root):
+                m = re.fullmatch(r"v(\d+)", entry)
+                if m and int(m.group(1)) != cur:
+                    self.backend.remove_tree(os.path.join(root, entry))
 
     def _buckets(self, name: str) -> int | None:
         return self.bands_buckets if name == "bands" else self.sigs_buckets
 
-    def _table(self, name: str) -> str:
-        return self._bands_table if name == "bands" else self._sigs_table
+    def _table(self, name: str, epoch: int | None = None) -> str:
+        """External-table name for a store epoch. Epoch-versioned: a
+        compaction registers the NEW epoch under a new name and drops
+        the old one after the pointer flip, so no location check (or
+        mid-query table mutation) is ever needed."""
+        base = self._bands_table if name == "bands" else self._sigs_table
+        e = self._epoch(name) if epoch is None else epoch
+        return f"{base}_v{e}"
+
+    def store_table(self, name: str) -> str:
+        """Public: the registered table name of a bucketed store's
+        current epoch (plan tests / operational inspection)."""
+        self._ensure_table(name)
+        return self._table(name)
 
     def _layout_path(self) -> str:
         return os.path.join(self.state_dir, "_layout.json")
@@ -218,7 +304,10 @@ class IncrementalNearDup:
             store_files = [
                 f
                 for n in _STORES
-                for f in glob.glob(os.path.join(self._path(n), "*.parquet"))
+                # root level (pre-layout legacy) AND epoch dirs (a
+                # layout file deleted out from under a live store)
+                for pat in ("*.parquet", "v*/*.parquet")
+                for f in glob.glob(os.path.join(self._path(n), pat))
             ]
             if not store_files:
                 return  # fresh state dir: layout written with first append
@@ -237,8 +326,30 @@ class IncrementalNearDup:
                     "with the store's true counts, or rebuild the store."
                 )
             return  # legacy flat store + flat declaration: safe to adopt
-        with open(self._layout_path()) as fh:
-            stored = json.load(fh)
+        try:
+            with open(self._layout_path()) as fh:
+                stored = json.load(fh)
+        except ValueError as exc:
+            raise ValueError(
+                f"incremental-dedup layout file {self._layout_path()} is "
+                f"unreadable ({exc}); it seals the store's bucket counts and "
+                "storage backend, so a torn/corrupted seal cannot be "
+                "adopted silently. Restore it with the store's true values."
+            ) from exc
+        # backend identity first (the tx store's r8 seal): the two
+        # backends encode pointers differently, so a foreign reopen
+        # would read epoch 0 and GC live state. Missing key = the
+        # local-posix default every pre-r9 layout was written under.
+        have_backend = stored.get("backend", LocalPosixBackend.layout_id)
+        if have_backend != self.backend.layout_id:
+            raise ValueError(
+                f"incremental-dedup state at {self.state_dir} was committed "
+                f"by the '{have_backend}' storage backend but this detector "
+                f"runs '{self.backend.layout_id}'; the pointer encodings "
+                "differ, so a cross-backend reopen would read no committed "
+                "epoch and reclaim live files. Reopen with the sealed "
+                "backend, or migrate the store explicitly."
+            )
         for key, want in declared.items():
             have = stored.get(key)
             if have != want:
@@ -254,13 +365,16 @@ class IncrementalNearDup:
         if os.path.exists(self._layout_path()):
             return
         os.makedirs(self.state_dir, exist_ok=True)
-        tmp = self._layout_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"bands_buckets": self.bands_buckets, "sigs_buckets": self.sigs_buckets},
-                fh,
-            )
-        os.rename(tmp, self._layout_path())
+        self.backend.publish_file(
+            self._layout_path(),
+            json.dumps(
+                {
+                    "bands_buckets": self.bands_buckets,
+                    "sigs_buckets": self.sigs_buckets,
+                    "backend": self.backend.layout_id,
+                }
+            ).encode(),
+        )
 
     # -- single-writer mutual exclusion ---------------------------------
     def _lock_path(self) -> str:
@@ -284,35 +398,90 @@ class IncrementalNearDup:
             yield
 
     # -- state I/O ------------------------------------------------------
-    def _recover(self, name: str) -> None:
-        """Heal a crash inside ``compact``'s swap: the new copy is fully
-        written before the live dir is touched, so the only bad window
-        is between the two renames — live dir missing, ``.old`` present.
-        Restore the old copy (the compaction is simply lost). An ``.old``
-        next to a live dir is leftover garbage from a crash after the
-        second rename — drop it."""
-        path, old = self._path(name), self._path(name) + ".old"
-        if os.path.exists(old):
-            if not os.path.exists(path):
-                os.rename(old, path)
-            else:
-                shutil.rmtree(old, ignore_errors=True)
+    def _adopt_legacy(self) -> None:
+        """Adopt a pre-r9 store in place, under the writer lock.
+
+        Legacy layout: live files at the store ROOT, compaction via
+        two-rename directory swaps (the ``.old`` window ``_recover``
+        used to heal). Adoption: heal any crashed swap first, then move
+        the root-level files into ``v1`` and commit the pointer — pure
+        same-directory renames, so POSIX-only; a manifest-backed dir
+        can never be legacy (the layout seal refuses foreign dirs
+        before this runs, and pre-r9 dirs seal as local-posix).
+        Crash-safe by re-entry: files move one by one (re-running moves
+        the rest), and the pointer-commit is the last step — a dir with
+        everything in ``v1`` and no pointer just gets the commit."""
+        names = (*_STORES, "band_hot")
+        legacy: dict[str, list[str]] = {}
+        for name in names:
+            root = self._path(name)
+            old, tmp = root + ".old", root + ".compact"
+            if os.path.isdir(old):
+                # crashed pre-r9 compact swap: live dir missing → the
+                # old copy IS the store (the compaction is lost);
+                # otherwise the swap completed and .old is garbage
+                if not os.path.isdir(root):
+                    os.rename(old, root)
+                else:
+                    shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(root):
+                continue
+            files = [
+                n
+                for n in os.listdir(root)
+                if n.endswith(".parquet") or n == "_files.json"
+            ]
+            if files:
+                legacy[name] = files
+            elif os.path.isdir(os.path.join(root, "v1")) and (
+                self.backend.read_pointer(root) == 0
+            ):
+                # all files moved (or first epoch prepared) but the
+                # pointer-commit never ran: finalize it
+                self.backend.commit_pointer(root, 1)
+        if not legacy:
+            return
+        if self.backend.layout_id != LocalPosixBackend.layout_id:
+            raise ValueError(
+                f"incremental-dedup state at {self.state_dir} holds pre-r9 "
+                "root-level store files, which only the local-posix backend "
+                f"can adopt (renames); backend '{self.backend.layout_id}' "
+                "cannot host this dir. Adopt it with a local detector first."
+            )
+        for name, files in legacy.items():
+            root = self._path(name)
+            if self.backend.read_pointer(root) != 0:
+                raise ValueError(
+                    f"incremental-dedup store {root} has BOTH root-level "
+                    "files and a committed epoch pointer — not a state this "
+                    "engine writes; refusing to guess which is live."
+                )
+            v1 = os.path.join(root, "v1")
+            os.makedirs(v1, exist_ok=True)
+            for n in files:
+                os.replace(os.path.join(root, n), os.path.join(v1, n))
+            self.backend.commit_pointer(root, 1)
 
     def _ensure_table(self, name: str) -> None:
         """Re-register the external bucketed table after a restart: a
         fresh session's catalog doesn't know it, but the bucket ids
-        live in the file names, so DDL over the existing location
+        live in the file names, so DDL over the existing epoch dir
         restores a fully bucket-aware table."""
+        if not self._buckets(name):
+            return
         if self.spark.catalog.tableExists(self._table(name)):
             return
-        if os.path.exists(self._path(name)):
+        path = self._data_path(name)
+        if path is not None and self.backend.dir_exists(path):
             _, cols, ddl_cols = _STORES[name]
             key_list = ", ".join(cols)
             self.spark.sql(
                 f"CREATE TABLE {self._table(name)} {ddl_cols} USING parquet "
                 f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
                 f"INTO {self._buckets(name)} BUCKETS "
-                f"LOCATION '{self._path(name)}'"
+                f"LOCATION '{path}'"
             )
 
     def _load_store(self, name: str) -> DataFrame:
@@ -320,22 +489,32 @@ class IncrementalNearDup:
         EXISTS but fails to read must raise: swallowing a corrupted
         parquet would silently reset the dedup state (every known doc
         re-admitted as canonical)."""
-        self._recover(name)
         schema = _STORES[name][0]
         if not self._buckets(name):
-            path = self._path(name)
-            if not os.path.exists(path):
+            path = self._data_path(name)
+            # reads resolve through the backend's logical namespace —
+            # on a manifest backend the physical tree is not the
+            # logical content (same rule as the tx store's loads)
+            locs = self.backend.read_locations(path) if path else []
+            if not locs:
                 return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(path)
+            return self.spark.read.schema(schema).parquet(*locs)
         self._ensure_table(name)
         if self.spark.catalog.tableExists(self._table(name)):
             return self.spark.table(self._table(name))
         return self.spark.createDataFrame([], schema)
 
+    def read_store(self, name: str) -> DataFrame:
+        """Public, backend-aware snapshot of a store's committed
+        content (operational inspection and tests; mirrors the tx
+        processor's ``read_state``)."""
+        return self._load_store(name)
+
     def _append_store(self, name: str, rows: DataFrame) -> None:
         self._write_layout()
+        path = self._ensure_epoch(name)
         if not self._buckets(name):
-            rows.write.mode("append").parquet(self._path(name))
+            rows.write.mode("append").parquet(path)
             return
         _, cols, _ = _STORES[name]
         (
@@ -345,7 +524,7 @@ class IncrementalNearDup:
             # bucket, the sort-merge probe reads the store pre-sorted
             # and skips its per-batch O(store) sort entirely
             .sortBy(*cols)
-            .option("path", self._path(name))
+            .option("path", path)
             .saveAsTable(self._table(name))
         )
 
@@ -405,9 +584,11 @@ class IncrementalNearDup:
     # refresh dedups (band, doc) across all delta files, and in-process
     # appends are replay-protected upstream (sigs anti-join).
     def _bands_data_files(self) -> list[str]:
+        path = self._data_path("bands")
+        if path is None or not self.backend.dir_exists(path):
+            return []
         return sorted(
-            os.path.basename(f)
-            for f in glob.glob(os.path.join(self._path("bands"), "*.parquet"))
+            n for n in self.backend.list_dir(path) if n.endswith(".parquet")
         )
 
     def _reset_cap_cache(self) -> None:
@@ -423,9 +604,10 @@ class IncrementalNearDup:
         for the whole batch."""
         import pyarrow.parquet as pq
 
-        self._recover("band_hot")
-        hot_path = self._path("band_hot")
-        manifest_path = os.path.join(hot_path, "_files.json")
+        hot_path = self._data_path("band_hot")
+        manifest_path = (
+            os.path.join(hot_path, "_files.json") if hot_path else "<absent>"
+        )
         all_files = self._bands_data_files()
         covered: list[str] = []
         usable = False
@@ -464,7 +646,7 @@ class IncrementalNearDup:
         if new_files:
             tables = [
                 pq.read_table(
-                    os.path.join(self._path("bands"), f),
+                    os.path.join(self._data_path("bands"), f),
                     columns=["band_id", "band_key", "doc_id"],
                 )
                 for f in new_files
@@ -554,6 +736,8 @@ class IncrementalNearDup:
                 raise
 
     def _process_batch_locked(self, docs: DataFrame, batch_id: int) -> DataFrame:
+        self._adopt_legacy()
+        self._gc_epochs()
         sigs_store = self._load_store("sigs")
         bands_store = self._load_store("bands")
 
@@ -704,12 +888,14 @@ class IncrementalNearDup:
         micro-batches the probe join opens O(N) small files. Periodic
         compaction (call it every ~100 batches, or from a maintenance
         job) restores O(1) file count. The rewrite is atomic per store:
-        the new copy is FULLY written to a temp location before the live
-        one is touched, then swapped in two renames — a crash at any
-        point leaves either the old or the new complete layout on disk
-        (``_recover`` heals the one bad window between the renames by
-        restoring the old copy). At 100 TB this is the compaction pass
-        of any LSM-ish table format.
+        the new copy is FULLY written under the NEXT epoch dir before
+        one backend pointer flip makes it live — a crash at any point
+        leaves the committed epoch untouched (pre-flip garbage and the
+        superseded epoch are GC'd by ``_gc_epochs`` at the next locked
+        operation). At 100 TB this is the compaction pass of any
+        LSM-ish table format, and the pointer flip is the same
+        conditional-put commit the tx store uses — no directory
+        renames, so the store hosts on object storage unchanged.
 
         ``hot_bucket_threshold`` (bucketed stores only) is the 100 TB
         refinement: rewrite ONLY buckets holding more than that many
@@ -721,9 +907,9 @@ class IncrementalNearDup:
         ``dropDuplicates``), never missing rows.
 
         Holds the state dir's writer lock for the whole pass — an
-        append racing the full rewrite's directory swap would be
-        renamed into ``.old`` and deleted (see :meth:`_writer_lock`),
-        so the overlap raises instead.
+        append racing the full rewrite would land in the epoch being
+        superseded and be lost at the pointer flip (see
+        :meth:`_writer_lock`), so the overlap raises instead.
         """
         with self._writer_lock("compact"):
             try:
@@ -744,49 +930,49 @@ class IncrementalNearDup:
     def _compact_locked(
         self, target_partitions: int, hot_bucket_threshold: int | None
     ) -> None:
+        self._adopt_legacy()
+        self._gc_epochs()
         for name, (schema, cols, _) in _STORES.items():
-            self._recover(name)
-            path = self._path(name)
-            if not os.path.exists(path):
-                continue
+            cur = self._epoch(name)
+            if cur == 0:
+                continue  # store never written
+            root = self._path(name)
+            cur_path = os.path.join(root, f"v{cur}")
+            nxt = cur + 1
+            nxt_path = os.path.join(root, f"v{nxt}")
             if self._buckets(name):
                 if hot_bucket_threshold is not None:
                     self._compact_hot_buckets(name, schema, hot_bucket_threshold)
                     continue
-                # full rewrite, crash-atomic: write the re-bucketed copy
-                # to a temp TABLE over a temp path; only after it is
-                # durably complete, swap directories and re-register.
-                tmp_table = self._table(name) + "_compact"
-                tmp_path = path + ".compact"
-                self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-                shutil.rmtree(tmp_path, ignore_errors=True)
+                # full rewrite, crash-atomic: the re-bucketed copy is
+                # durably complete under the NEXT epoch (its own table
+                # name) before the pointer flips; _gc_epochs cleared
+                # any garbage a previously crashed attempt left there
+                nxt_table = self._table(name, nxt)
+                self.spark.sql(f"DROP TABLE IF EXISTS {nxt_table}")
+                self.backend.remove_tree(nxt_path)
                 (
                     self._load_store(name)
                     .dropDuplicates()  # heal any append-retry duplicates
                     .write.mode("overwrite")
                     .bucketBy(self._buckets(name), *cols)
                     .sortBy(*cols)
-                    .option("path", tmp_path)
-                    .saveAsTable(tmp_table)
+                    .option("path", nxt_path)
+                    .saveAsTable(nxt_table)
                 )
-                # metadata-only drops: external tables keep their files
-                self.spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-                self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name)}")
-                old = path + ".old"
-                os.rename(path, old)
-                os.rename(tmp_path, path)
-                shutil.rmtree(old, ignore_errors=True)
-                self._ensure_table(name)
+                self.backend.commit_pointer(root, nxt)
+                # metadata-only drop: the external table keeps its
+                # files; the epoch removal below reclaims them
+                self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name, cur)}")
+                self.backend.remove_tree(cur_path)
                 continue
-            tmp = path + ".compact"
-            cur = self._load_store(name)
-            cur.dropDuplicates().repartition(target_partitions).write.mode(
+            self.backend.remove_tree(nxt_path)
+            frame = self._load_store(name)
+            frame.dropDuplicates().repartition(target_partitions).write.mode(
                 "overwrite"
-            ).parquet(tmp)
-            old = path + ".old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
+            ).parquet(nxt_path)
+            self.backend.commit_pointer(root, nxt)
+            self.backend.remove_tree(cur_path)
         self._rebuild_hot()
 
     def _rebuild_hot(self) -> None:
@@ -796,20 +982,22 @@ class IncrementalNearDup:
         manifest of data files the summary covers, so the per-batch
         check reads only files appended later. countDistinct tolerates
         the duplicate rows hot-bucket compaction's append-before-delete
-        may leave. Same two-rename atomic swap as the stores;
-        ``_recover`` heals the one bad window, and a crash BEFORE the
-        swap leaves the previous summary whose manifest no longer
-        matches — the per-batch check detects that and falls back to a
-        full recount (exact, self-healing)."""
-        self._recover("band_hot")
-        hot_path = self._path("band_hot")
-        if self.max_bucket_size is None and not os.path.exists(hot_path):
+        may leave. Same epoch-pointer commit as the stores: summary +
+        manifest are fully written under the next epoch, then one
+        pointer flip publishes both together; a crash BEFORE the flip
+        leaves the previous summary whose manifest no longer matches —
+        the per-batch check detects that and falls back to a full
+        recount (exact, self-healing)."""
+        hot_root = self._path("band_hot")
+        hot_cur = self.backend.read_pointer(hot_root)
+        if self.max_bucket_size is None and hot_cur == 0:
             return  # cap never used on this store: skip the summary pass
-        if not os.path.exists(self._path("bands")):
+        if self._epoch("bands") == 0:
             return
         files = self._bands_data_files()  # listed under the writer lock
-        tmp = hot_path + ".compact"
-        shutil.rmtree(tmp, ignore_errors=True)
+        nxt = hot_cur + 1
+        nxt_path = os.path.join(hot_root, f"v{nxt}")
+        self.backend.remove_tree(nxt_path)
         (
             self._load_store("bands")
             .groupBy("band_id", "band_key")
@@ -817,17 +1005,17 @@ class IncrementalNearDup:
             .filter(F.col("n") >= 2)
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(tmp)
+            .parquet(nxt_path)
         )
-        # Spark readers skip underscore-prefixed files: the manifest
-        # rides inside the summary dir so the two swap atomically
-        with open(os.path.join(tmp, "_files.json"), "w") as fh:
+        # Spark/pyarrow readers skip underscore-prefixed files: the
+        # manifest rides inside the epoch dir so one flip publishes both
+        with open(os.path.join(nxt_path, "_files.json"), "w") as fh:
             json.dump(files, fh)
-        old = hot_path + ".old"
-        if os.path.exists(hot_path):
-            os.rename(hot_path, old)
-        os.rename(tmp, hot_path)
-        shutil.rmtree(old, ignore_errors=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        self.backend.commit_pointer(hot_root, nxt)
+        if hot_cur:
+            self.backend.remove_tree(os.path.join(hot_root, f"v{hot_cur}"))
 
     def _compact_hot_buckets(self, name: str, schema: str, threshold: int) -> None:
         """Merge every over-fragmented bucket's files, touching
@@ -841,11 +1029,18 @@ class IncrementalNearDup:
         transient duplicates (see :meth:`compact`). (A per-hot-bucket
         job loop measured 2× slower at 14 hot buckets — job-launch
         overhead dominates the maintenance pass.)"""
+        data_path = self._data_path(name)
+        if data_path is None or not self.backend.dir_exists(data_path):
+            return
         by_bucket: dict[int, list[str]] = {}
-        for f in glob.glob(os.path.join(self._path(name), "*.parquet")):
-            m = _BUCKET_ID_RE.search(os.path.basename(f))
+        for n in self.backend.list_dir(data_path):
+            if not n.endswith(".parquet"):
+                continue
+            m = _BUCKET_ID_RE.search(n)
             if m:
-                by_bucket.setdefault(int(m.group(1)), []).append(f)
+                by_bucket.setdefault(int(m.group(1)), []).append(
+                    os.path.join(data_path, n)
+                )
         hot = {b: files for b, files in by_bucket.items() if len(files) > threshold}
         hot_files = [f for files in hot.values() for f in files]
         if not hot_files:
@@ -869,7 +1064,7 @@ class IncrementalNearDup:
         )
         self._append_store(name, merged)
         for f in hot_files:
-            os.remove(f)
+            self.backend.remove_file(f)
         # the bucketed scan lists files at plan time; invalidate any
         # cached listing of the just-rewritten location
         if self.spark.catalog.tableExists(self._table(name)):

@@ -14,6 +14,8 @@ metric names so a dashboard built for one reads the other.
   debezium_metrics_MilliSecondsSinceLastEvent   →  ms_since_last_event
   debezium_metrics_NumberOfCommittedTransactions→  committed_transactions
   debezium_metrics_RowsScanned                  →  rows_scanned (per source)
+  debezium_metrics_snapshot_RowsScanned         →  snapshot_rows_scanned
+                                                   (per table, initial load)
   pg_replication_slots_..._wal_lsn_diff         →  backlog_rows (carryover)
   (connect worker throughput)                   →  last_batch_events_per_sec
 """
@@ -30,6 +32,7 @@ class PipelineMetrics:
 
     total_events_seen: int = 0
     rows_scanned: dict[str, int] = field(default_factory=dict)
+    snapshot_rows_scanned: dict[str, int] = field(default_factory=dict)
     ms_behind_source: float | None = None
     # ms_since_last_event is a derived property (see below), not a field
     committed_transactions: int = 0
@@ -55,6 +58,17 @@ class PipelineMetrics:
             self.rows_scanned[desc] = self.rows_scanned.get(desc, 0) + (
                 src.get("numInputRows", 0) or 0
             )
+
+    def observe_initial_load(self, table: str, n_rows: int) -> None:
+        """Snapshot-phase RowsScanned analog (reference
+        jmx_exporter_config.yml:12-18 tracks it per table): rows read
+        per TABLE during the initial load — the processor's first
+        batch over a state dir with no committed version, this
+        engine's equivalent of Debezium's snapshot phase. Later
+        (streaming-phase) batches feed ``rows_scanned`` instead."""
+        self.snapshot_rows_scanned[table] = (
+            self.snapshot_rows_scanned.get(table, 0) + n_rows
+        )
 
     def observe_event_time(self, max_event_ts_ms: int | None) -> None:
         """Lag = wall clock − newest processed source timestamp (the
@@ -96,6 +110,7 @@ class PipelineMetrics:
             "committed_transactions": self.committed_transactions,
             "last_batch_events_per_sec": self.last_batch_events_per_sec,
             "rows_scanned": dict(self.rows_scanned),
+            "snapshot_rows_scanned": dict(self.snapshot_rows_scanned),
             "backlog_rows": self.backlog_rows,
             "batches": self.batches,
         }

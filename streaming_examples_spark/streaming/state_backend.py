@@ -60,6 +60,18 @@ _LINK_UNSUPPORTED = {
 }
 
 
+def _internal_name(name: str) -> bool:
+    """Writer-internal sidecar files that must never enter the logical
+    namespace: Hadoop checksum files (``.part-*.crc``), ``_SUCCESS``
+    markers, temp dirs. Carrying them records dead weight in manifests
+    (and the deferred delete then retains stale ``.crc`` bytes via the
+    live-reference set indefinitely). Partition dirs (``_bucket=K``)
+    ARE data-bearing despite the underscore — the ``=`` marks them."""
+    if name.startswith("."):
+        return True
+    return name.startswith("_") and "=" not in name
+
+
 class StateStorageBackend:
     """Abstract storage primitives behind the versioned state commit.
 
@@ -100,6 +112,13 @@ class StateStorageBackend:
         raise NotImplementedError
 
     def remove_file(self, path: str) -> None:
+        raise NotImplementedError
+
+    def publish_file(self, path: str, data: bytes) -> None:
+        """Atomically publish a small single object (layout seals,
+        manifests): a reader sees the old content, the new content, or
+        absence — never a torn write. Object stores give this for free
+        (PUT is atomic per object); POSIX needs temp+rename."""
         raise NotImplementedError
 
     # -- logical namespace (reads + carry listings) ----------------------
@@ -179,11 +198,19 @@ class LocalPosixBackend(StateStorageBackend):
         except OSError:
             pass
 
+    def publish_file(self, path: str, data: bytes) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
     def dir_exists(self, path: str) -> bool:
         return os.path.isdir(path)
 
     def list_dir(self, path: str) -> list[str]:
-        return sorted(os.listdir(path))
+        return sorted(n for n in os.listdir(path) if not _internal_name(n))
 
     def read_locations(self, path: str) -> list[str]:
         return [path] if os.path.exists(path) else []
@@ -258,7 +285,10 @@ class ManifestBackend(StateStorageBackend):
         entries[dst_name] = physical
         self._write_manifest(dst_dir, entries)
 
-    def commit_pointer(self, state_dir: str, version: int) -> None:
+    def commit_pointer(self, state_dir: str, version: int) -> int:
+        """Returns the generation number this commit won — exposed so
+        the multi-writer contention tests can assert exactly one winner
+        per generation (callers may ignore it)."""
         gen_dir = os.path.join(state_dir, "_pointer")
         os.makedirs(gen_dir, exist_ok=True)
         prev = self._generations(gen_dir)
@@ -287,6 +317,7 @@ class ManifestBackend(StateStorageBackend):
                 os.unlink(os.path.join(gen_dir, name))
             except OSError:
                 pass
+        return nxt
 
     @staticmethod
     def _generations(gen_dir: str) -> list[tuple[int, str]]:
@@ -304,11 +335,38 @@ class ManifestBackend(StateStorageBackend):
         return sorted(out)
 
     def read_pointer(self, state_dir: str) -> int:
-        gens = self._generations(os.path.join(state_dir, "_pointer"))
-        if not gens:
-            return 0
-        with open(os.path.join(state_dir, "_pointer", gens[-1][1])) as fh:
-            return int(fh.read().strip())
+        # Walk generations newest-first, skipping (and GC'ing) torn
+        # ones: a crash between the exclusive create and the durable
+        # write leaves an empty/partial gen object — that commit never
+        # happened, so the previous generation is the committed state.
+        # A real conditional put is atomic and can't produce this; the
+        # emulation must tolerate it rather than wedging every reopen
+        # on int(''). The GC'd name is never reused: commit_pointer
+        # numbers the next generation above ALL observed names
+        # (_generations parses names, not contents), so deleting the
+        # torn object cannot let a later commit collide with it.
+        gen_dir = os.path.join(state_dir, "_pointer")
+        while True:
+            gens = self._generations(gen_dir)
+            for _g, name in reversed(gens):
+                p = os.path.join(gen_dir, name)
+                try:
+                    with open(p) as fh:
+                        return int(fh.read().strip())
+                except FileNotFoundError:
+                    # superseded by a concurrent commit (the committer
+                    # deletes old gens after success): re-list — the
+                    # newer generation is there to be found. Falling
+                    # through to an older name instead could return a
+                    # stale (or worse, zero) pointer.
+                    break
+                except ValueError:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+            else:
+                return 0
 
     def _live_refs(self, state_dir: str) -> set[str]:
         """Physical paths referenced by the COMMITTED version's
@@ -352,20 +410,157 @@ class ManifestBackend(StateStorageBackend):
         except OSError:
             pass
 
+    def publish_file(self, path: str, data: bytes) -> None:
+        # a real object-store PUT is atomic per object, so the double
+        # writes directly — it cannot (and must not pretend to) produce
+        # the torn intermediate a conditional-put store never shows
+        with open(path, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+
     def dir_exists(self, path: str) -> bool:
+        # Read-your-writes fencing: existence resolves through the
+        # dir's manifest object (a GET — the guarantee stores do give)
+        # before falling back to the LIST-backed probe. A bucket whose
+        # content was carried moments ago IS its manifest; relying on
+        # the prefix listing alone loses that bucket for every reader
+        # inside the list-after-write lag window (found by running the
+        # crash suite under LaggedManifestBackend: the next batch's
+        # _load_buckets saw stale-absent, silently dropping state).
+        if os.path.exists(os.path.join(path, self.MANIFEST)):
+            return True
+        return self._dir_probe(path)
+
+    def _dir_probe(self, path: str) -> bool:
+        """The LIST-backed existence probe (lagged by the
+        eventual-consistency double; the manifest GET above is not)."""
         return os.path.isdir(path)
 
     def list_dir(self, path: str) -> list[str]:
-        physical = [n for n in os.listdir(path) if n != self.MANIFEST]
-        return sorted(set(physical) | set(self._manifest(path)))
+        physical = [
+            n for n in self._physical_listing(path) if not _internal_name(n)
+        ]
+        carried = [n for n in self._manifest(path) if not _internal_name(n)]
+        return sorted(set(physical) | set(carried))
 
     def read_locations(self, path: str) -> list[str]:
-        if not os.path.isdir(path):
+        if not self.dir_exists(path):
             return []
         locs = [
             os.path.join(path, n)
-            for n in os.listdir(path)
+            for n in self._physical_listing(path)
             if not n.startswith(("_", "."))
         ]
-        locs.extend(self._manifest(path).values())
+        # filter by the CARRIED name, not the physical target's: a
+        # legacy manifest may reference a sidecar recorded before
+        # list_dir excluded them
+        locs.extend(
+            phys
+            for name, phys in self._manifest(path).items()
+            if not _internal_name(name)
+        )
         return sorted(locs)
+
+    def _physical_listing(self, path: str) -> list[str]:
+        """The LIST operation — the one primitive real object stores
+        have historically served stale (list-after-write lag). Isolated
+        so the eventual-consistency double can lag it without touching
+        direct object GETs, which stores do serve read-your-writes."""
+        return os.listdir(path)
+
+
+class LaggedManifestBackend(ManifestBackend):
+    """Eventual-consistency double: ``list_dir``/``dir_exists`` (the
+    LIST-backed namespace reads) serve STALE views for ``lag_ops``
+    subsequent backend operations after a mutation touches a prefix —
+    the classic object-store list-after-write hazard. Direct object
+    GETs (manifest reads, pointer generation reads, file opens) stay
+    fresh: that is the read-your-writes guarantee real stores do give,
+    and it is why the protocol's commit point is a pointer GET, never
+    a listing. Running the full crash/lifecycle suite under this
+    double is what proves the GC's deferred-delete and carry
+    enumeration never depend on a listing reflecting a write that
+    just happened."""
+
+    layout_id = ManifestBackend.layout_id  # same protocol, same seal
+
+    def __init__(self, lag_ops: int = 5):
+        self._lag = lag_ops
+        self._ops = 0
+        #: dir -> (expiry_op, existed_at_snapshot, listing_at_snapshot)
+        self._stale: dict[str, tuple[int, bool, list[str] | None]] = {}
+
+    # -- lag bookkeeping -------------------------------------------------
+    def _snap(self, *dirs: str) -> None:
+        """Freeze the CURRENT physical view of each dir before the
+        mutation lands; later mutations extend the lag window but keep
+        the ORIGINAL (oldest) snapshot — stale views do not get
+        fresher by being written to again."""
+        self._ops += 1
+        for d in dirs:
+            d = os.path.abspath(d)
+            if d in self._stale:
+                exp, existed, listing = self._stale[d]
+                self._stale[d] = (self._ops + self._lag, existed, listing)
+                continue
+            existed = os.path.isdir(d)
+            listing = sorted(os.listdir(d)) if existed else None
+            self._stale[d] = (self._ops + self._lag, existed, listing)
+
+    def _stale_view(self, path: str):
+        d = os.path.abspath(path)
+        hit = self._stale.get(d)
+        if hit is None:
+            return None
+        exp, existed, listing = hit
+        if self._ops >= exp:
+            del self._stale[d]
+            return None
+        return existed, listing
+
+    # -- mutations: count the op, freeze the affected prefixes -----------
+    def prepare_dir(self, path: str) -> None:
+        self._snap(path, os.path.dirname(os.path.abspath(path)))
+        super().prepare_dir(path)
+
+    def publish_file(self, path: str, data: bytes) -> None:
+        self._snap(os.path.dirname(os.path.abspath(path)))
+        super().publish_file(path, data)
+
+    def remove_file(self, path: str) -> None:
+        self._snap(os.path.dirname(os.path.abspath(path)))
+        super().remove_file(path)
+
+    def remove_tree(self, path: str) -> None:
+        self._snap(path, os.path.dirname(os.path.abspath(path)))
+        super().remove_tree(path)
+
+    def carry_file(self, src: str, dst: str) -> None:
+        self._snap(os.path.dirname(os.path.abspath(dst)))
+        super().carry_file(src, dst)
+
+    def commit_pointer(self, state_dir: str, version: int) -> int:
+        # the pointer read path resolves generations by GET, so the
+        # commit itself is not lagged — but it still advances the op
+        # clock (it is an operation other prefixes' lag expires against)
+        self._ops += 1
+        return super().commit_pointer(state_dir, version)
+
+    # -- LIST-backed reads: serve the stale view while it lasts ----------
+    def _dir_probe(self, path: str) -> bool:
+        view = self._stale_view(path)
+        if view is not None:
+            return view[0]
+        return super()._dir_probe(path)
+
+    def _physical_listing(self, path: str) -> list[str]:
+        # list_dir/read_locations flow through here; the manifest
+        # merge they add on top is a GET and stays fresh. A prefix the
+        # stale view believes absent LISTS as empty (that is what a
+        # real store returns), never as an error.
+        view = self._stale_view(path)
+        if view is not None:
+            existed, listing = view
+            return list(listing) if existed else []
+        return super()._physical_listing(path)

@@ -18,11 +18,34 @@ OTHER = (
 )
 
 
-@pytest.fixture()
-def detector(spark, tmp_path):
+def _backends():
+    from streaming_examples_spark.streaming.state_backend import (
+        LocalPosixBackend,
+        ManifestBackend,
+    )
+
+    return {"posix": LocalPosixBackend, "manifest": ManifestBackend}
+
+
+@pytest.fixture(params=["posix", "manifest"])
+def backend_cls(request):
+    return _backends()[request.param]
+
+
+@pytest.fixture(params=["posix", "manifest"])
+def detector(spark, tmp_path, request):
+    """The plain detector, parameterized over BOTH storage backends:
+    every lifecycle test in this module doubles as proof that the
+    store's commit protocol carries no POSIX assumption (hardlinks,
+    directory renames, synchronous prefix deletes)."""
     from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
 
-    return IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+    return IncrementalNearDup(
+        spark,
+        str(tmp_path / "state"),
+        threshold=0.5,
+        backend=_backends()[request.param](),
+    )
 
 
 def _docs(spark, rows):
@@ -58,7 +81,7 @@ def test_replayed_ids_dropped_and_store_bounded(spark, detector):
 
     # store holds CANONICAL docs only: 1, 2, 5 — not the dup 3
     import os
-    sigs = spark.read.parquet(os.path.join(detector.state_dir, "sigs"))
+    sigs = detector.read_store("sigs")
     assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2, 5]
 
 
@@ -81,16 +104,19 @@ def test_restart_fresh_detector_resumes_from_store(spark, detector, tmp_path):
     from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
 
     detector.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    backend_cls = type(detector.backend)
     del detector  # crash: nothing in-memory survives
 
-    fresh = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+    fresh = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, backend=backend_cls()
+    )
     # at-least-once redelivery of batch 0 into the fresh instance:
     # known ids fold away, state stays canonical-only
     assert fresh.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 1).count() == 0
     # cross-restart match: a near-dup of a doc stored BEFORE the crash
     r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 2).collect()}
     assert r[3]["is_dup"] and r[3]["dup_of"] == 1
-    sigs = spark.read.parquet(os.path.join(fresh.state_dir, "sigs"))
+    sigs = fresh.read_store("sigs")
     assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
 
 
@@ -99,21 +125,25 @@ def _drop_store_tables(spark, state_dir):
     import os
 
     tag = hashlib.md5(os.path.abspath(str(state_dir)).encode()).hexdigest()[:12]
-    spark.sql(f"DROP TABLE IF EXISTS incdedup_bands_{tag}")
-    spark.sql(f"DROP TABLE IF EXISTS incdedup_sigs_{tag}")
+    # table names are epoch-versioned (compaction registers the new
+    # epoch under a new name): drop every epoch's registration
+    for row in spark.sql(f"SHOW TABLES LIKE 'incdedup_*{tag}*'").collect():
+        spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
 
 
-def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path):
+def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path, backend_cls):
     """bands_buckets=N switches BOTH stores to external bucketed tables
     (the 100 TB layout): verdicts must be identical to the plain
     store, appends must accumulate across batches, a catalog-less
     restart (fresh session ≈ dropped table) must re-register the table
-    over the existing files, and compaction must keep it queryable."""
-    import os
-
+    over the existing files, and compaction must keep it queryable —
+    under BOTH storage backends."""
     from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
 
-    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+        backend=backend_cls(),
+    )
     try:
         r1 = {r["doc_id"]: r for r in det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0).collect()}
         assert not r1[1]["is_dup"] and not r1[2]["is_dup"]
@@ -123,10 +153,11 @@ def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path):
         # restart with a cold catalog: drop ONLY the table metadata
         # (external files stay), build a fresh detector — it must
         # re-register from DDL and still match docs stored pre-restart
-        spark.sql(f"DROP TABLE {det._bands_table}")
-        spark.sql(f"DROP TABLE {det._sigs_table}")
+        spark.sql(f"DROP TABLE {det.store_table('bands')}")
+        spark.sql(f"DROP TABLE {det.store_table('sigs')}")
         fresh = IncrementalNearDup(
-            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+            backend=backend_cls(),
         )
         NEAR2 = BASE.replace("warm fire", "cold fire")
         r3 = {r["doc_id"]: r for r in fresh.process_batch(_docs(spark, [(4, NEAR2)]), 2).collect()}
@@ -138,7 +169,7 @@ def test_bucketed_band_store_same_verdicts_and_restart(spark, tmp_path):
         r4 = {r["doc_id"]: r for r in fresh.process_batch(
             _docs(spark, [(9, BASE.replace("green trees", "green woods"))]), 3).collect()}
         assert r4[9]["is_dup"] and r4[9]["dup_of"] == 1
-        sigs = spark.read.parquet(os.path.join(fresh.state_dir, "sigs"))
+        sigs = fresh.read_store("sigs")
         assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
     finally:
         _drop_store_tables(spark, tmp_path / "state")
@@ -224,33 +255,49 @@ def test_viral_bucket_cap_gates_probe_and_peer(spark, tmp_path):
     assert r3[11]["is_dup"] and r3[11]["dup_of"] == 10
 
 
-def test_bucketed_compact_crash_before_swap_loses_nothing(spark, tmp_path, monkeypatch):
-    """Crash-atomicity of the bucketed compact: the new copy is fully
-    written BEFORE the live store is touched, so failing at the first
-    swap rename leaves the original store intact — a fresh detector
-    still matches every pre-compact canonical."""
-    import os as _os
+def _crash_once(obj, method, should, exc_msg="injected crash"):
+    """Wrap a backend method on the INSTANCE: raise once when `should`
+    matches, pass through otherwise — the seam-level injection the tx
+    store's crash suite uses (works for ANY backend, unlike patching
+    os.rename/os.replace)."""
+    real = getattr(obj, method)
+    state = {"armed": True, "calls": 0}
 
+    def wrapper(*a, **kw):
+        state["calls"] += 1
+        if state["armed"] and should(*a, **kw):
+            state["armed"] = False
+            raise RuntimeError(exc_msg)
+        return real(*a, **kw)
+
+    setattr(obj, method, wrapper)
+    return state
+
+
+def test_compact_crash_before_pointer_commit_loses_nothing(
+    spark, tmp_path, backend_cls, monkeypatch
+):
+    """Crash-atomicity of the bucketed compact under BOTH backends: the
+    rewritten epoch is fully written BEFORE the pointer flips, so dying
+    at the flip leaves the committed store intact — a fresh detector
+    still matches every pre-compact canonical, and a later compact
+    completes over the crash garbage."""
     from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
 
-    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+        backend=backend_cls(),
+    )
     try:
         det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
 
-        real_rename = _os.rename
-
-        def crash_on_swap(src, dst):
-            if str(dst).endswith(".old"):
-                raise RuntimeError("injected crash before swap")
-            return real_rename(src, dst)
-
-        monkeypatch.setattr("os.rename", crash_on_swap)
+        _crash_once(det.backend, "commit_pointer", lambda *_a, **_k: True)
         with pytest.raises(RuntimeError, match="injected crash"):
             det.compact()
-        monkeypatch.setattr("os.rename", real_rename)
 
         fresh = IncrementalNearDup(
-            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+            backend=backend_cls(),
         )
         r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
         assert r[3]["is_dup"] and r[3]["dup_of"] == 1
@@ -263,36 +310,186 @@ def test_bucketed_compact_crash_before_swap_loses_nothing(spark, tmp_path, monke
         _drop_store_tables(spark, tmp_path / "state")
 
 
-def test_bucketed_compact_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
-    """The one bad window: live dir renamed away, new dir not yet in
-    place. ``_recover`` must restore the ``.old`` copy on next load."""
-    import os as _os
+def test_compact_crash_mid_commit_keeps_one_store_epoch_behind(
+    spark, tmp_path, backend_cls
+):
+    """Dying at the SECOND store's pointer flip leaves the stores at
+    different compaction epochs — legal, because compaction preserves
+    content and each store commits independently. Verdicts must be
+    unchanged, and the next compact converges both stores."""
+    import os
 
     from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
 
-    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4)
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+        backend=backend_cls(),
+    )
     try:
         det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+        calls = {"n": 0}
 
-        real_rename = _os.rename
+        def second_call(*_a, **_k):
+            calls["n"] += 1
+            return calls["n"] == 2
 
-        def crash_mid_swap(src, dst):
-            if str(src).endswith(".compact"):
-                raise RuntimeError("injected crash mid-swap")
-            return real_rename(src, dst)
-
-        monkeypatch.setattr("os.rename", crash_mid_swap)
+        _crash_once(det.backend, "commit_pointer", second_call)
         with pytest.raises(RuntimeError, match="injected crash"):
             det.compact()
-        monkeypatch.setattr("os.rename", real_rename)
+        # one store advanced, the other did not
+        epochs = {n: det._epoch(n) for n in ("sigs", "bands")}
+        assert sorted(epochs.values()) == [1, 2], epochs
 
         fresh = IncrementalNearDup(
-            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+            backend=backend_cls(),
         )
         r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
         assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+        before = {n: fresh._epoch(n) for n in ("sigs", "bands")}
+        fresh.compact()
+        # each store advanced exactly one epoch from wherever it was
+        assert {n: fresh._epoch(n) for n in ("sigs", "bands")} == {
+            n: e + 1 for n, e in before.items()
+        }
+        # the GC reclaimed every superseded epoch dir
+        for n in ("sigs", "bands"):
+            stray = [
+                e
+                for e in os.listdir(os.path.join(str(tmp_path / "state"), n))
+                if e.startswith("v") and e != f"v{fresh._epoch(n)}"
+            ]
+            assert not stray, (n, stray)
     finally:
         _drop_store_tables(spark, tmp_path / "state")
+
+
+def test_compact_crash_after_commit_gcs_stray_epoch(spark, tmp_path, backend_cls):
+    """Dying AFTER the pointer flip but before the superseded epoch's
+    removal leaves a stray epoch dir: the new state is live (verdicts
+    from the compacted store), and the next locked operation's GC
+    reclaims the stray."""
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+        backend=backend_cls(),
+    )
+    try:
+        det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+        # the first remove_tree AFTER a commit is the superseded-epoch
+        # cleanup (pre-commit remove_tree calls clear empty garbage
+        # paths; gate on the path actually existing)
+        committed = {"yes": False}
+        real_commit = det.backend.commit_pointer
+
+        def tracking_commit(root, version):
+            committed["yes"] = True
+            return real_commit(root, version)
+
+        det.backend.commit_pointer = tracking_commit
+        _crash_once(
+            det.backend,
+            "remove_tree",
+            lambda path: committed["yes"] and os.path.isdir(path),
+        )
+        with pytest.raises(RuntimeError, match="injected crash"):
+            det.compact()
+
+        fresh = IncrementalNearDup(
+            spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4,
+            backend=backend_cls(),
+        )
+        r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
+        assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+        # the batch's GC pass reclaimed every non-current epoch dir
+        for n in ("sigs", "bands", "band_hot"):
+            root = os.path.join(str(tmp_path / "state"), n)
+            if not os.path.isdir(root):
+                continue
+            cur = fresh.backend.read_pointer(root)
+            stray = [
+                e for e in os.listdir(root)
+                if e.startswith("v") and e != f"v{cur}"
+            ]
+            assert not stray, (n, stray)
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
+
+
+def test_cross_backend_reopen_refused(spark, tmp_path):
+    """The layout seals the backend that committed the store: the two
+    encode pointers differently, so a foreign reopen would read epoch 0
+    and GC live files — the same silent-loss class as a bucket-count
+    mismatch. Must refuse at init."""
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+    from streaming_examples_spark.streaming.state_backend import (
+        LocalPosixBackend,
+        ManifestBackend,
+    )
+
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, backend=ManifestBackend()
+    )
+    det.process_batch(_docs(spark, [(1, BASE)]), 0)
+    with pytest.raises(ValueError, match="storage backend"):
+        IncrementalNearDup(
+            spark, str(tmp_path / "state"), threshold=0.5,
+            backend=LocalPosixBackend(),
+        )
+    # and the sealed backend still opens
+    again = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, backend=ManifestBackend()
+    )
+    r = {x["doc_id"]: x for x in again.process_batch(_docs(spark, [(2, NEAR)]), 1).collect()}
+    assert r[2]["is_dup"] and r[2]["dup_of"] == 1
+
+
+def test_legacy_root_level_store_adopted_in_place(spark, tmp_path):
+    """A pre-r9 store (live parquet at the store ROOT, no pointer) is
+    adopted at the first locked operation: files move into v1, the
+    pointer commits, and every pre-adoption canonical still matches —
+    including across a crash mid-adoption (re-entry completes it)."""
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    state = str(tmp_path / "state")
+    det = IncrementalNearDup(spark, state, threshold=0.5)
+    det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+
+    # demote to the legacy layout: move epoch files back to the roots,
+    # drop the pointers (exactly what an r8 store looks like on disk)
+    import shutil
+
+    for name in ("sigs", "bands"):
+        root = os.path.join(state, name)
+        epoch_dir = os.path.join(root, f"v{det.backend.read_pointer(root)}")
+        for n in os.listdir(epoch_dir):
+            os.rename(os.path.join(epoch_dir, n), os.path.join(root, n))
+        shutil.rmtree(epoch_dir)
+        os.unlink(os.path.join(root, "CURRENT"))
+    # r9 layouts seal the backend; r8 layouts had only bucket counts
+    import json
+
+    with open(os.path.join(state, "_layout.json"), "w") as fh:
+        json.dump({"bands_buckets": None, "sigs_buckets": None}, fh)
+
+    fresh = IncrementalNearDup(spark, state, threshold=0.5)
+    r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
+    assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+    # adopted: files now live under v1 with a committed pointer
+    for name in ("sigs", "bands"):
+        root = os.path.join(state, name)
+        assert fresh.backend.read_pointer(root) >= 1
+        assert not [n for n in os.listdir(root) if n.endswith(".parquet")]
+    # a manifest detector cannot adopt a POSIX-sealed legacy dir
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    with pytest.raises(ValueError, match="storage backend"):
+        IncrementalNearDup(spark, state, threshold=0.5, backend=ManifestBackend())
 
 
 def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
@@ -333,7 +530,7 @@ def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
 
         def files_per_bucket(store):
             out = {}
-            for f in glob.glob(os.path.join(det.state_dir, store, "*.parquet")):
+            for f in glob.glob(os.path.join(det._data_path(store), "*.parquet")):
                 m = _BUCKET_ID_RE.search(os.path.basename(f))
                 out.setdefault(int(m.group(1)), set()).add(os.path.basename(f))
             return out
@@ -353,7 +550,7 @@ def test_per_bucket_compaction_touches_only_hot_buckets(spark, tmp_path):
                 assert len(after[b]) == 1, f"hot bucket {b} not merged: {after[b]}"
 
         # store still answers: canonical set unchanged, probe works
-        sigs = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+        sigs = det.read_store("sigs")
         assert sigs.count() == sigs.select("doc_id").distinct().count()
         dup_of_one = synth([1]).collect()[0]["text"]
         r = {x["doc_id"]: x for x in det.process_batch(
@@ -398,23 +595,25 @@ def test_hot_bucket_compaction_crash_leaves_duplicates_not_holes(
         det.process_batch(synth(hot_ids[4:]), 1)
 
         def sigs_state():
-            sigs = spark.read.parquet(_os.path.join(det.state_dir, "sigs"))
+            sigs = det.read_store("sigs")
             ids = {r["doc_id"] for r in sigs.select("doc_id").distinct().collect()}
             return ids, sigs.count()
 
         ids_before, rows_before = sigs_state()
-        n_files = len(glob.glob(_os.path.join(det.state_dir, "sigs", "*.parquet")))
+        n_files = len(glob.glob(_os.path.join(det._data_path("sigs"), "*.parquet")))
         assert n_files >= 2, "need a fragmented hot bucket"
 
-        real_remove = _os.remove
+        # inject at the seam: the first input deletion after the merged
+        # append dies (works for any backend, unlike an os.remove patch)
+        real_remove = det.backend.remove_file
 
         def crash_on_first_delete(path):
             raise RuntimeError("injected crash before input deletion")
 
-        monkeypatch.setattr("os.remove", crash_on_first_delete)
+        det.backend.remove_file = crash_on_first_delete
         with pytest.raises(RuntimeError, match="injected crash"):
             det.compact(hot_bucket_threshold=1)
-        monkeypatch.setattr("os.remove", real_remove)
+        det.backend.remove_file = real_remove
 
         # duplicates, not holes: same canonical id set, MORE rows
         ids_after, rows_after = sigs_state()
@@ -508,7 +707,7 @@ def test_random_stream_invariants(spark, tmp_path, seed):
             for r in rows:
                 assert r["is_dup"] and family_of[r["dup_of"]] == f and r["dup_of"] != i
 
-    sigs = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+    sigs = det.read_store("sigs")
     assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == sorted(
         expected_canon.values()
     )
@@ -525,7 +724,7 @@ def test_random_stream_invariants(spark, tmp_path, seed):
             f = family_of[i]
             assert i != expected_canon[f]
             assert r["is_dup"] and family_of[r["dup_of"]] == f
-    sigs2 = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+    sigs2 = det.read_store("sigs")
     assert sigs2.count() == len(expected_canon)
 
 
@@ -583,12 +782,12 @@ def test_compaction_preserves_state_and_verdicts(spark, detector):
     detector.process_batch(_docs(spark, [(2, OTHER)]), 1)
     detector.process_batch(_docs(spark, [(5, "fresh unseen text about databases and storage engines")]), 2)
 
-    n_before = len(glob.glob(os.path.join(detector.state_dir, "sigs", "*.parquet")))
+    n_before = len(glob.glob(os.path.join(detector._data_path("sigs"), "*.parquet")))
     detector.compact(target_partitions=1)
-    n_after = len(glob.glob(os.path.join(detector.state_dir, "sigs", "*.parquet")))
+    n_after = len(glob.glob(os.path.join(detector._data_path("sigs"), "*.parquet")))
     assert n_after < n_before and n_after == 1
 
-    sigs = spark.read.parquet(os.path.join(detector.state_dir, "sigs"))
+    sigs = detector.read_store("sigs")
     assert sorted(r["doc_id"] for r in sigs.select("doc_id").collect()) == [1, 2, 5]
     # probe still works against the compacted store
     r = {x["doc_id"]: x for x in detector.process_batch(_docs(spark, [(9, NEAR)]), 3).collect()}
@@ -757,7 +956,7 @@ def test_cap_uses_compacted_summary_and_survives_restart(spark, tmp_path):
         _docs(spark, [(1, BASE), (2, BASE), (3, BASE)]), 0).collect()}
     assert not any(r0[i]["is_dup"] for i in (1, 2, 3))
     det.compact()
-    assert os.path.exists(os.path.join(state, "band_hot", "_files.json"))
+    assert os.path.exists(os.path.join(det._data_path("band_hot"), "_files.json"))
     # batch 1, same detector: the duplicate's keys hit store count 3 ≥
     # cap via the summary → hist path gated, no candidates
     r1 = det.process_batch(_docs(spark, [(4, BASE)]), 1).collect()[0]

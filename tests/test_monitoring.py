@@ -44,6 +44,21 @@ def test_lag_and_idle_metrics():
     assert 4_000 <= m.ms_behind_source <= 60_000  # unchanged by idle batch
 
 
+def test_initial_load_rows_counter_per_table():
+    """Snapshot-phase RowsScanned parity (jmx_exporter_config.yml:12-18
+    tracks it PER TABLE): the initial-load counter accumulates per
+    table, lives in the snapshot under its own key, and is disjoint
+    from the streaming-phase rows_scanned."""
+    m = PipelineMetrics()
+    m.observe_initial_load("orders", 20)
+    m.observe_initial_load("lines", 55)
+    m.observe_initial_load("lines", 5)  # multi-chunk initial load
+    assert m.snapshot_rows_scanned == {"orders": 20, "lines": 60}
+    snap = m.snapshot()
+    assert snap["snapshot_rows_scanned"] == {"orders": 20, "lines": 60}
+    assert snap["rows_scanned"] == {}  # streaming-phase counter untouched
+
+
 def test_throughput_and_committed_tx_counters():
     m = PipelineMetrics()
     m.observe_batch(n_events=1000, duration_sec=2.0, n_committed_txs=7)

@@ -137,7 +137,7 @@ def test_incremental_dedup_bucketed_probe_shuffles_batch_side_only(
             ),
             0,
         )
-        store = spark.table(det._bands_table)
+        store = spark.table(det.store_table("bands"))
         batch = spark.createDataFrame(
             [(2, 0, "k")], "doc_id long, band_id int, band_key string"
         )
@@ -146,8 +146,10 @@ def test_incremental_dedup_bucketed_probe_shuffles_batch_side_only(
         assert "Bucketed: true" in plan  # the store scan uses its buckets
         assert exchange_count(probe) == 1  # batch side only; store elided
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
-        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
+        for row in spark.sql(f"SHOW TABLES LIKE '{det._bands_table}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
+        for row in spark.sql(f"SHOW TABLES LIKE '{det._sigs_table}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
 
 
 def test_incremental_dedup_bucketed_sigs_joins_shuffle_batch_side_only(
@@ -171,7 +173,7 @@ def test_incremental_dedup_bucketed_sigs_joins_shuffle_batch_side_only(
             ),
             0,
         )
-        store = spark.table(det._sigs_table)
+        store = spark.table(det.store_table("sigs"))
 
         # replay-protection shape: batch LEFT ANTI store on doc_id
         batch = spark.createDataFrame([(2, "t")], "doc_id long, text string")
@@ -194,8 +196,10 @@ def test_incremental_dedup_bucketed_sigs_joins_shuffle_batch_side_only(
         assert "Bucketed: true" in plan_v
         assert exchange_count(verify) == 1
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
-        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
+        for row in spark.sql(f"SHOW TABLES LIKE '{det._bands_table}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
+        for row in spark.sql(f"SHOW TABLES LIKE '{det._sigs_table}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
 
 
 def test_incremental_dedup_compacted_store_elides_probe_sort(spark, tables, tmp_path):
@@ -219,7 +223,7 @@ def test_incremental_dedup_compacted_store_elides_probe_sort(spark, tables, tmp_
             det.process_batch(
                 spark.createDataFrame([(i + 1, text)], "doc_id long, text string"), i
             )
-        store = spark.table(det._bands_table)
+        store = spark.table(det.store_table("bands"))
         batch = spark.createDataFrame(
             [(9, 0, "k")], "doc_id long, band_id int, band_key string"
         )
@@ -230,15 +234,17 @@ def test_incremental_dedup_compacted_store_elides_probe_sort(spark, tables, tmp_
         assert count_occurrences(probe, r"\bSort\b") == 4
 
         det.compact()
-        store = spark.table(det._bands_table)
+        store = spark.table(det.store_table("bands"))
         probe = batch.hint("merge").join(store, ["band_id", "band_key"])
         assert exchange_count(probe) == 1
         # one file per bucket → store side reads pre-sorted; only the
         # batch side sorts (×2 plan mentions)
         assert count_occurrences(probe, r"\bSort\b") == 2
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
-        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
+        for row in spark.sql(f"SHOW TABLES LIKE '{det._bands_table}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
+        for row in spark.sql(f"SHOW TABLES LIKE '{det._sigs_table}*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
 
 
 def test_multimodal_meta_union_plan_shape(spark):

@@ -27,11 +27,21 @@ from pyspark.sql import functions as F
 from streaming_examples_spark.model.fixtures import TxLog
 from streaming_examples_spark.streaming.cdc_stream import TxDenormBatchProcessor
 from streaming_examples_spark.streaming.state_backend import (
+    LaggedManifestBackend,
     LocalPosixBackend,
     ManifestBackend,
 )
 
-BACKENDS = {"posix": LocalPosixBackend, "manifest": ManifestBackend}
+BACKENDS = {
+    "posix": LocalPosixBackend,
+    "manifest": ManifestBackend,
+    # list-after-write lag (the classic object-store hazard): every
+    # LIST-backed read serves a stale view for 5 operations after a
+    # mutation; GETs stay fresh. The same suite must hold — the
+    # protocol may never depend on a listing reflecting a just-issued
+    # write (GC deferred deletes, carry enumeration, bucket loads).
+    "manifest-lagged": LaggedManifestBackend,
+}
 
 
 @pytest.fixture(params=sorted(BACKENDS))
@@ -239,6 +249,143 @@ def test_manifest_commit_is_conditional_put(tmp_path):
     with pytest.raises(RuntimeError, match="conditional put"):
         b.commit_pointer(state, 3)
     assert a.read_pointer(state) == 2  # a's commit stands, untouched
+
+
+def _cas_hammer_worker(state_dir, log_path, barrier, rounds):
+    """One 'host' racing the conditional put: every round, all workers
+    hit commit_pointer for the same logical step at the same instant
+    (barrier), bypassing the local advisory lock entirely — a real
+    object store has two HOSTS, and only the CAS stands between them."""
+    import os
+
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    be = ManifestBackend()
+    pid = os.getpid()
+    for r in range(1, rounds + 1):
+        barrier.wait()
+        try:
+            gen = be.commit_pointer(state_dir, r)
+            line = f"win {pid} {r} {gen}\n"
+        except RuntimeError:
+            line = f"lose {pid} {r}\n"
+        # pointer must be readable mid-contention, never torn
+        assert be.read_pointer(state_dir) >= 0
+        fd = os.open(log_path, os.O_WRONLY | os.O_APPEND | os.O_CREAT)
+        os.write(fd, line.encode())
+        os.close(fd)
+
+
+def test_manifest_cas_multi_writer_hammer(tmp_path):
+    """Two+ PROCESSES race commit_pointer's O_EXCL generation CAS
+    directly — not through the advisory writer lock, which is local
+    and cannot order two hosts. Invariants: every generation number is
+    won by exactly one writer, losers fail loudly with the
+    conditional-put error (never silent last-writer-wins), the pointer
+    stays readable throughout, and at least one real collision
+    occurred (the race was exercised, not dodged)."""
+    import multiprocessing as mp
+
+    state, log = str(tmp_path / "state"), str(tmp_path / "log")
+    os.makedirs(state)
+    n_workers, rounds = 4, 12
+    barrier = mp.Barrier(n_workers)
+    procs = [
+        mp.Process(
+            target=_cas_hammer_worker, args=(state, log, barrier, rounds)
+        )
+        for _ in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    wins_by_gen: dict[int, list[str]] = {}
+    wins_per_round: dict[int, int] = {}
+    losses = 0
+    with open(log) as fh:
+        for line in fh:
+            parts = line.split()
+            if parts[0] == "win":
+                wins_by_gen.setdefault(int(parts[3]), []).append(parts[1])
+                wins_per_round[int(parts[2])] = (
+                    wins_per_round.get(int(parts[2]), 0) + 1
+                )
+            else:
+                losses += 1
+    # exactly one winner per generation — the CAS held under contention
+    multi = {g: ws for g, ws in wins_by_gen.items() if len(ws) > 1}
+    assert not multi, f"generations won twice: {multi}"
+    # every round made progress, and the race genuinely collided
+    assert set(wins_per_round) == set(range(1, rounds + 1))
+    assert losses > 0, "no CAS conflict ever fired — the hammer missed"
+    # the surviving pointer is clean and parseable
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    assert ManifestBackend().read_pointer(state) in range(1, rounds + 1)
+
+
+def test_manifest_torn_generation_skipped_and_gcd(tmp_path):
+    """A crash between the exclusive create and the durable write
+    leaves an empty/partial gen object. A real conditional put is
+    atomic and cannot produce this, so the emulation must treat it as
+    a FAILED commit: read_pointer resolves the previous generation
+    (not a bare int('') ValueError on every reopen), GCs the torn
+    object, and the next commit lands above it."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    be = ManifestBackend()
+    be.commit_pointer(state, 7)
+    gen_dir = os.path.join(state, "_pointer")
+    # the crash artifacts: an empty gen and a torn (non-numeric) gen
+    open(os.path.join(gen_dir, "gen-000000000002"), "w").close()
+    with open(os.path.join(gen_dir, "gen-000000000003"), "w") as fh:
+        fh.write("par")  # partial write
+    assert be.read_pointer(state) == 7
+    # torn objects were GC'd, the committed one survives
+    names = sorted(os.listdir(gen_dir))
+    assert names == ["gen-000000000001"]
+    be.commit_pointer(state, 8)
+    assert be.read_pointer(state) == 8
+    # a torn object with no predecessor reads as "no commit yet"
+    state2 = str(tmp_path / "state2")
+    os.makedirs(os.path.join(state2, "_pointer"))
+    open(os.path.join(state2, "_pointer", "gen-000000000001"), "w").close()
+    assert be.read_pointer(state2) == 0
+
+
+def test_backends_exclude_writer_sidecars_from_logical_namespace(tmp_path):
+    """Hadoop checksum files (.part-*.crc) and _SUCCESS markers are
+    writer-internal: list_dir carrying them would record dead weight
+    in manifests (and the deferred delete would then retain stale
+    .crc bytes via the live-reference set forever). Partition dirs
+    (_bucket=K) are data-bearing despite the underscore and must
+    survive the filter."""
+    d = tmp_path / "bucket"
+    d.mkdir()
+    (d / "part-0001.parquet").write_bytes(b"x")
+    (d / ".part-0001.parquet.crc").write_bytes(b"c")
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / "_bucket=3").mkdir()
+    for be in (LocalPosixBackend(), ManifestBackend()):
+        assert be.list_dir(str(d)) == ["_bucket=3", "part-0001.parquet"], type(be)
+
+    # a manifest-backed carry of the dir records only data entries,
+    # and read_locations never surfaces sidecars — even ones a legacy
+    # manifest recorded before the filter existed
+    mb = ManifestBackend()
+    dst = tmp_path / "carried"
+    dst.mkdir()
+    for name in mb.list_dir(str(d)) :
+        if name != "_bucket=3":
+            mb.carry_file(str(d / name), str(dst / name))
+    mb._write_manifest(
+        str(dst),
+        {**mb._manifest(str(dst)), ".legacy.crc": str(d / ".part-0001.parquet.crc")},
+    )
+    assert mb.list_dir(str(dst)) == ["part-0001.parquet"]
+    assert mb.read_locations(str(dst)) == [str(d / "part-0001.parquet")]
 
 
 # -- crash windows, injected at the seam ---------------------------------

@@ -77,6 +77,45 @@ def test_single_batch_metrics_populated(spark, tmp_path):
     assert snap["backlog_rows"] == 0  # tx complete, no carryover
 
 
+def test_initial_load_rows_counter_over_two_tables(spark, tmp_path):
+    """Snapshot-phase RowsScanned per table (the reference tracks it
+    through jmx_exporter_config.yml:12-18): the FIRST batch over a
+    fresh state dir is the initial load — its per-table event counts
+    land in snapshot_rows_scanned and stay frozen; later (streaming
+    phase) batches must not grow the counter."""
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001),
+        lambda t: t.insert_line(100002, 10001),
+    )
+    log.tx(lambda t: t.insert_order(10002), lambda t: t.insert_line(100021, 10002))
+    proc = TxDenormBatchProcessor(spark, str(tmp_path / "state"))
+    assert proc.process(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+        0,
+    ).count() == 2
+    snap = proc.metrics.snapshot()
+    assert snap["snapshot_rows_scanned"] == {"orders": 2, "lines": 3}
+
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_line(100003, 10001, price="3.00"))
+    assert proc.process(
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+        1,
+    ).count() == 1
+    # streaming phase: the snapshot counter is frozen at the initial load
+    assert proc.metrics.snapshot()["snapshot_rows_scanned"] == {
+        "orders": 2,
+        "lines": 3,
+    }
+
+
 @pytest.mark.slow
 def test_exactly_once_under_redelivery(spark, tmp_path):
     """At-least-once replay: re-sending a fully-processed batch must
@@ -236,8 +275,10 @@ def test_state_writes_proportional_to_touched_buckets(spark, tmp_path):
             for f in files:
                 p = os.path.join(dirpath, f)
                 rel = os.path.relpath(p, root)
-                if "_bucket=" not in rel:
-                    continue  # _SUCCESS & friends: markers, not state data
+                if "_bucket=" not in rel or f.startswith("."):
+                    # _SUCCESS & .crc sidecars: markers, not state data
+                    # (carry excludes them from the logical namespace)
+                    continue
                 st = os.stat(p)
                 out[rel] = (st.st_size, st.st_mtime_ns, st.st_ino)
         return out
@@ -939,5 +980,61 @@ def test_migrate_state_tool_crash_resume_and_guards(spark, tmp_path):
     with _pytest.raises(SystemExit, match="crashed migration recorded"):
         migrate(state, 16)
     migrate(state, 8)  # resume completes the remaining moves
+    docs = TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1).collect()
+    assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["3.00", "7.00"]
+
+
+def test_migrate_state_tool_finalizes_pointer_marker_window(spark, tmp_path):
+    """Crash in the LAST window — pointer committed, marker not yet
+    removed: the dir holds BOTH. The processor refuses while the marker
+    exists; the tool must finalize (remove the marker only) instead of
+    raising 'already has a committed version pointer' — which would
+    wedge the dir permanently against its own documented remedy."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "tools")
+    import pytest as _pytest
+
+    from migrate_state import migrate, plan_migration
+
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="7.00"),
+    )
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    assert proc.process(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+        0,
+    ).count() == 1
+    _demigrate(state)
+    migrate(state, 8)
+    # re-create the crash window: marker back, everything else committed
+    with open(os.path.join(state, "_migration.json"), "w") as fh:
+        json.dump({"n_buckets": 8}, fh)
+
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_line(100002, 10001, price="3.00"))
+    b1 = (
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+    )
+    with pytest.raises(ValueError, match="migration marker"):
+        TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1)
+    # finalizing with the WRONG count is refused (the marker records 8)
+    with _pytest.raises(SystemExit, match="crashed migration recorded"):
+        plan_migration(state, 16)
+    assert plan_migration(state, 8) == [
+        ("remove-marker", os.path.join(state, "_migration.json"))
+    ]
+    migrate(state, 8)  # re-run completes idempotently, as documented
+    assert not os.path.exists(os.path.join(state, "_migration.json"))
     docs = TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1).collect()
     assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["3.00", "7.00"]

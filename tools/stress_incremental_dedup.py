@@ -5,7 +5,7 @@ size — the evidence that per-batch cost tracks BATCH size (probe is an
 equi-join into the band store), not accumulated corpus size.
 
 Usage: python tools/stress_incremental_dedup.py [--bucketed N] [--seed M]
-       [--cap K|none] [sf_dir] [n_batches]
+       [--cap K|none] [--backend posix|manifest] [sf_dir] [n_batches]
 
 ``--cap`` sets the viral-band guard (default 256, the measured batch-family
 value; ``none`` disables) — A/B the per-batch cost of the cap's extra
@@ -15,6 +15,10 @@ store scan.
 (bands_buckets=N): the probe join reads the store in place instead of
 shuffling it each batch — the flat-wall claim measured under both
 layouts.
+
+``--backend manifest`` commits the stores through the object-store
+double (no hardlinks/renames, deferred deletes) — the same batches,
+plan checks, and compaction passes must hold under both backends.
 
 ``--seed M`` pre-folds M synthetic docs (the curation probe's
 generator) into the store before streaming the sf batches — the
@@ -58,6 +62,11 @@ def main() -> int:
         i = argv.index("--cap")
         cap = None if argv[i + 1] == "none" else int(argv[i + 1])
         del argv[i : i + 2]
+    backend_name = "posix"
+    if "--backend" in argv:
+        i = argv.index("--backend")
+        backend_name = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     n_batches = int(argv[1]) if len(argv) > 1 else 10
 
@@ -67,12 +76,21 @@ def main() -> int:
     n_docs = docs.count()
 
     state = tempfile.mkdtemp(prefix="incdedup_")
+    from streaming_examples_spark.streaming.state_backend import (
+        LocalPosixBackend,
+        ManifestBackend,
+    )
+
+    backend = {"posix": LocalPosixBackend, "manifest": ManifestBackend}[
+        backend_name
+    ]()
     det = IncrementalNearDup(
         spark,
         os.path.join(state, "state"),
         threshold=0.7,
         bands_buckets=buckets,
         max_bucket_size=cap,
+        backend=backend,
     )
 
     if seed:
@@ -101,7 +119,7 @@ def main() -> int:
             flush=True,
         )
     wall = time.time() - t_all
-    sigs = spark.read.parquet(os.path.join(det.state_dir, "sigs"))
+    sigs = det.read_store("sigs")
     print(
         f"total: {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/s), "
         f"{total_dups} dups, store={sigs.count()} canonicals"
@@ -113,8 +131,8 @@ def main() -> int:
         # exchange, on the batch side (store-side Exchange elided)
         from streaming_examples_spark.plans.inspect import exchange_count
 
-        bands_t = spark.table(det._bands_table)
-        sigs_t = spark.table(det._sigs_table)
+        bands_t = spark.table(det.store_table("bands"))
+        sigs_t = spark.table(det.store_table("sigs"))
         b_batch = spark.createDataFrame(
             [(0, 0, "k")], "doc_id long, band_id int, band_key string"
         )
@@ -146,7 +164,7 @@ def main() -> int:
 
         def histogram(store):
             h = {}
-            for f in glob.glob(os.path.join(det.state_dir, store, "*.parquet")):
+            for f in glob.glob(os.path.join(det._data_path(store), "*.parquet")):
                 m = _BUCKET_ID_RE.search(os.path.basename(f))
                 if m:
                     h[int(m.group(1))] = h.get(int(m.group(1)), 0) + 1
@@ -199,8 +217,9 @@ def main() -> int:
             f"vs full-rewrite {t_full:.1f}s",
             flush=True,
         )
-        spark.sql(f"DROP TABLE IF EXISTS {det._bands_table}")
-        spark.sql(f"DROP TABLE IF EXISTS {det._sigs_table}")
+        for base in (det._bands_table, det._sigs_table):
+            for row in spark.sql(f"SHOW TABLES LIKE '{base}*'").collect():
+                spark.sql(f"DROP TABLE IF EXISTS {row['tableName']}")
     shutil.rmtree(state, ignore_errors=True)
     return 0
 
