@@ -628,6 +628,17 @@ def start_tx_denorm_stream(
     so the streams are unioned with a ``_stream`` tag (their schemas
     are reconciled to JSON strings) and split again inside the batch —
     one logical clock, one state, one emission order.
+
+    Delivery-order contract (same as the reference's, which consumes
+    a single-partition transaction topic: DataStreamV2Job.java:70-97):
+    the TRANSACTION metadata stream must arrive in commit order. The
+    barrier holds a completed tx until every EARLIER-known committed
+    tx emits, but it cannot know about a tx whose BEGIN/END the source
+    has not delivered yet — a source that reorders tx metadata across
+    micro-batches (impossible for a Kafka partition, easy for a sloppy
+    file-based test double) yields emissions in that reordered
+    sequence. Data-event streams carry no such requirement (events are
+    carried and re-ordered per tx).
     """
     tagged = (
         order_stream.select(F.lit("orders").alias("_stream"), F.to_json(F.struct("*")).alias("payload"))

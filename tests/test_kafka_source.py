@@ -85,10 +85,20 @@ def write_wire_log(tmp_path, log: TxLog, files: int = 1) -> str:
             }
         )
     per = max(1, (len(records) + files - 1) // files)
+    import time as _time
+
+    base = _time.time() - 3600
     for i in range(0, len(records), per):
-        with open(os.path.join(wire_dir, f"chunk-{i // per:05d}.json"), "w") as f:
+        path = os.path.join(wire_dir, f"chunk-{i // per:05d}.json")
+        with open(path, "w") as f:
             for r in records[i : i + per]:
                 f.write(json.dumps(r) + "\n")
+        # STRICTLY increasing mtimes: Spark's file source orders files
+        # by modification time and breaks ties arbitrarily — chunks
+        # written within one clock tick can replay with offset 3 before
+        # offset 1, which a real Kafka partition can never do. The
+        # double must preserve the broker's per-partition order.
+        os.utime(path, (base + (i // per) * 10, base + (i // per) * 10))
     return wire_dir
 
 
@@ -327,3 +337,121 @@ def test_sink_to_source_wire_roundtrip(spark, tmp_path):
         value_cols=["body"],
     ).filter(F.col("body").isNotNull())
     assert {r["k"] for r in live.collect()} == {"1", "3"}
+
+
+@pytest.mark.slow
+def test_composed_e2e_manifest_state_restart_and_replay(spark, tmp_path):
+    """The round-8 seams COMPOSED in one pipeline, which no other test
+    does: the consumer double feeds the three-topic wire in, the tx
+    state commits through ManifestBackend (object-store constraints —
+    no hardlinks, no renames, deferred deletes), and emissions leave
+    through the file-stub producer. The stream is KILLED mid-corpus,
+    restarted with a fresh processor over the same manifest-backed
+    state, and finally fully REPLAYED from offset zero with a wiped
+    checkpoint. The parquet output must equal the batch oracle exactly
+    once — the restart loses nothing, the replay adds nothing — and
+    the wire sink must carry every emission."""
+    import shutil
+
+    from tests.test_kafka_sink import _file_stub_factory, _read_sent
+    from streaming_examples_spark.operators.txjoin import tx_denormalize
+    from streaming_examples_spark.sources.kafka import upsert_sink_batch
+    from streaming_examples_spark.streaming.cdc_stream import start_tx_denorm_stream
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    log = _tx_log()
+    staged = write_wire_log(tmp_path, log, files=4)
+    live = str(tmp_path / "live_wire")
+    os.makedirs(live)
+    chunks = sorted(os.listdir(staged))
+    assert len(chunks) >= 3  # kill point must be mid-corpus
+    dirs = {n: str(tmp_path / n) for n in ("out", "state", "ckpt", "sent")}
+    os.makedirs(dirs["sent"])
+
+    def sink(emissions, batch_id):
+        upsert_sink_batch(
+            emissions.coalesce(1),
+            bootstrap_servers="unused:9092",
+            topic="docs.upserts",
+            key_col="order_key",
+            producer_factory=_file_stub_factory(
+                dirs["sent"], prefix=f"{batch_id:05d}-"
+            ),
+        )
+
+    def run_stream():
+        factory = _consumer_factory(live, streaming=True)
+        q = start_tx_denorm_stream(
+            spark,
+            kafka_envelope_stream(
+                spark, topic="orders", row_schema=ORDER_ROW_SCHEMA,
+                consumer_factory=factory,
+            ),
+            kafka_envelope_stream(
+                spark, topic="order_lines", row_schema=LINE_ROW_SCHEMA,
+                consumer_factory=factory,
+            ),
+            kafka_transaction_stream(
+                spark, topic="transactions", consumer_factory=factory
+            ),
+            state_dir=dirs["state"],
+            output_dir=dirs["out"],
+            checkpoint_dir=dirs["ckpt"],
+            emission_sink=sink,
+            backend=ManifestBackend(),  # a NEW instance per restart
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # phase 1: half the wire arrives, then the process dies
+    for c in chunks[:2]:
+        shutil.copy2(os.path.join(staged, c), os.path.join(live, c))
+    run_stream()
+    # the state really committed through the manifest protocol: a
+    # generation pointer, no POSIX CURRENT file
+    assert os.path.isdir(os.path.join(dirs["state"], "_pointer"))
+    assert not os.path.exists(os.path.join(dirs["state"], "CURRENT"))
+
+    # phase 2: restart (fresh processor, fresh backend instance) over
+    # the same state; the rest of the wire arrives
+    for c in chunks[2:]:
+        shutil.copy2(os.path.join(staged, c), os.path.join(live, c))
+    run_stream()
+
+    # phase 3: full replay from offset zero — wiped checkpoint, same
+    # state: the applied-tx dedup must emit nothing new
+    rows_before = spark.read.parquet(dirs["out"]).count()
+    shutil.rmtree(dirs["ckpt"])
+    run_stream()
+
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == rows_before  # replay added nothing
+
+    got = {
+        (r["id"], r["commit_lsn"]): sorted(
+            (ln["id"], str(ln["price"])) for ln in (r["lines"] or [])
+        )
+        for r in out.collect()
+    }
+    batch = tx_denormalize(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    want = {
+        (r["id"], r["commit_lsn"]): sorted(
+            (ln["id"], str(ln["price"])) for ln in (r["lines"] or [])
+        )
+        for r in batch.emissions.collect()
+    }
+    assert got == want and want
+    # exactly-once in the OUTPUT: one row per (order, commit_lsn)
+    assert out.count() == len(want)
+    # the wire sink carried every emission (at-least-once, no loss)
+    sent = [r for p in _read_sent(dirs["sent"]) for r in p]
+    assert len(sent) >= len(want)
+    assert {r["key"] for r in sent} == {
+        str(oid) for oid, _lsn in want
+    }

@@ -76,13 +76,17 @@ def main() -> int:
         # +21 % text_stats, +38 % multimodal_audio on untouched code)
         "dedup_groups": lambda s: cat["dedup_groups"].fn(s, SF_DIR),
         "text_stats": lambda s: cat["text_stats"].fn(s, SF_DIR),
+        # r8 single-run bench drift watch (judge: cold +33 % on
+        # untouched code; its cold is 92 % construction, so measured
+        # in construct+exec mode)
+        "dedup_minhash_lsh": lambda s: cat["dedup_minhash_lsh"].fn(s, SF_DIR),
     }
     targets.update(_extras())
     # construction-dominated entries (eager checkpoints / CC fixpoint:
     # 78-92 % of their cold time is CONSTRUCTION, probe_cold_decomp) —
     # exec-only repeats would miss the drifted term, so each run
     # releases the memo and rebuilds from scratch
-    rebuild = {"dedup_groups"}
+    rebuild = {"dedup_groups", "dedup_minhash_lsh"}
 
     out = {}
     for name, build in targets.items():
