@@ -385,14 +385,17 @@ class IncrementalNearDup:
         """Advisory single-writer lock making :meth:`process_batch` and
         :meth:`compact` mutually exclusive on one state dir.
 
-        The race it closes: ``compact``'s full rewrite reads the live
-        store into a temp copy, then swaps directories — an append that
-        lands between the completed temp write and the swap is renamed
-        into ``.old`` and deleted with it, silently losing those
-        canonical docs from the store (and, for ``sigs``, their replay
-        protection). The operational contract is therefore one writer
-        at a time: the stream OR the maintenance job. Acquisition and
-        stale-break mechanics: :func:`writer_lock`.
+        The race it closes: ``compact`` rewrites the store under the
+        NEXT epoch from a snapshot of the current one — an append that
+        lands in the CURRENT epoch between that snapshot and the
+        pointer flip is absent from the rewrite and reclaimed with the
+        superseded epoch, silently losing those canonical docs from
+        the store (and, for ``sigs``, their replay protection). The
+        operational contract is therefore one writer at a time: the
+        stream OR the maintenance job. (On a real object store two
+        HOSTS can still race the pointer itself — the conditional-put
+        commit makes that loud, tested by the CAS hammer.) Acquisition
+        and stale-break mechanics: :func:`writer_lock`.
         """
         with writer_lock(self.state_dir, role):
             yield
