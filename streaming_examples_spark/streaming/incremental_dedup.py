@@ -282,6 +282,12 @@ class IncrementalNearDup:
     def store_table(self, name: str) -> str:
         """Public: the registered table name of a bucketed store's
         current epoch (plan tests / operational inspection)."""
+        if not self._buckets(name):
+            raise ValueError(
+                f"store {name!r} is plain parquet (no bucket count declared); "
+                "only bucketed stores register a table — read it with "
+                "read_store() instead"
+            )
         self._ensure_table(name)
         return self._table(name)
 
