@@ -167,10 +167,15 @@ def main() -> int:
             runs.append(time.time() - t0)
         # run 1 pays plan construction and populates the cache/pinned
         # frames; runs 2-4 are the steady-state sample the headline
-        # summarizes. min spans ALL runs — the old min-of-2 lineage.
+        # summarizes. The min lineage takes EXACTLY the first two runs
+        # — byte-identical semantics to the pre-r9 min-of-2 protocol —
+        # so value_min stays comparable round over round (a min over
+        # all four would be a distributionally lower order statistic:
+        # a protocol-made "improvement", the artifact class this
+        # change exists to kill).
         steady = runs[1:]
         warm[name] = round(statistics.median(steady), 3)
-        warm_min[name] = round(min(runs), 3)
+        warm_min[name] = round(min(runs[:2]), 3)
         spread[name] = round(max(steady) - min(steady), 3)
         # release this query's plan-cache entry (unpersists its pinned
         # gate frames) + clear leftover caches: later queries must not
@@ -203,7 +208,8 @@ def main() -> int:
             "warm": "median of 3 steady-state invocations via a cached plan "
             "(run 1 pays construction, timed into the min lineage only; "
             "extras memoize their DataFrame the same way since r6)",
-            "warm_min": "min over all 4 invocations (pre-r9 min-of-2 lineage)",
+            "warm_min": "min of the FIRST 2 invocations — byte-identical to "
+            "the pre-r9 min-of-2 protocol, comparable round over round",
             "cold": "caches cleared, uncached construction + first execution",
             "spread": "max-min of the 3 steady-state runs per query",
         },

@@ -539,9 +539,15 @@ class TxDenormBatchProcessor:
             # snapshot-phase RowsScanned (per table): the first batch
             # over a fresh state dir is this engine's initial load —
             # the reference tracks the same counter per table through
-            # its JMX snapshot metrics (jmx_exporter_config.yml:12-18)
-            self.metrics.observe_initial_load("orders", n_order_events)
-            self.metrics.observe_initial_load("lines", n_line_events)
+            # its JMX snapshot metrics (jmx_exporter_config.yml:12-18).
+            # batch_id dedupes an at-least-once RETRY of this batch
+            # (crash after the counts, before the version commit).
+            self.metrics.observe_initial_load(
+                "orders", n_order_events, batch_id=batch_id
+            )
+            self.metrics.observe_initial_load(
+                "lines", n_line_events, batch_id=batch_id
+            )
         # committed-tx count MUST be taken before _store_all swaps the
         # state dirs: emitted_txs' lineage reads the pre-swap state
         # files, so a post-swap action would re-evaluate against the

@@ -238,34 +238,57 @@ class IncrementalNearDup:
         e = self._epoch(name) if epoch is None else epoch
         return os.path.join(self._path(name), f"v{e}") if e else None
 
-    def _ensure_epoch(self, name: str) -> str:
+    def _ensure_epoch(self, name: str) -> tuple[int, str]:
         """Create-and-commit epoch 1 on first use; return the current
-        epoch dir. A crash between prepare and commit leaves an empty
-        v1 with no pointer — healed by ``_adopt_legacy``'s
+        (epoch, epoch dir). A crash between prepare and commit leaves
+        an empty v1 with no pointer — healed by ``_adopt_legacy``'s
         pointer-finalize pass (same end state as a crashed adoption)."""
         e = self._epoch(name)
         if e == 0:
             path = os.path.join(self._path(name), "v1")
             self.backend.prepare_dir(path)
             self.backend.commit_pointer(self._path(name), 1)
-            return path
-        return os.path.join(self._path(name), f"v{e}")
+            return 1, path
+        return e, os.path.join(self._path(name), f"v{e}")
 
     def _gc_epochs(self) -> None:
         """Remove epoch dirs the pointer no longer names: crash garbage
         from a compaction that died before its cleanup (superseded
         epoch) or after writing but before committing (orphan next
         epoch). Runs under the writer lock; idempotent — the manifest
-        backend's remove_tree is deferred/reference-aware by design."""
+        backend's remove_tree is deferred/reference-aware by design.
+
+        Refuses when the pointer reads 0 but epoch dirs ≥ v2 exist:
+        that state is only reachable by LOSING the pointer (a partial
+        restore, a deleted CURRENT/_pointer, a foreign backend reading
+        a flat pre-layout dir) — epochs ≥ 2 are created exclusively by
+        compaction, which requires a committed pointer first. Treating
+        them as orphans would GC the live store and silently re-admit
+        every known doc; a v1 with no pointer is the adoption /
+        first-append crash window and is finalized by
+        ``_adopt_legacy`` before this runs."""
         for name in (*_STORES, "band_hot"):
             root = self._path(name)
             if not self.backend.dir_exists(root):
                 continue
             cur = self.backend.read_pointer(root)
-            for entry in self.backend.list_dir(root):
-                m = re.fullmatch(r"v(\d+)", entry)
-                if m and int(m.group(1)) != cur:
-                    self.backend.remove_tree(os.path.join(root, entry))
+            epochs = [
+                int(m.group(1))
+                for entry in self.backend.list_dir(root)
+                if (m := re.fullmatch(r"v(\d+)", entry))
+            ]
+            if cur == 0 and any(e >= 2 for e in epochs):
+                raise ValueError(
+                    f"incremental-dedup store {root} holds epoch dirs "
+                    f"{sorted(epochs)} but no committed pointer — the "
+                    "pointer was lost (partial restore? wrong backend?). "
+                    "Refusing to GC: reclaiming these dirs would silently "
+                    "reset the dedup state. Restore the pointer to the "
+                    "store's true epoch, or rebuild the store."
+                )
+            for e in epochs:
+                if e != cur:
+                    self.backend.remove_tree(os.path.join(root, f"v{e}"))
 
     def _buckets(self, name: str) -> int | None:
         return self.bands_buckets if name == "bands" else self.sigs_buckets
@@ -281,15 +304,24 @@ class IncrementalNearDup:
 
     def store_table(self, name: str) -> str:
         """Public: the registered table name of a bucketed store's
-        current epoch (plan tests / operational inspection)."""
+        current epoch (plan tests / operational inspection). Adopts a
+        pre-r9 dir first; raises (instead of returning a never-created
+        ``_v0`` name) while the store has no committed epoch."""
         if not self._buckets(name):
             raise ValueError(
                 f"store {name!r} is plain parquet (no bucket count declared); "
                 "only bucketed stores register a table — read it with "
                 "read_store() instead"
             )
-        self._ensure_table(name)
-        return self._table(name)
+        self._adopt_if_legacy()
+        e = self._epoch(name)
+        if e == 0:
+            raise ValueError(
+                f"store {name!r} has no committed epoch yet (nothing has "
+                "been appended); there is no table to read."
+            )
+        self._ensure_table(name, e)
+        return self._table(name, e)
 
     def _layout_path(self) -> str:
         return os.path.join(self.state_dir, "_layout.json")
@@ -398,10 +430,15 @@ class IncrementalNearDup:
         superseded epoch, silently losing those canonical docs from
         the store (and, for ``sigs``, their replay protection). The
         operational contract is therefore one writer at a time: the
-        stream OR the maintenance job. (On a real object store two
-        HOSTS can still race the pointer itself — the conditional-put
-        commit makes that loud, tested by the CAS hammer.) Acquisition
-        and stale-break mechanics: :func:`writer_lock`.
+        stream OR the maintenance job — and that contract SPANS HOSTS.
+        This advisory lock is per-filesystem and cannot order two
+        hosts on an object store; the conditional-put commit only
+        makes pointer-vs-pointer races loud (two concurrent compacts —
+        tested by the CAS hammer), NOT the append-vs-compact race,
+        whose appends never touch the pointer. Multi-host deployments
+        must enforce single-writer externally (one owner per state
+        prefix — the same rule every LSM table format imposes).
+        Acquisition and stale-break mechanics: :func:`writer_lock`.
         """
         with writer_lock(self.state_dir, role):
             yield
@@ -473,21 +510,22 @@ class IncrementalNearDup:
                 os.replace(os.path.join(root, n), os.path.join(v1, n))
             self.backend.commit_pointer(root, 1)
 
-    def _ensure_table(self, name: str) -> None:
+    def _ensure_table(self, name: str, epoch: int | None = None) -> None:
         """Re-register the external bucketed table after a restart: a
         fresh session's catalog doesn't know it, but the bucket ids
         live in the file names, so DDL over the existing epoch dir
         restores a fully bucket-aware table."""
         if not self._buckets(name):
             return
-        if self.spark.catalog.tableExists(self._table(name)):
+        e = self._epoch(name) if epoch is None else epoch
+        if self.spark.catalog.tableExists(self._table(name, e)):
             return
-        path = self._data_path(name)
+        path = self._data_path(name, e)
         if path is not None and self.backend.dir_exists(path):
             _, cols, ddl_cols = _STORES[name]
             key_list = ", ".join(cols)
             self.spark.sql(
-                f"CREATE TABLE {self._table(name)} {ddl_cols} USING parquet "
+                f"CREATE TABLE {self._table(name, e)} {ddl_cols} USING parquet "
                 f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
                 f"INTO {self._buckets(name)} BUCKETS "
                 f"LOCATION '{path}'"
@@ -497,10 +535,15 @@ class IncrementalNearDup:
         """Missing store -> empty frame (first batch). A store that
         EXISTS but fails to read must raise: swallowing a corrupted
         parquet would silently reset the dedup state (every known doc
-        re-admitted as canonical)."""
+        re-admitted as canonical). The epoch is resolved ONCE per call
+        and threaded through — a per-helper pointer read would be
+        needlessly chatty on an object store, and an unlocked reader
+        could otherwise straddle a concurrent epoch flip (table name
+        from one epoch validated against another)."""
         schema = _STORES[name][0]
+        e = self._epoch(name)
         if not self._buckets(name):
-            path = self._data_path(name)
+            path = self._data_path(name, e)
             # reads resolve through the backend's logical namespace —
             # on a manifest backend the physical tree is not the
             # logical content (same rule as the tx store's loads)
@@ -508,24 +551,48 @@ class IncrementalNearDup:
             if not locs:
                 return self.spark.createDataFrame([], schema)
             return self.spark.read.schema(schema).parquet(*locs)
-        self._ensure_table(name)
-        if self.spark.catalog.tableExists(self._table(name)):
-            return self.spark.table(self._table(name))
+        self._ensure_table(name, e)
+        if self.spark.catalog.tableExists(self._table(name, e)):
+            return self.spark.table(self._table(name, e))
         return self.spark.createDataFrame([], schema)
+
+    def _adopt_if_legacy(self) -> None:
+        """Public-read entry to adoption: the locked ops adopt as their
+        first step, but an inspection call on a pre-r9 dir must not
+        silently read an empty store just because no batch has run yet
+        (the changelog promises old dirs open fine). Takes the writer
+        lock only when there is something to adopt."""
+        for name in (*_STORES, "band_hot"):
+            root = self._path(name)
+            if not os.path.isdir(root):
+                continue
+            legacy_files = any(
+                n.endswith(".parquet") or n == "_files.json"
+                for n in os.listdir(root)
+            )
+            unfinalized = os.path.isdir(os.path.join(root, "v1")) and (
+                self.backend.read_pointer(root) == 0
+            )
+            if legacy_files or unfinalized or os.path.isdir(root + ".old"):
+                with self._writer_lock("adopt"):
+                    self._adopt_legacy()
+                return
 
     def read_store(self, name: str) -> DataFrame:
         """Public, backend-aware snapshot of a store's committed
         content (operational inspection and tests; mirrors the tx
-        processor's ``read_state``)."""
+        processor's ``read_state``). Adopts a pre-r9 dir first."""
+        self._adopt_if_legacy()
         return self._load_store(name)
 
     def _append_store(self, name: str, rows: DataFrame) -> None:
         self._write_layout()
-        path = self._ensure_epoch(name)
+        epoch, path = self._ensure_epoch(name)
         if not self._buckets(name):
             rows.write.mode("append").parquet(path)
             return
         _, cols, _ = _STORES[name]
+        self._ensure_table(name, epoch)
         (
             rows.write.mode("append")
             .bucketBy(self._buckets(name), *cols)
@@ -534,7 +601,7 @@ class IncrementalNearDup:
             # and skips its per-batch O(store) sort entirely
             .sortBy(*cols)
             .option("path", path)
-            .saveAsTable(self._table(name))
+            .saveAsTable(self._table(name, epoch))
         )
 
     # -- viral-cap membership counts -------------------------------------
@@ -615,12 +682,12 @@ class IncrementalNearDup:
 
         hot_path = self._data_path("band_hot")
         manifest_path = (
-            os.path.join(hot_path, "_files.json") if hot_path else "<absent>"
+            os.path.join(hot_path, "_files.json") if hot_path else None
         )
         all_files = self._bands_data_files()
         covered: list[str] = []
         usable = False
-        if os.path.exists(manifest_path):
+        if manifest_path and os.path.exists(manifest_path):
             with open(manifest_path) as fh:
                 covered = json.load(fh)
             # a summary referencing files that no longer exist (crash

@@ -33,6 +33,7 @@ class PipelineMetrics:
     total_events_seen: int = 0
     rows_scanned: dict[str, int] = field(default_factory=dict)
     snapshot_rows_scanned: dict[str, int] = field(default_factory=dict)
+    _snapshot_batches_seen: set = field(default_factory=set)
     ms_behind_source: float | None = None
     # ms_since_last_event is a derived property (see below), not a field
     committed_transactions: int = 0
@@ -59,13 +60,27 @@ class PipelineMetrics:
                 src.get("numInputRows", 0) or 0
             )
 
-    def observe_initial_load(self, table: str, n_rows: int) -> None:
+    def observe_initial_load(
+        self, table: str, n_rows: int, batch_id: int | None = None
+    ) -> None:
         """Snapshot-phase RowsScanned analog (reference
         jmx_exporter_config.yml:12-18 tracks it per table): rows read
         per TABLE during the initial load — the processor's first
         batch over a state dir with no committed version, this
         engine's equivalent of Debezium's snapshot phase. Later
-        (streaming-phase) batches feed ``rows_scanned`` instead."""
+        (streaming-phase) batches feed ``rows_scanned`` instead.
+
+        Pass ``batch_id`` from at-least-once callers: a RETRY of the
+        initial batch (crash after the counts, before the state
+        commit) re-observes the same rows, and accumulating them twice
+        would report a 2x snapshot. Scope note: this engine's initial
+        load is the first batch over a fresh state dir, not a whole
+        connector snapshot phase — a snapshot split across
+        micro-batches counts only its first batch here."""
+        if batch_id is not None:
+            if (table, batch_id) in self._snapshot_batches_seen:
+                return
+            self._snapshot_batches_seen.add((table, batch_id))
         self.snapshot_rows_scanned[table] = (
             self.snapshot_rows_scanned.get(table, 0) + n_rows
         )

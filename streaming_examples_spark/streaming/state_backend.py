@@ -335,16 +335,21 @@ class ManifestBackend(StateStorageBackend):
         return sorted(out)
 
     def read_pointer(self, state_dir: str) -> int:
-        # Walk generations newest-first, skipping (and GC'ing) torn
-        # ones: a crash between the exclusive create and the durable
-        # write leaves an empty/partial gen object — that commit never
-        # happened, so the previous generation is the committed state.
-        # A real conditional put is atomic and can't produce this; the
+        # Walk generations newest-first, SKIPPING torn ones: a crash
+        # between the exclusive create and the durable write leaves an
+        # empty/partial gen object — that commit never happened, so
+        # the previous generation is the committed state. A real
+        # conditional put is atomic and can't produce this; the
         # emulation must tolerate it rather than wedging every reopen
-        # on int(''). The GC'd name is never reused: commit_pointer
-        # numbers the next generation above ALL observed names
-        # (_generations parses names, not contents), so deleting the
-        # torn object cannot let a later commit collide with it.
+        # on int(''). Deliberately NO unlink here: a reader cannot
+        # distinguish an abandoned torn object from a commit that is
+        # mid-write (created, bytes not yet visible) — deleting the
+        # latter would destroy a succeeding commit and free its
+        # generation number for reuse. Skipped objects are reclaimed
+        # by the NEXT successful commit_pointer's superseded-
+        # generation cleanup, and their names stay occupied until
+        # then (commit_pointer numbers above ALL observed names), so
+        # no generation is ever won twice.
         gen_dir = os.path.join(state_dir, "_pointer")
         while True:
             gens = self._generations(gen_dir)
@@ -361,10 +366,7 @@ class ManifestBackend(StateStorageBackend):
                     # stale (or worse, zero) pointer.
                     break
                 except ValueError:
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
+                    continue  # torn: treat as never-committed
             else:
                 return 0
 

@@ -419,6 +419,33 @@ def test_compact_crash_after_commit_gcs_stray_epoch(spark, tmp_path, backend_cls
         _drop_store_tables(spark, tmp_path / "state")
 
 
+def test_lost_pointer_refused_not_gcd(spark, tmp_path):
+    """A store whose pointer vanished (partial restore, deleted
+    CURRENT) while committed epoch dirs remain must REFUSE, not treat
+    the live epochs as orphans and GC them — that would silently
+    re-admit every known doc. Epochs ≥ 2 only exist after a pointer
+    committed, so pointer 0 beside them proves the loss."""
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    state = str(tmp_path / "state")
+    det = IncrementalNearDup(spark, state, threshold=0.5)
+    det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    det.compact()  # stores now at epoch 2
+    assert det._epoch("sigs") == 2
+    os.unlink(os.path.join(state, "sigs", "CURRENT"))
+
+    fresh = IncrementalNearDup(spark, state, threshold=0.5)
+    with pytest.raises(ValueError, match="no committed pointer"):
+        fresh.process_batch(_docs(spark, [(3, NEAR)]), 1)
+    # the refusal destroyed nothing: restore the pointer and resume
+    with open(os.path.join(state, "sigs", "CURRENT"), "w") as fh:
+        fh.write("2")
+    r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}
+    assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+
+
 def test_cross_backend_reopen_refused(spark, tmp_path):
     """The layout seals the backend that committed the store: the two
     encode pointers differently, so a foreign reopen would read epoch 0
@@ -476,6 +503,13 @@ def test_legacy_root_level_store_adopted_in_place(spark, tmp_path):
 
     with open(os.path.join(state, "_layout.json"), "w") as fh:
         json.dump({"bands_buckets": None, "sigs_buckets": None}, fh)
+
+    # a PUBLIC read on the un-adopted dir must see the state too
+    # (adopt-on-read), not silently report an empty store
+    inspect = IncrementalNearDup(spark, state, threshold=0.5)
+    assert sorted(
+        r["doc_id"] for r in inspect.read_store("sigs").collect()
+    ) == [1, 2]
 
     fresh = IncrementalNearDup(spark, state, threshold=0.5)
     r = {x["doc_id"]: x for x in fresh.process_batch(_docs(spark, [(3, NEAR)]), 1).collect()}

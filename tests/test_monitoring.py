@@ -58,6 +58,15 @@ def test_initial_load_rows_counter_per_table():
     assert snap["snapshot_rows_scanned"] == {"orders": 20, "lines": 60}
     assert snap["rows_scanned"] == {}  # streaming-phase counter untouched
 
+    # at-least-once: a RETRY of the initial batch (same batch_id) must
+    # not double the snapshot counts
+    m2 = PipelineMetrics()
+    m2.observe_initial_load("orders", 20, batch_id=0)
+    m2.observe_initial_load("lines", 55, batch_id=0)
+    m2.observe_initial_load("orders", 20, batch_id=0)  # crash-replay
+    m2.observe_initial_load("lines", 55, batch_id=0)
+    assert m2.snapshot_rows_scanned == {"orders": 20, "lines": 55}
+
 
 def test_throughput_and_committed_tx_counters():
     m = PipelineMetrics()

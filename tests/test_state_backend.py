@@ -326,13 +326,17 @@ def test_manifest_cas_multi_writer_hammer(tmp_path):
     assert ManifestBackend().read_pointer(state) in range(1, rounds + 1)
 
 
-def test_manifest_torn_generation_skipped_and_gcd(tmp_path):
+def test_manifest_torn_generation_skipped_not_unlinked(tmp_path):
     """A crash between the exclusive create and the durable write
     leaves an empty/partial gen object. A real conditional put is
     atomic and cannot produce this, so the emulation must treat it as
     a FAILED commit: read_pointer resolves the previous generation
-    (not a bare int('') ValueError on every reopen), GCs the torn
-    object, and the next commit lands above it."""
+    (not a bare int('') ValueError on every reopen). It must NOT
+    unlink the torn object — a reader cannot tell an abandoned torn
+    write from a commit that is mid-write, and deleting the latter
+    would destroy a succeeding commit and free its generation number
+    for reuse. The next successful commit numbers ABOVE the torn name
+    and its superseded-generation cleanup reclaims it."""
     state = str(tmp_path / "state")
     os.makedirs(state)
     be = ManifestBackend()
@@ -343,11 +347,18 @@ def test_manifest_torn_generation_skipped_and_gcd(tmp_path):
     with open(os.path.join(gen_dir, "gen-000000000003"), "w") as fh:
         fh.write("par")  # partial write
     assert be.read_pointer(state) == 7
-    # torn objects were GC'd, the committed one survives
-    names = sorted(os.listdir(gen_dir))
-    assert names == ["gen-000000000001"]
-    be.commit_pointer(state, 8)
+    # the read path left everything in place (no reader-side deletes)
+    assert sorted(os.listdir(gen_dir)) == [
+        "gen-000000000001",
+        "gen-000000000002",
+        "gen-000000000003",
+    ]
+    # the next commit lands ABOVE the torn names (no number reuse)...
+    won = be.commit_pointer(state, 8)
+    assert won == 4
     assert be.read_pointer(state) == 8
+    # ...and its cleanup reclaimed the torn objects
+    assert sorted(os.listdir(gen_dir)) == ["gen-000000000004"]
     # a torn object with no predecessor reads as "no commit yet"
     state2 = str(tmp_path / "state2")
     os.makedirs(os.path.join(state2, "_pointer"))
