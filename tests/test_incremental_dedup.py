@@ -1081,3 +1081,108 @@ def test_compact_crash_before_summary_swap_resets_cap_cache(spark, tmp_path):
     for key, n in fresh._cap_delta.items():
         assert det._cap_delta.get(key, 0) >= n  # includes batch 2's appends
         assert det._cap_delta[key] <= n + 1  # never doubled
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [11, 4242])
+def test_random_lifecycle_compactions_crashes_restarts(spark, tmp_path, seed, backend_cls):
+    """Durability soak over the epoch-pointer layout: a random
+    duplicate-family stream interleaved with random MAINTENANCE events
+    — full compactions, hot-bucket compactions, crash injections at
+    random backend primitives mid-compact, and kill-and-restart with a
+    fresh detector + fresh backend instance — under BOTH storage
+    backends. Invariants at the end, regardless of the schedule:
+
+      * exactly ONE canonical per family (smallest id of its earliest
+        batch); every other member reported is_dup with an in-family
+        dup_of
+      * redelivered ids fold away (no duplicate canonical reports)
+      * after a final full compact, the sigs store holds exactly the
+        canonicals, one row each (crash-window duplicates healed)
+    """
+    import random
+
+    from streaming_examples_spark.streaming.incremental_dedup import IncrementalNearDup
+
+    rng = random.Random(seed)
+    state = str(tmp_path / "state")
+    n_fam = rng.randint(2, 3)
+    fam_text = {f: " ".join(f"fam{f}tok{j}" for j in range(12)) for f in range(n_fam)}
+    docs = []
+    next_id = 100
+    for f in range(n_fam):
+        for _ in range(rng.randint(2, 4)):
+            docs.append((next_id, f))
+            next_id += rng.randint(1, 5)
+    rng.shuffle(docs)
+    n_batches = rng.randint(3, 4)
+    batches = [docs[i::n_batches] for i in range(n_batches)]
+
+    def fresh_detector():
+        return IncrementalNearDup(
+            spark, state, threshold=0.5, bands_buckets=4, backend=backend_cls()
+        )
+
+    det = fresh_detector()
+    reports = []
+    try:
+        for b, members in enumerate(batches):
+            rows = [(i, fam_text[f]) for i, f in members]
+            for earlier in batches[:b]:
+                for i, f in earlier:
+                    if rng.random() < 0.3:
+                        rows.append((i, fam_text[f]))  # redelivery
+            reports.extend(det.process_batch(_docs(spark, rows), b).collect())
+
+            event = rng.choice(["none", "compact", "hot", "crash", "restart"])
+            if event == "compact":
+                det.compact()
+            elif event == "hot":
+                det.compact(hot_bucket_threshold=rng.choice([1, 2]))
+            elif event == "crash":
+                # die once at a random primitive inside the compaction,
+                # then RESTART over whatever the crash left behind
+                method = rng.choice(["commit_pointer", "remove_tree", "remove_file"])
+                calls = {"n": 0, "at": rng.randint(1, 3)}
+
+                def should(*_a, **_k):
+                    calls["n"] += 1
+                    return calls["n"] == calls["at"]
+
+                _crash_once(det.backend, method, should)
+                try:
+                    det.compact(
+                        hot_bucket_threshold=rng.choice([None, 1])
+                    )
+                except RuntimeError:
+                    pass  # the injected crash (may also not fire: short passes)
+                det = fresh_detector()
+            elif event == "restart":
+                det = fresh_detector()
+
+        # expected canonical per family: smallest id in its earliest batch
+        expected_canon = {}
+        for members in batches:
+            for i, f in sorted(members, key=lambda x: x[0]):
+                if f not in expected_canon:
+                    expected_canon[f] = i
+        family_of = dict(docs)
+
+        by_id = {}
+        for r in reports:
+            by_id.setdefault(r["doc_id"], []).append(r)
+        assert set(by_id) == {i for i, _ in docs}
+        for i, f in docs:
+            rows = by_id[i]
+            if i == expected_canon[f]:
+                assert len(rows) == 1 and not rows[0]["is_dup"], (i, rows)
+            else:
+                for r in rows:
+                    assert r["is_dup"] and family_of[r["dup_of"]] == f and r["dup_of"] != i
+
+        det.compact()  # heal any crash-window duplicate rows
+        sigs = det.read_store("sigs")
+        got = sorted(x["doc_id"] for x in sigs.collect())
+        assert got == sorted(expected_canon.values())
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
