@@ -109,7 +109,12 @@ EXTRA = {
 
 
 def main() -> int:
-    spark = get_spark("bench")
+    # No console progress bars: their \r-rewritten lines consumed the
+    # driver's retained-tail window in round 9 (BENCH_r09.json came back
+    # "parsed": null) — the one JSON metrics line must survive verbatim.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     from streaming_examples_spark.catalog import release
 
     cat = entries()
@@ -204,6 +209,11 @@ def main() -> int:
             "end_1m": round(os.getloadavg()[0], 2),
             "end_5m": round(os.getloadavg()[1], 2),
         },
+        # machine-readable "this window was loaded" flag: a start load
+        # above ~2 on the otherwise-idle 32-core box means another JVM
+        # (pytest sweep, probe) was competing — r9's driver bench ran at
+        # 10.46/32 and its numbers were visibly inflated vs the idle run
+        "loaded": load_start[0] > 2.0,
         "methodology": {
             "warm": "median of 3 steady-state invocations via a cached plan "
             "(run 1 pays construction, timed into the min lineage only; "

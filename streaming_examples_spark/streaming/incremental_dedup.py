@@ -289,8 +289,32 @@ class IncrementalNearDup:
             for e in epochs:
                 if e != cur:
                     self.backend.remove_tree(os.path.join(root, f"v{e}"))
+        # A crash between a compaction's pointer flip and its DROP TABLE
+        # leaves the SUPERSEDED epoch's table registered in any session
+        # that survives the crash (fresh sessions never see it — table
+        # names are epoch-versioned). The dirs those registrations point
+        # at were just reclaimed above, so re-drop every registered
+        # epoch-version that is not the committed one.
+        if self.bands_buckets or self.sigs_buckets:
+            for name in _STORES:
+                if not self._buckets(name):
+                    continue
+                base = self._bands_table if name == "bands" else self._sigs_table
+                cur = self._epoch(name)
+                for row in self.spark.sql(f"SHOW TABLES LIKE '{base}_v*'").collect():
+                    m = re.fullmatch(re.escape(base) + r"_v(\d+)", row.tableName)
+                    if m and int(m.group(1)) != cur:
+                        self.spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
 
     def _buckets(self, name: str) -> int | None:
+        # only the two corpus stores are bucketable; routing any other
+        # name (e.g. 'band_hot', a valid STORE name) to the sigs config
+        # would silently hand back the wrong store's table
+        if name not in _STORES:
+            raise ValueError(
+                f"store {name!r} has no bucket configuration; bucketed "
+                f"stores are {tuple(_STORES)}"
+            )
         return self.bands_buckets if name == "bands" else self.sigs_buckets
 
     def _table(self, name: str, epoch: int | None = None) -> str:
@@ -298,6 +322,11 @@ class IncrementalNearDup:
         compaction registers the NEW epoch under a new name and drops
         the old one after the pointer flip, so no location check (or
         mid-query table mutation) is ever needed."""
+        if name not in _STORES:
+            raise ValueError(
+                f"store {name!r} is not a bucketed store "
+                f"({tuple(_STORES)}); it has no registered table"
+            )
         base = self._bands_table if name == "bands" else self._sigs_table
         e = self._epoch(name) if epoch is None else epoch
         return f"{base}_v{e}"
@@ -306,7 +335,14 @@ class IncrementalNearDup:
         """Public: the registered table name of a bucketed store's
         current epoch (plan tests / operational inspection). Adopts a
         pre-r9 dir first; raises (instead of returning a never-created
-        ``_v0`` name) while the store has no committed epoch."""
+        ``_v0`` name) while the store has no committed epoch.
+
+        UNLOCKED reader: the name (and the directory behind it) is only
+        stable while no ``compact()``/``process_batch()`` runs — a
+        concurrent compaction flips the pointer and GCs the epoch this
+        name resolves to, failing a query planned against it. Hold off
+        writers, or snapshot via ``read_store()`` + ``localCheckpoint``
+        when you need the content to outlive a compaction."""
         if not self._buckets(name):
             raise ValueError(
                 f"store {name!r} is plain parquet (no bucket count declared); "
@@ -521,7 +557,11 @@ class IncrementalNearDup:
         if self.spark.catalog.tableExists(self._table(name, e)):
             return
         path = self._data_path(name, e)
-        if path is not None and self.backend.dir_exists(path):
+        # pointer ≥ 1 (a GET) already witnesses the epoch dir: gating
+        # the DDL on a LIST-backed dir_exists would skip registration
+        # inside a list-after-write lag window and silently read the
+        # store as empty (same bug class as _load_store's direct read)
+        if path is not None:
             _, cols, ddl_cols = _STORES[name]
             key_list = ", ".join(cols)
             self.spark.sql(
@@ -544,13 +584,22 @@ class IncrementalNearDup:
         e = self._epoch(name)
         if not self._buckets(name):
             path = self._data_path(name, e)
-            # reads resolve through the backend's logical namespace —
-            # on a manifest backend the physical tree is not the
-            # logical content (same rule as the tx store's loads)
-            locs = self.backend.read_locations(path) if path else []
-            if not locs:
+            if path is None:
                 return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(*locs)
+            # The committed pointer (an object GET) is the existence
+            # witness: prepare_dir ran before the pointer committed, so
+            # the epoch dir is real. Do NOT gate this read on a
+            # LIST-backed probe or enumerate the files through the
+            # backend listing — list-after-write lag serves a stale
+            # view of a dir Spark just appended into, and an empty
+            # read here silently re-admits every known doc (found by
+            # running this suite under LaggedManifestBackend: batch
+            # N+1 read batch N's store as absent). Spark enumerates
+            # the data files itself; detector stores never receive
+            # carried (manifest-referenced) files — appends, rewrites
+            # and POSIX-only adoption all land physical files — so the
+            # dir IS the content on every backend.
+            return self.spark.read.schema(schema).parquet(path)
         self._ensure_table(name, e)
         if self.spark.catalog.tableExists(self._table(name, e)):
             return self.spark.table(self._table(name, e))
@@ -581,7 +630,14 @@ class IncrementalNearDup:
     def read_store(self, name: str) -> DataFrame:
         """Public, backend-aware snapshot of a store's committed
         content (operational inspection and tests; mirrors the tx
-        processor's ``read_state``). Adopts a pre-r9 dir first."""
+        processor's ``read_state``). Adopts a pre-r9 dir first.
+
+        UNLOCKED reader: the returned frame is LAZY and resolves its
+        files at action time — a concurrent ``compact()``/
+        ``process_batch()`` can flip the epoch pointer and GC the
+        directory it reads (``LocalPosixBackend`` removes immediately),
+        failing the action. Run it to completion (or
+        ``localCheckpoint``) before letting a writer proceed."""
         self._adopt_if_legacy()
         return self._load_store(name)
 
@@ -660,9 +716,20 @@ class IncrementalNearDup:
     # refresh dedups (band, doc) across all delta files, and in-process
     # appends are replay-protected upstream (sigs anti-join).
     def _bands_data_files(self) -> list[str]:
-        path = self._data_path("bands")
-        if path is None or not self.backend.dir_exists(path):
+        """Best-effort LIST of the bands epoch dir (delta enumeration
+        for the cap counts). Gated on the pointer, never on a
+        LIST-backed dir_exists. Under list-after-write lag this can run
+        stale-SHORT — a just-appended file missing means its docs are
+        counted at a LATER refresh (once the listing catches up), so
+        the cap fires late: the safe direction (firing late costs
+        bounded probe fan-out; a spurious fire would be a permanent
+        false admit). The one stale-HIGH path — a summary rebuild
+        claiming coverage of fewer files than it aggregated — is closed
+        by _rebuild_hot taking coverage from the frame's own
+        inputFiles(), not from this listing."""
+        if self._epoch("bands") == 0:
             return []
+        path = self._data_path("bands")
         return sorted(
             n for n in self.backend.list_dir(path) if n.endswith(".parquet")
         )
@@ -1070,12 +1137,26 @@ class IncrementalNearDup:
             return  # cap never used on this store: skip the summary pass
         if self._epoch("bands") == 0:
             return
-        files = self._bands_data_files()  # listed under the writer lock
+        store = self._load_store("bands")
+        # Coverage = the files the aggregation below actually reads,
+        # taken from the frame's OWN file enumeration (the writer lock
+        # bars concurrent appends, so the two resolutions agree). The
+        # backend listing would be wrong here: under list-after-write
+        # lag it runs stale-SHORT right after a compaction rewrite, and
+        # a summary covering FEWER files than it aggregated makes the
+        # per-batch refresh delta-count those files on top of the
+        # summary — double-counted members, spurious virality,
+        # permanently skipped probes (the unsafe direction).
+        files = sorted(
+            os.path.basename(uri)
+            for uri in store.inputFiles()
+            if uri.endswith(".parquet")
+        )
         nxt = hot_cur + 1
         nxt_path = os.path.join(hot_root, f"v{nxt}")
         self.backend.remove_tree(nxt_path)
         (
-            self._load_store("bands")
+            store
             .groupBy("band_id", "band_key")
             .agg(F.countDistinct("doc_id").cast("long").alias("n"))
             .filter(F.col("n") >= 2)
@@ -1105,9 +1186,16 @@ class IncrementalNearDup:
         transient duplicates (see :meth:`compact`). (A per-hot-bucket
         job loop measured 2× slower at 14 hot buckets — job-launch
         overhead dominates the maintenance pass.)"""
-        data_path = self._data_path(name)
-        if data_path is None or not self.backend.dir_exists(data_path):
+        # epoch-gated, not LIST-gated (the pointer GET is the existence
+        # witness). The listing below may itself be stale under
+        # list-after-write lag: stale-SHORT skips a hot bucket this
+        # pass (merged by a later one — safe); a stale view naming a
+        # file a previous pass already deleted fails the merge read
+        # LOUDLY (compact raises, cap cache resets, retry after the
+        # window) — never silently.
+        if self._epoch(name) == 0:
             return
+        data_path = self._data_path(name)
         by_bucket: dict[int, list[str]] = {}
         for n in self.backend.list_dir(data_path):
             if not n.endswith(".parquet"):

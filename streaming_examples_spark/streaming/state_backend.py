@@ -483,7 +483,28 @@ class LaggedManifestBackend(ManifestBackend):
     a listing. Running the full crash/lifecycle suite under this
     double is what proves the GC's deferred-delete and carry
     enumeration never depend on a listing reflecting a write that
-    just happened."""
+    just happened.
+
+    SCOPE — what this double does and does not lag: windows open on
+    BACKEND-MEDIATED mutations (prepare_dir/publish_file/remove_*/
+    carry_file/commit_pointer) and serve stale views to BACKEND-
+    MEDIATED reads (dir_exists probes, list_dir, read_locations'
+    physical half). Spark's direct parquet writes do not open windows
+    and Spark's own scan-time file enumeration (Hadoop FS listing) is
+    not intercepted — that half of listing consistency is the store's
+    contract with Spark itself, which every parquet-on-object-store
+    deployment already requires (and which S3/GCS/Azure all guarantee
+    today). The protocol is therefore designed so that NO correctness-
+    bearing read depends on a backend LIST being fresh: store loads
+    resolve existence from the committed pointer (a GET) and hand the
+    epoch dir to Spark to enumerate; the remaining backend listings
+    (epoch GC, cap-count delta enumeration, hot-bucket grouping) all
+    degrade stale-SAFE (skip-and-retry-later or fire-late), each
+    documented at its call site. First contact with this double found
+    two real stale-read bugs: the tx suite's dir_exists state loss
+    (fixed with the manifest-GET fence above) and the detector's
+    _load_store reading a just-written epoch as absent (fixed by the
+    pointer-witness direct read)."""
 
     layout_id = ManifestBackend.layout_id  # same protocol, same seal
 

@@ -20,19 +20,31 @@ OTHER = (
 
 def _backends():
     from streaming_examples_spark.streaming.state_backend import (
+        LaggedManifestBackend,
         LocalPosixBackend,
         ManifestBackend,
     )
 
-    return {"posix": LocalPosixBackend, "manifest": ManifestBackend}
+    return {
+        "posix": LocalPosixBackend,
+        "manifest": ManifestBackend,
+        # list-after-write lag on every backend-mediated read (LISTs
+        # stale for 5 ops after a mutation, GETs fresh) — the same
+        # third parameterization the tx suite runs. The detector does
+        # the same carry/list/dir_exists dance over the same seam
+        # (epoch GC, adoption, compaction pointer flips), so the exact
+        # bug class the lagged double caught there (stale-absent
+        # dir_exists = silent state loss) must be probed here too.
+        "manifest-lagged": LaggedManifestBackend,
+    }
 
 
-@pytest.fixture(params=["posix", "manifest"])
+@pytest.fixture(params=sorted(_backends()))
 def backend_cls(request):
     return _backends()[request.param]
 
 
-@pytest.fixture(params=["posix", "manifest"])
+@pytest.fixture(params=sorted(_backends()))
 def detector(spark, tmp_path, request):
     """The plain detector, parameterized over BOTH storage backends:
     every lifecycle test in this module doubles as proof that the
@@ -1007,6 +1019,55 @@ def test_cap_uses_compacted_summary_and_survives_restart(spark, tmp_path):
     open_det.process_batch(_docs(spark, [(1, BASE)]), 0).collect()
     ro = open_det.process_batch(_docs(spark, [(6, BASE)]), 1).collect()[0]
     assert ro["is_dup"]
+
+
+def test_rebuild_hot_coverage_exact_under_list_lag(spark, tmp_path):
+    """The band_hot summary's ``_files.json`` must name EXACTLY the
+    files the summary aggregation read. Under list-after-write lag the
+    backend listing runs stale-SHORT right after the compaction
+    rewrite; a summary covering fewer files than it aggregated makes
+    the per-batch refresh delta-count those files ON TOP of the
+    summary — double-counted membership, spurious virality, probes
+    permanently skipped (the unsafe direction). _rebuild_hot therefore
+    takes coverage from the frame's own inputFiles(); this pins both
+    the invariant and the behavioral consequence."""
+    import json
+    import os
+
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+    from streaming_examples_spark.streaming.state_backend import (
+        LaggedManifestBackend,
+    )
+
+    state = str(tmp_path / "state")
+    det = IncrementalNearDup(
+        spark, state, threshold=0.5, max_bucket_size=2,
+        backend=LaggedManifestBackend(),
+    )
+    # 3 identical docs, within-batch count 3 > cap 2: peer path gated,
+    # all three stored canonical — every shared band key has n=3
+    det.process_batch(_docs(spark, [(1, BASE), (2, BASE), (3, BASE)]), 0)
+    det.compact()  # rewrites bands, rebuilds band_hot INSIDE lag windows
+    with open(os.path.join(det._data_path("band_hot"), "_files.json")) as fh:
+        covered = fh.read()
+    physical = sorted(
+        n
+        for n in os.listdir(det._data_path("bands"))
+        if n.endswith(".parquet")
+    )
+    assert physical and json.loads(covered) == physical
+    # behavioral pin: a FRESH instance with cap 5 sees true membership
+    # 3 < 5 and must still MATCH a new copy; stale-short coverage would
+    # have delta-recounted the same 3 docs on top of the summary
+    # (3 + 3 = 6 ≥ 5 → spuriously gated, no candidates)
+    det2 = IncrementalNearDup(
+        spark, state, threshold=0.5, max_bucket_size=5,
+        backend=LaggedManifestBackend(),
+    )
+    r = det2.process_batch(_docs(spark, [(4, BASE)]), 1).collect()[0]
+    assert r["is_dup"] and r["dup_of"] == 1
 
 
 def test_cap_cache_singleton_eviction_bounds_driver_memory(spark, tmp_path):
