@@ -41,6 +41,7 @@ idempotent per commit_lsn.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -81,6 +82,7 @@ class TxDenormBatchProcessor:
         applied_retention_batches: int = 8,
         backend: StateStorageBackend | None = None,
         emission_sink=None,
+        enforce_tx_order: bool = True,
     ):
         from streaming_examples_spark.streaming.monitoring import PipelineMetrics
 
@@ -103,6 +105,22 @@ class TxDenormBatchProcessor:
         #:   "order_key", ...)   (sources/kafka.py — tombstones as
         #: null values, KafkaChangelogJob.java:50-65)
         self.emission_sink = emission_sink
+        #: enforce the tx-metadata delivery-order contract (see
+        #: start_tx_denorm_stream's docstring): an incoming END whose
+        #: commit LSN is ≤ the already-EMITTED high-watermark can no
+        #: longer be emitted in commit order — the source delivered tx
+        #: metadata out of order (impossible for the reference's
+        #: single-partition tx topic, DataStreamV2Job.java:70-97; easy
+        #: for a misconfigured multi-partition topic or an mtime-tied
+        #: file source). True (default) raises; False counts the
+        #: regression in metrics.tx_order_regressions and proceeds,
+        #: emitting out of order — for operators who prefer lag over
+        #: a halted pipeline. NOTE: with at-least-once redelivery, an
+        #: END replayed LATER than applied_retention_batches is
+        #: indistinguishable from a reordering source and trips this
+        #: check — size the retention to the source's redelivery
+        #: horizon.
+        self.enforce_tx_order = enforce_tx_order
         self.metrics = PipelineMetrics()
         # previous batch's emissions cache, unpersisted at the next
         # batch's start (the caller may still read the CURRENT batch's
@@ -262,6 +280,21 @@ class TxDenormBatchProcessor:
             return self.spark.read.parquet(path)
         return None
 
+    def _read_tx_hwm(self) -> int | None:
+        """The committed emitted-commit-LSN high-watermark: a scalar
+        sidecar inside the CURRENT version dir (written by _store_all
+        before the pointer flip, so it commits atomically with the
+        state it describes — a premature hwm would false-positive the
+        order check on every crash replay). Driver-side open(): a GET,
+        no Spark job, fresh under list-after-write lag."""
+        path = os.path.join(self._root(), "_tx_hwm.json")
+        if not os.path.exists(path):
+            return None
+        import json
+
+        with open(path) as fh:
+            return json.load(fh).get("hwm")
+
     def _load_buckets(self, name: str, buckets: list[int]) -> DataFrame | None:
         """Read only the listed hash buckets of a bucketed state table.
 
@@ -306,6 +339,7 @@ class TxDenormBatchProcessor:
         self,
         frames: dict[str, DataFrame],
         bucketed: dict[str, tuple[DataFrame, list[int]]] | None = None,
+        scalars: dict[str, bytes] | None = None,
     ) -> None:
         """Write every new state frame under the NEXT version dir, then
         commit the batch with ONE atomic pointer replace.
@@ -336,6 +370,11 @@ class TxDenormBatchProcessor:
         new_root = self._root(cur + 1)
         self.backend.remove_tree(new_root)  # crashed prior attempt
         self.backend.prepare_dir(new_root)
+        # scalar sidecars (e.g. the emitted-LSN high-watermark) ride the
+        # same single commit point as the frames: written under the new
+        # version BEFORE the pointer flip, visible only once it lands
+        for name, data in (scalars or {}).items():
+            self.backend.publish_file(os.path.join(new_root, name), data)
         for name, df in frames.items():
             df.write.mode("overwrite").parquet(os.path.join(new_root, name))
         for name, (df, buckets) in (bucketed or {}).items():
@@ -460,6 +499,48 @@ class TxDenormBatchProcessor:
                 "left_anti",
             )
 
+        # -- tx-metadata delivery-order intake check (the contract in
+        # start_tx_denorm_stream's docstring, enforced): an END at or
+        # below the emitted high-watermark can no longer emit in commit
+        # order. Runs AFTER the applied anti-join, so at-least-once
+        # redelivery of applied txs (within retention) never trips it;
+        # carried ENDs cannot trip it either — the barrier guarantees
+        # every emitted LSN is below every carried tx's LSN. One
+        # bounded .first() on the batch's (tiny) tx-metadata frame.
+        prev_hwm = self._read_tx_hwm()
+        if prev_hwm is not None:
+            _parts = F.split(F.col("id"), ":")
+            offender = (
+                tx_all.filter(
+                    (F.col("status") == "END")
+                    & (_parts.getItem(1).cast("long") <= prev_hwm)
+                )
+                .select(
+                    _parts.getItem(0).cast("long").alias("tx_id"),
+                    _parts.getItem(1).cast("long").alias("commit_lsn"),
+                )
+                .first()
+            )
+            if offender is not None:
+                msg = (
+                    f"tx-metadata delivery-order violation in batch "
+                    f"{batch_id}: END of tx {offender['tx_id']} arrived "
+                    f"with commit_lsn {offender['commit_lsn']} ≤ the "
+                    f"already-emitted high-watermark {prev_hwm}. The "
+                    "transaction stream must arrive in commit order "
+                    "(the reference consumes a single-partition topic); "
+                    "either the source reorders tx metadata across "
+                    "micro-batches, or an at-least-once redelivery "
+                    "outlived applied_retention_batches="
+                    f"{self.applied_retention_batches}."
+                )
+                if self.enforce_tx_order:
+                    raise RuntimeError(msg)
+                import warnings
+
+                warnings.warn(msg)
+                self.metrics.tx_order_regressions += 1
+
         carry_orders = self._load("carry_orders")
         carry_lines = self._load("carry_lines")
 
@@ -553,6 +634,14 @@ class TxDenormBatchProcessor:
         # files, so a post-swap action would re-evaluate against the
         # wrong (or deleted) state — same ordering hazard as the sink
         n_committed = emitted_txs.count()
+        # emitted-LSN high-watermark: max over the (already cached)
+        # emissions, monotone across batches. Computed here — before
+        # the sink/state writes — over the cached frame, so it costs
+        # one short job on in-memory blocks, never a lineage re-read.
+        batch_max_lsn = emissions.agg(F.max("commit_lsn")).first()[0]
+        new_hwm = prev_hwm
+        if batch_max_lsn is not None:
+            new_hwm = batch_max_lsn if prev_hwm is None else max(prev_hwm, batch_max_lsn)
         self.metrics.total_events_seen += n_events
         max_ts = (
             order_events.select(F.max("ts_ms")).first()[0]
@@ -595,6 +684,11 @@ class TxDenormBatchProcessor:
                 "order_state": (res.order_state, touched_buckets),
                 "line_state": (res.line_state, touched_buckets),
             },
+            scalars={
+                "_tx_hwm.json": json.dumps(
+                    {"hwm": new_hwm, "batch_id": batch_id}
+                ).encode()
+            },
         )
         self.metrics.observe_backlog(
             self.spark.read.parquet(self._frame_path("carry_orders")).count()
@@ -625,6 +719,7 @@ def start_tx_denorm_stream(
     emission_sink=None,
     n_buckets: int = 32,
     backend=None,
+    enforce_tx_order: bool = True,
 ):
     """Wire the three CDC streams (orders / order_lines / transaction
     metadata — the reference's three Kafka topics, DataStreamV2Job.
@@ -645,6 +740,12 @@ def start_tx_denorm_stream(
     file-based test double) yields emissions in that reordered
     sequence. Data-event streams carry no such requirement (events are
     carried and re-ordered per tx).
+
+    ENFORCED since r10: the processor checks every incoming END
+    against the persisted emitted-LSN high-watermark and raises on a
+    regression (``enforce_tx_order=False`` downgrades to a warning +
+    the ``tx_order_regressions`` metric) — a broken source wiring
+    fails loudly instead of silently emitting out of commit order.
     """
     tagged = (
         order_stream.select(F.lit("orders").alias("_stream"), F.to_json(F.struct("*")).alias("payload"))
@@ -662,6 +763,7 @@ def start_tx_denorm_stream(
         n_buckets=n_buckets,
         backend=backend,
         emission_sink=emission_sink,
+        enforce_tx_order=enforce_tx_order,
     )
 
     from streaming_examples_spark.model.envelope import (

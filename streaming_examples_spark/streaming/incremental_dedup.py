@@ -207,6 +207,12 @@ class IncrementalNearDup:
         #: deployments that outrun the documented compact cadence;
         #: compact() resets the cache against the exact rebuilt summary.
         self.cap_cache_max_keys = cap_cache_max_keys
+        #: backlog/maintenance gauges (store growth, appended files per
+        #: batch, epoch per store) — the replication-slot-backlog
+        #: analog; see monitoring.DetectorMetrics and store_stats()
+        from streaming_examples_spark.streaming.monitoring import DetectorMetrics
+
+        self.metrics = DetectorMetrics()
         self._reset_cap_cache()
         if self.bands_buckets or self.sigs_buckets:
             import hashlib
@@ -641,24 +647,80 @@ class IncrementalNearDup:
         self._adopt_if_legacy()
         return self._load_store(name)
 
+    def _count_files(self, path: str) -> int:
+        """Advisory file count for the metrics gauges (backend listing;
+        can run momentarily stale-LOW under list-after-write lag —
+        never a correctness input)."""
+        try:
+            return sum(
+                1 for n in self.backend.list_dir(path) if n.endswith(".parquet")
+            )
+        except OSError:
+            return 0
+
+    def store_stats(self) -> dict:
+        """Operational snapshot of every store's backlog — the
+        replication-slot-size analog of the reference's monitoring
+        stack (postgres-replication-slots dashboard; BASELINE.md rows
+        5-6): committed epoch, live data-file count, and total bytes
+        per store, plus the accumulated per-batch append counters from
+        ``metrics``. Driver-side listings + stats, no Spark jobs.
+
+        Advisory gauges: taken WITHOUT the writer lock (safe to poll
+        from a monitoring thread), so a concurrent compact can shift
+        the numbers mid-walk, and list-after-write lag can read them
+        momentarily stale — growth TRENDS are the signal (a store
+        whose files/bytes climb across polls is outrunning its
+        compact() cadence, exactly like a swelling replication slot)."""
+        out: dict = {"stores": {}, **self.metrics.snapshot()}
+        for name in (*_STORES, "band_hot"):
+            root = self._path(name)
+            epoch = self.backend.read_pointer(root)
+            files = n_bytes = 0
+            if epoch:
+                path = os.path.join(root, f"v{epoch}")
+                try:
+                    names = self.backend.list_dir(path)
+                except OSError:
+                    names = []
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue
+                    try:
+                        n_bytes += os.path.getsize(os.path.join(path, n))
+                        files += 1
+                    except OSError:
+                        continue  # compacted away mid-walk
+            out["stores"][name] = {
+                "epoch": epoch,
+                "files": files,
+                "bytes": n_bytes,
+            }
+        return out
+
     def _append_store(self, name: str, rows: DataFrame) -> None:
         self._write_layout()
         epoch, path = self._ensure_epoch(name)
+        before = self._count_files(path)
         if not self._buckets(name):
             rows.write.mode("append").parquet(path)
-            return
-        _, cols, _ = _STORES[name]
-        self._ensure_table(name, epoch)
-        (
-            rows.write.mode("append")
-            .bucketBy(self._buckets(name), *cols)
-            # sorted buckets: after compact() leaves one file per
-            # bucket, the sort-merge probe reads the store pre-sorted
-            # and skips its per-batch O(store) sort entirely
-            .sortBy(*cols)
-            .option("path", path)
-            .saveAsTable(self._table(name, epoch))
+        else:
+            _, cols, _ = _STORES[name]
+            self._ensure_table(name, epoch)
+            (
+                rows.write.mode("append")
+                .bucketBy(self._buckets(name), *cols)
+                # sorted buckets: after compact() leaves one file per
+                # bucket, the sort-merge probe reads the store pre-sorted
+                # and skips its per-batch O(store) sort entirely
+                .sortBy(*cols)
+                .option("path", path)
+                .saveAsTable(self._table(name, epoch))
+            )
+        self.metrics.observe_append(
+            name, max(0, self._count_files(path) - before)
         )
+        self.metrics.observe_epoch(name, epoch)
 
     # -- viral-cap membership counts -------------------------------------
     # The cap needs "how many canonical docs already share this band
@@ -881,6 +943,7 @@ class IncrementalNearDup:
     def _process_batch_locked(self, docs: DataFrame, batch_id: int) -> DataFrame:
         self._adopt_legacy()
         self._gc_epochs()
+        self.metrics.observe_batch_start()
         sigs_store = self._load_store("sigs")
         bands_store = self._load_store("bands")
 
@@ -1003,6 +1066,15 @@ class IncrementalNearDup:
         )
 
         canon = report.filter(~F.col("is_dup")).select("doc_id")
+        if canon.isEmpty():
+            # replay-only / all-dup / idle batch: nothing new to fold.
+            # Skipping the appends matters operationally — a streaming
+            # detector sees many idle micro-batches, and writing a
+            # zero-row parquet file per store per batch bloats the file
+            # count the next compaction has to chew through. isEmpty()
+            # is a limit-1 probe over the already-checkpointed report.
+            self.metrics.batches += 1
+            return report
         new_sigs = enriched.join(canon, "doc_id").select("doc_id", "sig")
         new_bands = (
             enriched.join(canon, "doc_id")
@@ -1018,6 +1090,7 @@ class IncrementalNearDup:
         # permanent recall loss for all its future duplicates.
         self._append_store("bands", new_bands)
         self._append_store("sigs", new_sigs)
+        self.metrics.batches += 1
         # enriched is a checkpointed RDD; blocks free when the ref drops
         return report
 
@@ -1057,6 +1130,11 @@ class IncrementalNearDup:
         with self._writer_lock("compact"):
             try:
                 self._compact_locked(target_partitions, hot_bucket_threshold)
+                self.metrics.compactions += 1
+                for name in (*_STORES, "band_hot"):
+                    self.metrics.observe_epoch(
+                        name, self.backend.read_pointer(self._path(name))
+                    )
             except BaseException:
                 # a partial compact may have swapped a store dir without
                 # reaching the summary swap — in the '<no-summary>' epoch

@@ -39,6 +39,14 @@ class PipelineMetrics:
     committed_transactions: int = 0
     last_batch_events_per_sec: float | None = None
     backlog_rows: int = 0
+    #: END events that arrived with a commit LSN at or below the
+    #: already-emitted high-watermark — a violated delivery-order
+    #: contract (the reference's single-partition tx topic makes this
+    #: impossible by construction; a misconfigured multi-partition
+    #: topic or a reordering file source makes it silent). Counted
+    #: when the processor runs with enforce_tx_order=False; the
+    #: default mode raises instead.
+    tx_order_regressions: int = 0
     last_batch_id: int = -1
     batches: int = 0
     _last_event_wall_ms: float | None = None
@@ -127,5 +135,55 @@ class PipelineMetrics:
             "rows_scanned": dict(self.rows_scanned),
             "snapshot_rows_scanned": dict(self.snapshot_rows_scanned),
             "backlog_rows": self.backlog_rows,
+            "tx_order_regressions": self.tx_order_regressions,
             "batches": self.batches,
+        }
+
+
+@dataclass
+class DetectorMetrics:
+    """Backlog/maintenance counters for ``IncrementalNearDup`` — the
+    detector-side analog of the reference's replication-slot backlog
+    dashboard (postgres-replication-slots panels: retained-WAL size,
+    slot lag; BASELINE.md rows 5-6). The state stores ARE this
+    engine's retained backlog: their growth rate tells an operator
+    when the compact() cadence is falling behind, exactly like a
+    swelling replication slot.
+
+    Counter semantics: ``appended_files_last_batch`` resets at each
+    ``process_batch`` start (a batch that appends nothing reads 0);
+    ``appended_files_total`` is monotone per store; ``store_epoch``
+    tracks the committed pointer after each locked op (epoch bumps =
+    compactions applied). File counts come from backend listings taken
+    inside the writer lock — under list-after-write lag they can run
+    momentarily stale-LOW; they are operational gauges, never
+    correctness inputs."""
+
+    batches: int = 0
+    compactions: int = 0
+    appended_files_last_batch: dict[str, int] = field(default_factory=dict)
+    appended_files_total: dict[str, int] = field(default_factory=dict)
+    store_epoch: dict[str, int] = field(default_factory=dict)
+
+    def observe_batch_start(self) -> None:
+        self.appended_files_last_batch = {}
+
+    def observe_append(self, store: str, n_files: int) -> None:
+        self.appended_files_last_batch[store] = (
+            self.appended_files_last_batch.get(store, 0) + n_files
+        )
+        self.appended_files_total[store] = (
+            self.appended_files_total.get(store, 0) + n_files
+        )
+
+    def observe_epoch(self, store: str, epoch: int) -> None:
+        self.store_epoch[store] = epoch
+
+    def snapshot(self) -> dict:
+        return {
+            "batches": self.batches,
+            "compactions": self.compactions,
+            "appended_files_last_batch": dict(self.appended_files_last_batch),
+            "appended_files_total": dict(self.appended_files_total),
+            "store_epoch": dict(self.store_epoch),
         }

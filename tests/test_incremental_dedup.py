@@ -1021,6 +1021,55 @@ def test_cap_uses_compacted_summary_and_survives_restart(spark, tmp_path):
     assert ro["is_dup"]
 
 
+def test_detector_backlog_metrics_track_appends_and_epochs(spark, tmp_path):
+    """Backlog/lag monitoring (the replication-slot dashboard analog):
+    a two-batch run must report per-batch appended-file counts, a
+    monotone total, per-store epochs, and store_stats() sizes that
+    grow with content and reflect a compaction's epoch bump."""
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+
+    det = IncrementalNearDup(spark, str(tmp_path / "state"), threshold=0.5)
+    det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+    m1 = det.metrics.snapshot()
+    assert m1["batches"] == 1 and m1["compactions"] == 0
+    assert m1["appended_files_last_batch"]["sigs"] >= 1
+    assert m1["appended_files_last_batch"]["bands"] >= 1
+    assert m1["store_epoch"] == {"sigs": 1, "bands": 1}
+
+    s1 = det.store_stats()
+    assert s1["stores"]["sigs"]["files"] >= 1 and s1["stores"]["sigs"]["bytes"] > 0
+    assert s1["stores"]["bands"]["epoch"] == 1
+    assert s1["stores"]["band_hot"] == {"epoch": 0, "files": 0, "bytes": 0}
+
+    # batch 2: one new canonical + one dup (dup appends nothing extra
+    # beyond the canonical's rows); totals are monotone
+    det.process_batch(_docs(spark, [(3, NEAR), (5, "fresh unseen text about databases and storage engines")]), 1)
+    m2 = det.metrics.snapshot()
+    assert m2["batches"] == 2
+    assert m2["appended_files_total"]["sigs"] >= m1["appended_files_total"]["sigs"]
+    assert m2["appended_files_last_batch"]["sigs"] >= 1
+    s2 = det.store_stats()
+    assert s2["stores"]["sigs"]["bytes"] > s1["stores"]["sigs"]["bytes"] or (
+        s2["stores"]["sigs"]["files"] > s1["stores"]["sigs"]["files"]
+    )
+
+    # compaction bumps epochs and the compaction counter; the rewritten
+    # store reads back with FEWER-OR-EQUAL files than the append pile
+    det.compact(target_partitions=1)
+    m3 = det.metrics.snapshot()
+    assert m3["compactions"] == 1
+    assert m3["store_epoch"]["sigs"] == 2 and m3["store_epoch"]["bands"] == 2
+    s3 = det.store_stats()
+    assert s3["stores"]["sigs"]["epoch"] == 2
+    assert s3["stores"]["sigs"]["files"] <= s2["stores"]["sigs"]["files"]
+    # an empty batch appends nothing: the last-batch gauge resets
+    det.process_batch(_docs(spark, [(1, BASE)]), 2)  # replayed id only
+    m4 = det.metrics.snapshot()
+    assert m4["appended_files_last_batch"].get("sigs", 0) == 0
+
+
 def test_rebuild_hot_coverage_exact_under_list_lag(spark, tmp_path):
     """The band_hot summary's ``_files.json`` must name EXACTLY the
     files the summary aggregation read. Under list-after-write lag the

@@ -481,6 +481,68 @@ def test_crash_after_commit_filters_replay(spark, tmp_path, backend_cls):
     assert sorted(str(l["price"]) for l in d[0]["lines"]) == ["2.00", "5.00", "9.00"]
 
 
+@pytest.mark.slow
+def test_tx_metadata_order_regression_raises_not_silent(
+    spark, tmp_path, backend_cls
+):
+    """The tx-metadata delivery-order contract, ENFORCED: an END whose
+    commit LSN is at or below the already-emitted high-watermark must
+    fail LOUDLY (the composed e2e's mtime-tie trap showed a reordering
+    source otherwise yields silently out-of-commit-order emissions —
+    cdc_stream contract docs; the reference is immune via its
+    single-partition tx topic, DataStreamV2Job.java:70-97). The
+    watermark sidecar rides _store_all's single commit point, so the
+    check also holds across a restart; at-least-once REPLAY of an
+    applied tx must NOT trip it (anti-joined away before the check);
+    enforce_tx_order=False downgrades to warn + counter."""
+    import warnings
+
+    state, proc = _first_batch(spark, tmp_path, backend_cls())
+    # batch 1 at high LSNs emits and advances the watermark to ~90k
+    batch1 = _dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00"))
+    assert proc.process(*batch1, batch_id=1).count() == 1
+
+    # REPLAY control: redelivering batch 1 verbatim (applied tx) is
+    # at-least-once business as usual — dropped, never an order error
+    assert proc.process(*batch1, batch_id=2).count() == 0
+
+    # regression: a tx whose END carries a LOWER commit LSN than the
+    # emitted watermark arrives in a later batch
+    late = _dfs(spark, _one_line_tx(50000, 400, 300002, 30001, "1.00"))
+    with pytest.raises(RuntimeError, match="delivery-order violation"):
+        proc.process(*late, batch_id=3)
+
+    # the check fires BEFORE any emission or state write: a fresh
+    # processor (restart) sees uncorrupted state, re-raises on the
+    # same reordered feed, and a conforming batch still goes through
+    fresh = TxDenormBatchProcessor(
+        spark, state, n_buckets=8, backend=backend_cls()
+    )
+    with pytest.raises(RuntimeError, match="delivery-order violation"):
+        fresh.process(*late, batch_id=3)
+    ok = fresh.process(
+        *_dfs(spark, _one_line_tx(95000, 950, 300003, 30000, "2.00")),
+        batch_id=4,
+    ).collect()
+    assert sorted(str(l["price"]) for l in ok[0]["lines"]) == [
+        "2.00",
+        "5.00",
+        "9.00",
+    ]
+
+    # quarantine mode: warn + count, emissions proceed (operator's
+    # choice of lag over a halted pipeline)
+    lenient = TxDenormBatchProcessor(
+        spark, state, n_buckets=8, backend=backend_cls(),
+        enforce_tx_order=False,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert lenient.process(*late, batch_id=5).count() == 1
+    assert any("delivery-order violation" in str(w.message) for w in caught)
+    assert lenient.metrics.tx_order_regressions == 1
+
+
 def test_cross_backend_reopen_refused(spark, tmp_path):
     """A state dir committed by one backend reopened under the other
     must RAISE: the two encode the commit pointer differently (CURRENT
