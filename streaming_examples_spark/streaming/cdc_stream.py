@@ -121,6 +121,14 @@ class TxDenormBatchProcessor:
         #: check — size the retention to the source's redelivery
         #: horizon.
         self.enforce_tx_order = enforce_tx_order
+        # build-marker fencing identity (state_backend.claim_build):
+        # the advisory writer lock is per-filesystem, so two HOSTS can
+        # both hold it on an object store — the marker makes the
+        # second builder of a version dir fail loudly instead of
+        # interleaving writes into it
+        from streaming_examples_spark.streaming.locks import owner_token
+
+        self._writer_token = owner_token()
         self.metrics = PipelineMetrics()
         # previous batch's emissions cache, unpersisted at the next
         # batch's start (the caller may still read the CURRENT batch's
@@ -266,13 +274,31 @@ class TxDenormBatchProcessor:
         against the intact old version) or a fully-superseded OLD
         version (crash after the flip, before cleanup). Runs at batch
         start under the writer lock."""
-        cur = f"v{self._current_version()}"
+        cur_n = self._current_version()
+        cur = f"v{cur_n}"
         for entry in os.listdir(self.state_dir):
             full = os.path.join(self.state_dir, entry)
-            if entry != cur and _VERSION_DIR_RE.fullmatch(entry) and os.path.isdir(full):
+            m = _VERSION_DIR_RE.fullmatch(entry)
+            if entry != cur and m and os.path.isdir(full):
+                # a version ABOVE the pointer is under construction or
+                # crashed garbage: respect a live foreign build claim
+                # (a second HOST mid-batch — the advisory lock can't
+                # see it) instead of GC'ing the dir out from under it
+                if int(entry[1:]) > cur_n:
+                    self._refuse_live_foreign_build(full)
                 self.backend.remove_tree(full)
+                self.backend.release_build(full)
             elif entry.startswith("CURRENT."):
                 self.backend.remove_file(full)
+
+    def _refuse_live_foreign_build(self, path: str) -> None:
+        """Backend-shared fencing check (state_backend.
+        refuse_live_foreign_build); caller holds the writer lock."""
+        from streaming_examples_spark.streaming.state_backend import (
+            refuse_live_foreign_build,
+        )
+
+        refuse_live_foreign_build(self.backend, path, self._writer_token)
 
     def _load(self, name: str) -> DataFrame | None:
         path = self._frame_path(name)
@@ -368,7 +394,14 @@ class TxDenormBatchProcessor:
         → conditional put — same single-commit design."""
         cur = self._current_version()
         new_root = self._root(cur + 1)
-        self.backend.remove_tree(new_root)  # crashed prior attempt
+        # crashed prior attempt — but never GC a LIVE foreign builder's
+        # dir (two hosts can hold the per-filesystem advisory lock);
+        # then claim the build exclusively: a concurrent claimer loses
+        # the conditional put and raises instead of interleaving writes
+        self._refuse_live_foreign_build(new_root)
+        self.backend.remove_tree(new_root)
+        self.backend.release_build(new_root)
+        self.backend.claim_build(new_root, self._writer_token)
         self.backend.prepare_dir(new_root)
         # scalar sidecars (e.g. the emitted-LSN high-watermark) ride the
         # same single commit point as the frames: written under the new
@@ -406,9 +439,16 @@ class TxDenormBatchProcessor:
         # bucket layout sealed before any version can commit: a restart
         # with a different n_buckets must raise, not read wrong buckets
         self._write_layout()
+        # fencing re-validation: the build claim must still be ours —
+        # a missing/foreign marker means another writer GC'd and
+        # re-claimed this dir while we wrote; committing would publish
+        # interleaved (mixed-batch) state
+        self.backend.validate_build(new_root, self._writer_token)
         # THE commit point: atomic + durable pointer flip (backend
         # contract; locally a fsync'd temp + os.replace + dir fsync)
         self.backend.commit_pointer(self.state_dir, cur + 1)
+        # the claim only fences construction; the committed dir is live
+        self.backend.release_build(new_root)
         # post-commit cleanup; a crash here leaves garbage, GC'd next batch
         self.backend.remove_tree(self._root(cur))
 

@@ -213,6 +213,13 @@ class IncrementalNearDup:
         from streaming_examples_spark.streaming.monitoring import DetectorMetrics
 
         self.metrics = DetectorMetrics()
+        # build-marker fencing identity (state_backend.claim_build):
+        # compaction epoch builds are claimed exclusively so a second
+        # HOST (the advisory lock is per-filesystem) fails loudly
+        # instead of interleaving writes into the same epoch dir
+        from streaming_examples_spark.streaming.locks import owner_token
+
+        self._writer_token = owner_token()
         self._reset_cap_cache()
         if self.bands_buckets or self.sigs_buckets:
             import hashlib
@@ -294,7 +301,21 @@ class IncrementalNearDup:
                 )
             for e in epochs:
                 if e != cur:
-                    self.backend.remove_tree(os.path.join(root, f"v{e}"))
+                    stray = os.path.join(root, f"v{e}")
+                    if e > cur:
+                        # an epoch ABOVE the pointer is a compaction in
+                        # flight or its crash garbage: respect a live
+                        # foreign build claim (dual-host schedule)
+                        # instead of GC'ing it out from under the writer
+                        from streaming_examples_spark.streaming.state_backend import (
+                            refuse_live_foreign_build,
+                        )
+
+                        refuse_live_foreign_build(
+                            self.backend, stray, self._writer_token
+                        )
+                    self.backend.remove_tree(stray)
+                    self.backend.release_build(stray)
         # A crash between a compaction's pointer flip and its DROP TABLE
         # leaves the SUPERSEDED epoch's table registered in any session
         # that survives the crash (fresh sessions never see it — table
@@ -311,6 +332,17 @@ class IncrementalNearDup:
                     m = re.fullmatch(re.escape(base) + r"_v(\d+)", row.tableName)
                     if m and int(m.group(1)) != cur:
                         self.spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+
+    def _reclaim_or_refuse(self, path: str) -> None:
+        """Clear a reclaimable (same-host, necessarily-abandoned under
+        our writer lock) build claim on ``path``; raise on a
+        remote-host claim (state_backend.refuse_live_foreign_build)."""
+        from streaming_examples_spark.streaming.state_backend import (
+            refuse_live_foreign_build,
+        )
+
+        refuse_live_foreign_build(self.backend, path, self._writer_token)
+        self.backend.release_build(path)
 
     def _buckets(self, name: str) -> int | None:
         # only the two corpus stores are bucketable; routing any other
@@ -474,12 +506,23 @@ class IncrementalNearDup:
         operational contract is therefore one writer at a time: the
         stream OR the maintenance job — and that contract SPANS HOSTS.
         This advisory lock is per-filesystem and cannot order two
-        hosts on an object store; the conditional-put commit only
-        makes pointer-vs-pointer races loud (two concurrent compacts —
-        tested by the CAS hammer), NOT the append-vs-compact race,
-        whose appends never touch the pointer. Multi-host deployments
-        must enforce single-writer externally (one owner per state
-        prefix — the same rule every LSM table format imposes).
+        hosts on an object store. What the r10 build-marker fencing
+        (state_backend.claim_build, validated before every pointer
+        flip) adds on top: two hosts COMPACTING concurrently now fail
+        loudly — the second claimer loses the conditional put, a
+        GC'd-and-reclaimed builder fails its commit-time validation,
+        and the epoch GC refuses to reclaim a remote host's live claim
+        — so no dual-compact schedule can publish an interleaved
+        epoch. What it deliberately does NOT close: the
+        append-vs-remote-compact race (an append landing in the
+        current epoch during a remote rewrite window is lost at the
+        flip — appends never touch the pointer or the marker) and a
+        mid-task write racing a reclaimed dir between its GC and the
+        new owner's commit; closing those needs time-bound leases.
+        Multi-host deployments must still enforce single-writer
+        externally (one owner per state prefix — the same rule every
+        LSM table format imposes), with the markers as the
+        defense-in-depth that turns most violations into loud errors.
         Acquisition and stale-break mechanics: :func:`writer_lock`.
         """
         with writer_lock(self.state_dir, role):
@@ -1172,6 +1215,14 @@ class IncrementalNearDup:
                 nxt_table = self._table(name, nxt)
                 self.spark.sql(f"DROP TABLE IF EXISTS {nxt_table}")
                 self.backend.remove_tree(nxt_path)
+                # exclusive build claim: a second host compacting the
+                # same store loses the conditional put and raises
+                # instead of interleaving writes into this epoch dir.
+                # The refuse+release first handles a crashed claim
+                # whose dir never materialized (_gc_epochs only walks
+                # LISTED epoch dirs, so such a claim survives it)
+                self._reclaim_or_refuse(nxt_path)
+                self.backend.claim_build(nxt_path, self._writer_token)
                 (
                     self._load_store(name)
                     .dropDuplicates()  # heal any append-retry duplicates
@@ -1181,18 +1232,25 @@ class IncrementalNearDup:
                     .option("path", nxt_path)
                     .saveAsTable(nxt_table)
                 )
+                # the claim must still be ours right before the flip
+                self.backend.validate_build(nxt_path, self._writer_token)
                 self.backend.commit_pointer(root, nxt)
+                self.backend.release_build(nxt_path)
                 # metadata-only drop: the external table keeps its
                 # files; the epoch removal below reclaims them
                 self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name, cur)}")
                 self.backend.remove_tree(cur_path)
                 continue
             self.backend.remove_tree(nxt_path)
+            self._reclaim_or_refuse(nxt_path)
+            self.backend.claim_build(nxt_path, self._writer_token)
             frame = self._load_store(name)
             frame.dropDuplicates().repartition(target_partitions).write.mode(
                 "overwrite"
             ).parquet(nxt_path)
+            self.backend.validate_build(nxt_path, self._writer_token)
             self.backend.commit_pointer(root, nxt)
+            self.backend.release_build(nxt_path)
             self.backend.remove_tree(cur_path)
         self._rebuild_hot()
 
@@ -1233,6 +1291,8 @@ class IncrementalNearDup:
         nxt = hot_cur + 1
         nxt_path = os.path.join(hot_root, f"v{nxt}")
         self.backend.remove_tree(nxt_path)
+        self._reclaim_or_refuse(nxt_path)
+        self.backend.claim_build(nxt_path, self._writer_token)
         (
             store
             .groupBy("band_id", "band_key")
@@ -1248,7 +1308,9 @@ class IncrementalNearDup:
             json.dump(files, fh)
             fh.flush()
             os.fsync(fh.fileno())
+        self.backend.validate_build(nxt_path, self._writer_token)
         self.backend.commit_pointer(hot_root, nxt)
+        self.backend.release_build(nxt_path)
         if hot_cur:
             self.backend.remove_tree(os.path.join(hot_root, f"v{hot_cur}"))
 

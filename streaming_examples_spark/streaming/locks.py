@@ -141,3 +141,35 @@ def writer_lock(state_dir: str, role: str):
                 pass
         with contextlib.suppress(FileNotFoundError):
             os.unlink(tmp)
+
+
+def owner_token() -> str:
+    """A per-acquisition writer identity for build-marker fencing
+    (state_backend.claim_build): host + pid locate the writer, the
+    random suffix distinguishes successive instances in one process.
+    Mint one per processor/detector instance."""
+    import uuid
+
+    return f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:12]}"
+
+
+def claim_reclaimable_under_writer_lock(token: str | None) -> bool:
+    """May a writer HOLDING the state dir's advisory lock reclaim a
+    build claim carrying this owner token?
+
+    Same-host claims: yes — the advisory lock genuinely excludes on
+    one filesystem, so while we hold it no same-host batch can be in
+    flight; a same-host claim is necessarily an abandoned (crashed)
+    build, whatever its pid says (the pid may even be OURS, from a
+    previous processor instance in this process — the lock serialized
+    its batches with ours).
+
+    Remote-host claims: never — liveness of a remote writer cannot be
+    proven from here, and reclaiming a LIVE builder's dir re-opens the
+    interleaved-write window the marker fencing exists to close (the
+    same rule as the writer lock's own stale break). Unparseable
+    claims are treated as remote."""
+    if not token:
+        return True  # no claim — nothing to respect
+    parts = token.split(":")
+    return len(parts) >= 3 and parts[0] == socket.gethostname()

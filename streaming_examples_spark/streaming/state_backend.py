@@ -143,6 +143,116 @@ class StateStorageBackend:
         when the logical dir is absent or holds no data files."""
         raise NotImplementedError
 
+    # -- multi-writer build fencing ---------------------------------------
+    # The advisory writer lock (locks.py) is per-filesystem: on an
+    # object store two HOSTS can both believe they hold it and both
+    # start BUILDING the same next version/epoch dir — the pointer CAS
+    # then picks one commit winner, but the committed dir may hold the
+    # loser's interleaved writes (mixed-batch state, the exact poison
+    # the versioned commit exists to prevent). The build marker closes
+    # that: a conditional put (`if-none-match` on real stores, O_EXCL
+    # here — the same primitive the manifest backend's pointer
+    # generations use) claims a dir under construction, and the claim
+    # is re-validated immediately before commit_pointer. These are
+    # concrete on the base class because every backend emulates them
+    # with the identical exclusive-create, and the marker name is part
+    # of the cross-backend layout (an underscore-name: invisible to
+    # the logical namespace reads above).
+
+    @staticmethod
+    def _build_marker(path: str) -> str:
+        # a SIBLING of the build dir, never inside it: Spark's
+        # mode("overwrite") deletes the target dir's contents, and the
+        # claim must survive the very writes it fences
+        return path.rstrip(os.sep) + ".builder"
+
+    def claim_build(self, path: str, owner: str) -> None:
+        """Exclusively claim the version/epoch dir ``path`` as under
+        construction by ``owner`` (a ``host:pid:uuid`` token from
+        locks.owner_token()). Raises RuntimeError when another owner's
+        claim exists — the dual-writer signal."""
+        # the marker is a sibling of the build dir: ensure the parent
+        # prefix exists (object stores have no dirs to create; the
+        # local emulation needs the makedirs)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        try:
+            fd = os.open(
+                self._build_marker(path), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            raise RuntimeError(
+                f"build conflict on {path}: another writer "
+                f"({self.read_build_owner(path)!r}) is already "
+                "constructing this version — two writers share one "
+                "state dir (dual-host schedule?); refusing to "
+                "interleave writes."
+            )
+        try:
+            os.write(fd, owner.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def read_build_owner(self, path: str) -> str | None:
+        """The claim's owner token (a GET — read-your-writes fresh),
+        or None when the dir carries no claim."""
+        try:
+            with open(self._build_marker(path)) as fh:
+                return fh.read() or None
+        except FileNotFoundError:
+            return None
+
+    def validate_build(self, path: str, owner: str) -> None:
+        """Immediately before commit_pointer: the claim must still be
+        OURS. A differing/missing owner means the dir was GC'd and
+        re-claimed by another writer while we wrote — committing would
+        publish a dir with interleaved foreign writes."""
+        found = self.read_build_owner(path)
+        if found != owner:
+            raise RuntimeError(
+                f"build fencing violation on {path}: claimed by "
+                f"{owner!r} but the marker now reads {found!r} — "
+                "another writer reclaimed this version dir mid-build; "
+                "aborting the commit."
+            )
+
+    def release_build(self, path: str) -> None:
+        """Drop the claim — after the commit (the dir is live; claims
+        only fence construction) or with the GC of a dead builder's
+        garbage. Idempotent."""
+        try:
+            os.unlink(self._build_marker(path))
+        except FileNotFoundError:
+            pass
+
+
+def refuse_live_foreign_build(
+    backend: "StateStorageBackend", path: str, own_token: str
+) -> None:
+    """Raise when ``path`` carries a build claim the caller may not
+    reclaim (see locks.claim_reclaimable_under_writer_lock). Caller
+    must hold the state dir's advisory writer lock — same-host claims
+    are reclaimable precisely because the lock excludes same-host
+    in-flight batches; remote-host claims are indeterminate and
+    refused."""
+    from streaming_examples_spark.streaming.locks import (
+        claim_reclaimable_under_writer_lock,
+    )
+
+    owner = backend.read_build_owner(path)
+    if (
+        owner
+        and owner != own_token
+        and not claim_reclaimable_under_writer_lock(owner)
+    ):
+        raise RuntimeError(
+            f"dual-writer detected on {path}: a build claim by "
+            f"{owner!r} is held from another host, where liveness "
+            "cannot be proven. Two writers share this state dir — "
+            "stop the other one; if its host is known dead, remove "
+            f"{path + '.builder'} manually."
+        )
+
 
 class LocalPosixBackend(StateStorageBackend):
     """The shipped backend: hardlink carry (copy fallback for
@@ -562,6 +672,12 @@ class LaggedManifestBackend(ManifestBackend):
     def carry_file(self, src: str, dst: str) -> None:
         self._snap(os.path.dirname(os.path.abspath(dst)))
         super().carry_file(src, dst)
+
+    def claim_build(self, path: str, owner: str) -> None:
+        # a conditional put is a mutation: the claimed dir's listing
+        # may lag, but the marker itself reads back by GET (fresh)
+        self._snap(path)
+        super().claim_build(path, owner)
 
     def commit_pointer(self, state_dir: str, version: int) -> int:
         # the pointer read path resolves generations by GET, so the

@@ -1021,6 +1021,78 @@ def test_cap_uses_compacted_summary_and_survives_restart(spark, tmp_path):
     assert ro["is_dup"]
 
 
+@pytest.mark.slow
+def test_dual_writer_build_fencing_detector(spark, tmp_path, monkeypatch):
+    """Two-host schedule over one manifest-backed detector store (the
+    advisory lock is per-filesystem — defeated to model two hosts):
+    a remote builder's claim on the next epoch makes the local
+    compact raise 'dual-writer detected'; the documented manual heal
+    unblocks; a mid-build reclaim (second same-host writer once the
+    lock is defeated) fails the first writer's commit-time validation
+    instead of publishing a dir it no longer owns. Interleaved appends
+    from two instances stay additive; verdicts stay correct after
+    every step."""
+    import contextlib
+    import os
+
+    from streaming_examples_spark.streaming import incremental_dedup as incdedup_mod
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    monkeypatch.setattr(
+        incdedup_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    state = str(tmp_path / "state")
+    detA = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=ManifestBackend()
+    )
+    detA.process_batch(_docs(spark, [(1, BASE)]), 0)
+    # interleaved appends from a SECOND instance are additive
+    detB = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=ManifestBackend()
+    )
+    detB.process_batch(_docs(spark, [(2, OTHER)]), 1)
+    r = {x["doc_id"]: x for x in detA.process_batch(_docs(spark, [(3, NEAR)]), 2).collect()}
+    assert r[3]["is_dup"] and r[3]["dup_of"] == 1
+
+    # (1) a REMOTE host's claim on the bands next-epoch blocks compact
+    b = ManifestBackend()
+    bands_v2 = os.path.join(state, "bands", "v2")
+    b.claim_build(bands_v2, "hostB:1:feedface")
+    with pytest.raises(RuntimeError, match="dual-writer detected"):
+        detA.compact(target_partitions=1)
+    assert b.read_pointer(os.path.join(state, "bands")) == 1  # intact
+    b.release_build(bands_v2)  # operator: hostB is dead
+    detA.compact(target_partitions=1)
+    assert b.read_pointer(os.path.join(state, "bands")) == 2
+
+    # (2) mid-build reclaim: B compacts fully between A's claim and
+    # A's commit-time validation — A must refuse to commit
+    real_validate = detA.backend.validate_build
+    fired = {"done": False}
+
+    def hijack(path, owner):
+        if not fired["done"]:
+            fired["done"] = True
+            detB.compact(target_partitions=1)
+        return real_validate(path, owner)
+
+    monkeypatch.setattr(detA.backend, "validate_build", hijack)
+    with pytest.raises(RuntimeError, match="build fencing violation"):
+        detA.compact(target_partitions=1)
+    # B's compaction committed; the store still answers correctly
+    detC = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=ManifestBackend()
+    )
+    NEAR2 = BASE.replace("warm fire", "cold fire")
+    r2 = {x["doc_id"]: x for x in detC.process_batch(_docs(spark, [(4, NEAR2)]), 3).collect()}
+    assert r2[4]["is_dup"] and r2[4]["dup_of"] == 1
+    sigs = detC.read_store("sigs")
+    assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
+
+
 def test_detector_backlog_metrics_track_appends_and_epochs(spark, tmp_path):
     """Backlog/lag monitoring (the replication-slot dashboard analog):
     a two-batch run must report per-batch appended-file counts, a

@@ -543,6 +543,80 @@ def test_tx_metadata_order_regression_raises_not_silent(
     assert lenient.metrics.tx_order_regressions == 1
 
 
+@pytest.mark.slow
+def test_dual_writer_build_fencing_tx_store(spark, tmp_path, monkeypatch):
+    """Two-host schedule over one manifest-backed tx store (the
+    advisory lock is per-filesystem — defeated here to model separate
+    hosts): (1) a REMOTE builder's claim on the next version dir makes
+    the local batch raise 'dual-writer detected' instead of GC'ing and
+    interleaving writes; the documented manual heal (remove the
+    builder marker of a known-dead host) unblocks. (2) A builder whose
+    version dir is reclaimed mid-build (GC + re-claim by a second
+    same-host writer once the lock is defeated) must fail its
+    commit-time claim validation — never publish a dir it no longer
+    owns. State stays all-old-or-all-new throughout."""
+    import contextlib
+
+    from streaming_examples_spark.streaming import locks as locks_mod
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    monkeypatch.setattr(
+        locks_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    state = str(tmp_path / "state")
+    procA = TxDenormBatchProcessor(
+        spark, state, n_buckets=8, backend=ManifestBackend()
+    )
+    assert procA.process(*_dfs(spark, _seed_log()), batch_id=0).count() == 8
+
+    # (1) remote host mid-build: its claim blocks the local writer
+    b = ManifestBackend()
+    v2 = os.path.join(state, "v2")
+    b.claim_build(v2, "hostB:1:feedface")
+    batch1 = _dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00"))
+    with pytest.raises(RuntimeError, match="dual-writer detected"):
+        procA.process(*batch1, batch_id=1)
+    assert b.read_pointer(state) == 1  # nothing committed, state intact
+    b.release_build(v2)  # operator: hostB is dead — remove its marker
+    assert procA.process(*batch1, batch_id=1).count() == 1
+    assert b.read_pointer(state) == 2
+
+    # (2) mid-build reclaim: B runs a FULL batch between A's claim and
+    # A's commit-time validation (B's GC reclaims A's same-host claim —
+    # legitimate only because the lock normally forbids this schedule)
+    procB = TxDenormBatchProcessor(
+        spark, state, n_buckets=8, backend=ManifestBackend()
+    )
+    # A's tx carries the HIGHER commit LSN: after B's tx emits first,
+    # A's retry still satisfies the (also enforced) commit-order intake
+    batchA = _dfs(spark, _one_line_tx(99000, 990, 300002, 30000, "2.00"))
+    batchB = _dfs(spark, _one_line_tx(97000, 970, 300003, 30001, "3.00"))
+    real_validate = procA.backend.validate_build
+    fired = {"done": False}
+
+    def hijack(path, owner):
+        if not fired["done"]:
+            fired["done"] = True
+            procB.process(*batchB, batch_id=7)
+        return real_validate(path, owner)
+
+    monkeypatch.setattr(procA.backend, "validate_build", hijack)
+    with pytest.raises(RuntimeError, match="build fencing violation"):
+        procA.process(*batchA, batch_id=6)
+    # B's commit won; the store is ALL-B for that version — and a
+    # fresh processor (A's retry) lands cleanly on top
+    assert b.read_pointer(state) == 3
+    fresh = TxDenormBatchProcessor(
+        spark, state, n_buckets=8, backend=ManifestBackend()
+    )
+    d = fresh.process(*batchA, batch_id=8).collect()
+    assert sorted(str(l["price"]) for l in d[0]["lines"]) == [
+        "2.00",
+        "5.00",
+        "9.00",
+    ]
+
+
 def test_cross_backend_reopen_refused(spark, tmp_path):
     """A state dir committed by one backend reopened under the other
     must RAISE: the two encode the commit pointer differently (CURRENT

@@ -115,7 +115,8 @@ def main() -> int:
         dups = rep.filter("is_dup").count()
         total_dups += dups
         print(
-            f"batch {b}: {n} docs, {dups} dups, {time.time() - t0:.2f}s",
+            f"batch {b}: {n} docs, {dups} dups, {time.time() - t0:.2f}s, "
+            f"appended_files={det.metrics.appended_files_last_batch}",
             flush=True,
         )
     wall = time.time() - t_all
@@ -124,6 +125,7 @@ def main() -> int:
         f"total: {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/s), "
         f"{total_dups} dups, store={sigs.count()} canonicals"
     )
+    print(f"store_stats: {det.store_stats()}", flush=True)
     if buckets:
         # the 100 TB contract, checked against the LIVE (big) store:
         # every store join — band probe, replay anti-join, signature
