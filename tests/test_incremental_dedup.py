@@ -1021,6 +1021,43 @@ def test_cap_uses_compacted_summary_and_survives_restart(spark, tmp_path):
     assert ro["is_dup"]
 
 
+def test_gc_drops_stale_epoch_table_registrations(spark, tmp_path):
+    """A compaction crash after the pointer flip but before its DROP
+    TABLE leaves the SUPERSEDED epoch's table registered in any
+    session that survives the crash, pointing at a directory the GC
+    then deletes. The next locked op must re-drop every registered
+    epoch-version that is not the committed one (fresh sessions never
+    see the problem — table names are epoch-versioned)."""
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+
+    det = IncrementalNearDup(
+        spark, str(tmp_path / "state"), threshold=0.5, bands_buckets=4
+    )
+    try:
+        det.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+        cur_table = det.store_table("bands")  # ..._v1
+        # simulate the crash window: the NEXT epoch's name left
+        # registered by a compaction that died post-flip (here: a stale
+        # registration over the CURRENT dir — content irrelevant, the
+        # registration itself is the hazard)
+        stale = f"{det._bands_table}_v9"
+        spark.sql(
+            f"CREATE TABLE {stale} (band_id INT, band_key STRING, doc_id BIGINT) "
+            f"USING parquet LOCATION '{det._data_path('bands')}'"
+        )
+        det.process_batch(_docs(spark, [(3, NEAR)]), 1)  # locked op runs GC
+        names = {
+            r.tableName
+            for r in spark.sql(f"SHOW TABLES LIKE '{det._bands_table}*'").collect()
+        }
+        assert stale.split(".")[-1] not in names
+        assert cur_table.split(".")[-1] in names  # the live epoch stays
+    finally:
+        _drop_store_tables(spark, tmp_path / "state")
+
+
 @pytest.mark.slow
 def test_dual_writer_build_fencing_detector(spark, tmp_path, monkeypatch):
     """Two-host schedule over one manifest-backed detector store (the
