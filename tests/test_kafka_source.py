@@ -455,3 +455,75 @@ def test_composed_e2e_manifest_state_restart_and_replay(spark, tmp_path):
     assert {r["key"] for r in sent} == {
         str(oid) for oid, _lsn in want
     }
+
+
+@pytest.mark.slow
+def test_reordered_tx_metadata_fails_stream_loudly(spark, tmp_path):
+    """The mtime-tie trap, ENFORCED end-to-end (r9 found it, r10 closes
+    it): tx metadata arriving commit-order-REVERSED across micro-batches
+    — a higher-LSN tx's wire chunk delivered (and emitted) before a
+    lower-LSN tx's — must fail the stream with the delivery-order
+    error, never silently emit out of commit order. The in-order
+    composed e2e above is the positive control."""
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+
+    from streaming_examples_spark.streaming.cdc_stream import start_tx_denorm_stream
+
+    hi = TxLog()
+    hi._lsn, hi._next_tx = 90000, 900
+    hi.tx(
+        lambda t: t.insert_order(10001),
+        lambda t: t.insert_line(100001, 10001, price="1.00"),
+    )
+    lo = TxLog()
+    lo._lsn, lo._next_tx = 50000, 400
+    lo.tx(
+        lambda t: t.insert_order(10002),
+        lambda t: t.insert_line(100002, 10002, price="2.00"),
+    )
+    hi_dir = write_wire_log(tmp_path / "hi", hi)
+    lo_dir = write_wire_log(tmp_path / "lo", lo)
+    live = str(tmp_path / "live_wire")
+    os.makedirs(live)
+    # chunk 0 = the HIGH-LSN tx, chunk 1 = the LOW-LSN tx, with
+    # strictly increasing mtimes: the file source replays hi before lo
+    import time as _time
+
+    t0 = _time.time() - 3600
+    for i, (src, name) in enumerate(
+        [(hi_dir, "chunk-00000.json"), (lo_dir, "chunk-00001.json")]
+    ):
+        dst = os.path.join(live, name)
+        shutil.copy2(os.path.join(src, os.listdir(src)[0]), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    factory = _consumer_factory(live, streaming=True)
+    q = start_tx_denorm_stream(
+        spark,
+        kafka_envelope_stream(
+            spark, topic="orders", row_schema=ORDER_ROW_SCHEMA,
+            consumer_factory=factory,
+        ),
+        kafka_envelope_stream(
+            spark, topic="order_lines", row_schema=LINE_ROW_SCHEMA,
+            consumer_factory=factory,
+        ),
+        kafka_transaction_stream(
+            spark, topic="transactions", consumer_factory=factory
+        ),
+        state_dir=str(tmp_path / "state"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        with pytest.raises(StreamingQueryException) as excinfo:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert "delivery-order violation" in str(excinfo.value)
+    # the high-LSN tx emitted (batch 0, in order); the reordered one
+    # failed the batch BEFORE emitting anything out of order
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {r["id"] for r in out.collect()} == {10001}
