@@ -498,8 +498,18 @@ def test_state_commit_is_one_atomic_pointer_flip(spark, tmp_path, monkeypatch):
         proc.process(*b1, batch_id=1)
     monkeypatch.setattr("os.replace", real_replace)
 
-    # the store performed NO other rename: the flip IS the commit point
-    assert order and all(_os.path.basename(p) == "CURRENT" for p in order), order
+    # the flip IS the commit point: the only rename that changes
+    # COMMITTED state is CURRENT's. Renames inside the still-
+    # uncommitted new version dir (the r10 _tx_hwm.json sidecar's
+    # atomic publish) are invisible until the flip and GC'd with the
+    # dir on a crash — allowed; anything else would be a second
+    # commit point.
+    new_version = _os.path.join(state, "v2") + _os.sep
+    assert order and _os.path.basename(order[-1]) == "CURRENT", order
+    assert all(
+        _os.path.basename(p) == "CURRENT" or str(p).startswith(new_version)
+        for p in order
+    ), order
 
     # crash-before-flip ⇒ complete OLD state: a fresh processor replays
     # the batch in full and re-emits it (at-least-once)
