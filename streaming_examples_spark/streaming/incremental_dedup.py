@@ -128,6 +128,13 @@ _STORES = {
 _BUCKET_ID_RE = re.compile(r"_(\d+)\.c\d+")
 
 
+def _data_file_names(uris) -> list[str]:
+    """Sorted parquet basenames from a DataFrame.inputFiles() list."""
+    return sorted(
+        os.path.basename(u) for u in uris if u.endswith(".parquet")
+    )
+
+
 def minhash_signature(hs, n_perms: int) -> F.Column:
     """Full MinHash signature (array of per-permutation minima) over a
     precomputed base-hash array — same hash family as the LSH bands."""
@@ -1213,18 +1220,34 @@ class IncrementalNearDup:
                 # name) before the pointer flips; _gc_epochs cleared
                 # any garbage a previously crashed attempt left there
                 nxt_table = self._table(name, nxt)
-                self.spark.sql(f"DROP TABLE IF EXISTS {nxt_table}")
-                self.backend.remove_tree(nxt_path)
                 # exclusive build claim: a second host compacting the
                 # same store loses the conditional put and raises
                 # instead of interleaving writes into this epoch dir.
-                # The refuse+release first handles a crashed claim
-                # whose dir never materialized (_gc_epochs only walks
-                # LISTED epoch dirs, so such a claim survives it)
+                # Refuse BEFORE remove_tree — deleting first would
+                # gut a live remote builder's dir while its claim
+                # survives, and that builder would then validate its
+                # intact marker and commit the half-deleted dir (the
+                # exact interleaving the marker exists to prevent).
+                # The refuse+release also clears a crashed claim whose
+                # dir never materialized (_gc_epochs only walks LISTED
+                # epoch dirs, so such a claim survives it)
                 self._reclaim_or_refuse(nxt_path)
+                self.spark.sql(f"DROP TABLE IF EXISTS {nxt_table}")
+                self.backend.remove_tree(nxt_path)
                 self.backend.claim_build(nxt_path, self._writer_token)
+                # the rewrite source is the store's own read path —
+                # Spark's file enumeration, fresh on every backend
+                # (a backend LIST here would run stale-SHORT under
+                # list-after-write lag and silently drop just-appended
+                # rows from the rewrite). The consumed set is pinned
+                # from the frame's OWN inputFiles() snapshot (the
+                # _rebuild_hot pattern): that is exactly what the
+                # write consumes, and the straggler fold below diffs
+                # the post-flip listing against it
+                src = self._load_store(name)
+                consumed = _data_file_names(src.inputFiles())
                 (
-                    self._load_store(name)
+                    src
                     .dropDuplicates()  # heal any append-retry duplicates
                     .write.mode("overwrite")
                     .bucketBy(self._buckets(name), *cols)
@@ -1239,20 +1262,81 @@ class IncrementalNearDup:
                 # metadata-only drop: the external table keeps its
                 # files; the epoch removal below reclaims them
                 self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name, cur)}")
+                self._fold_stragglers(name, cur_path, consumed)
                 self.backend.remove_tree(cur_path)
                 continue
-            self.backend.remove_tree(nxt_path)
+            # refuse-then-remove, same reasoning as the bucketed branch
             self._reclaim_or_refuse(nxt_path)
+            self.backend.remove_tree(nxt_path)
             self.backend.claim_build(nxt_path, self._writer_token)
             frame = self._load_store(name)
+            consumed = _data_file_names(frame.inputFiles())
             frame.dropDuplicates().repartition(target_partitions).write.mode(
                 "overwrite"
             ).parquet(nxt_path)
             self.backend.validate_build(nxt_path, self._writer_token)
             self.backend.commit_pointer(root, nxt)
             self.backend.release_build(nxt_path)
+            self._fold_stragglers(name, cur_path, consumed)
             self.backend.remove_tree(cur_path)
         self._rebuild_hot()
+
+    def _store_data_files(self, name: str, epoch_path: str) -> list[str]:
+        """Sorted data-file basenames of a store epoch dir (backend
+        listing; detector stores hold physical files on every backend
+        — see _load_store)."""
+        try:
+            names = self.backend.list_dir(epoch_path)
+        except OSError:
+            return []
+        return sorted(n for n in names if n.endswith(".parquet"))
+
+    def _read_files(self, name: str, epoch_path: str, files: list[str]):
+        """A store frame over EXACTLY the given data files (schema
+        pinned; empty-safe). Bucket metadata is irrelevant here — the
+        only caller rewrites through the bucketed writer, which
+        shuffles on the bucket columns regardless of input layout."""
+        schema = _STORES[name][0]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *(os.path.join(epoch_path, n) for n in files)
+        )
+
+    def _fold_stragglers(
+        self, name: str, old_path: str, consumed: list[str]
+    ) -> None:
+        """Detect-and-fold the append-vs-remote-compact race (the gap
+        the r10 build markers deliberately left open — markers fence
+        COMPACTS, but appends never touch the pointer or a marker):
+        any data file present in the superseded epoch dir that the
+        just-committed rewrite did not consume was appended
+        concurrently by a second writer the advisory lock could not
+        see (a remote host). Deleting the dir would silently lose
+        those rows — permanent recall loss for every future duplicate
+        of the affected docs. Instead, re-append their rows to the
+        NEW epoch through the standard append path (the pointer
+        already names it) and count the fold in
+        ``metrics.folded_straggler_files`` — any nonzero value means
+        the single-writer contract is being violated and the operator
+        must intervene.
+
+        Best-effort, not a guarantee: under list-after-write lag the
+        post-flip listing can miss a just-landed straggler (closing
+        that needs time-bound leases — documented in _writer_lock).
+        Duplicate rows a fold could introduce are the store protocol's
+        tolerated kind (band dups collapse in the cap's
+        countDistinct / the probe's semantics; the next full compact's
+        dropDuplicates heals both stores)."""
+        extra = [
+            n
+            for n in self._store_data_files(name, old_path)
+            if n not in set(consumed)
+        ]
+        if not extra:
+            return
+        self._append_store(name, self._read_files(name, old_path, extra))
+        self.metrics.observe_fold(name, len(extra))
 
     def _rebuild_hot(self) -> None:
         """Recompute the viral-cap summary exactly from the (just
@@ -1290,8 +1374,9 @@ class IncrementalNearDup:
         )
         nxt = hot_cur + 1
         nxt_path = os.path.join(hot_root, f"v{nxt}")
-        self.backend.remove_tree(nxt_path)
+        # refuse-then-remove, same reasoning as _compact_locked
         self._reclaim_or_refuse(nxt_path)
+        self.backend.remove_tree(nxt_path)
         self.backend.claim_build(nxt_path, self._writer_token)
         (
             store

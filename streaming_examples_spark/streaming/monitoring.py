@@ -164,6 +164,13 @@ class DetectorMetrics:
     appended_files_last_batch: dict[str, int] = field(default_factory=dict)
     appended_files_total: dict[str, int] = field(default_factory=dict)
     store_epoch: dict[str, int] = field(default_factory=dict)
+    #: files found in a superseded epoch dir at compact-GC time that
+    #: the rewrite did NOT consume — i.e. appends that landed
+    #: concurrently (a remote host defeating the advisory lock) and
+    #: were folded into the new epoch instead of being deleted. Any
+    #: nonzero value is an operator signal that two writers share the
+    #: state prefix (the single-writer contract is violated).
+    folded_straggler_files: dict[str, int] = field(default_factory=dict)
 
     def observe_batch_start(self) -> None:
         self.appended_files_last_batch = {}
@@ -186,4 +193,10 @@ class DetectorMetrics:
             "appended_files_last_batch": dict(self.appended_files_last_batch),
             "appended_files_total": dict(self.appended_files_total),
             "store_epoch": dict(self.store_epoch),
+            "folded_straggler_files": dict(self.folded_straggler_files),
         }
+
+    def observe_fold(self, store: str, n_files: int) -> None:
+        self.folded_straggler_files[store] = (
+            self.folded_straggler_files.get(store, 0) + n_files
+        )

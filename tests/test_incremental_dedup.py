@@ -1095,13 +1095,22 @@ def test_dual_writer_build_fencing_detector(spark, tmp_path, monkeypatch):
     assert r[3]["is_dup"] and r[3]["dup_of"] == 1
 
     # (1) a REMOTE host's claim on the bands next-epoch blocks compact
+    # — and blocks it BEFORE touching the dir: hostB's in-flight
+    # writes must survive the refusal (a delete-then-refuse order
+    # would gut the dir while hostB's intact marker still lets it
+    # validate and commit the half-deleted epoch)
     b = ManifestBackend()
     bands_v2 = os.path.join(state, "bands", "v2")
     b.claim_build(bands_v2, "hostB:1:feedface")
+    b.prepare_dir(bands_v2)
+    sentinel = os.path.join(bands_v2, "part-hostB-0000.parquet")
+    b.publish_file(sentinel, b"hostB-in-flight")
     with pytest.raises(RuntimeError, match="dual-writer detected"):
         detA.compact(target_partitions=1)
     assert b.read_pointer(os.path.join(state, "bands")) == 1  # intact
+    assert os.path.exists(sentinel)  # hostB's build untouched
     b.release_build(bands_v2)  # operator: hostB is dead
+    b.remove_tree(bands_v2)  # operator clears the dead build too
     detA.compact(target_partitions=1)
     assert b.read_pointer(os.path.join(state, "bands")) == 2
 
@@ -1128,6 +1137,76 @@ def test_dual_writer_build_fencing_detector(spark, tmp_path, monkeypatch):
     assert r2[4]["is_dup"] and r2[4]["dup_of"] == 1
     sigs = detC.read_store("sigs")
     assert sorted(x["doc_id"] for x in sigs.select("doc_id").collect()) == [1, 2]
+
+
+@pytest.mark.slow
+def test_compact_folds_concurrent_remote_append(spark, tmp_path, monkeypatch):
+    """The append-vs-remote-compact race, healed instead of silently
+    lost: a second writer's append landing in the CURRENT epoch after
+    the compact pinned its source-file set (advisory lock defeated to
+    model a second host) must survive the epoch flip — folded into the
+    new epoch and counted in metrics.folded_straggler_files — so the
+    straggler doc keeps catching its future near-duplicates."""
+    import contextlib
+
+    from streaming_examples_spark.streaming import incremental_dedup as incdedup_mod
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    monkeypatch.setattr(
+        incdedup_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    state = str(tmp_path / "state")
+    detA = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=ManifestBackend()
+    )
+    detA.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+
+    THIRD = (
+        "entirely new material on state stores committing epochs through "
+        "generation pointers with conditional puts on object storage"
+    )
+    detB = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=ManifestBackend()
+    )
+    # model the actual race window: a REMOTE batch whose (lagging)
+    # listing never showed the in-flight build dir — with a fresh
+    # listing its _gc_epochs would refuse on detA's live claim (the
+    # fencing test above) or, same-host, reclaim it (which the
+    # advisory lock forbids while detA holds it); neither is the
+    # schedule the fold exists for
+    monkeypatch.setattr(detB, "_gc_epochs", lambda: None)
+    real_commit = detA.backend.commit_pointer
+    fired = {"done": False}
+
+    def inject_remote_append(root, version):
+        # between the rewrite (which consumed the pinned file set) and
+        # the pointer flip, a remote batch appends to the OLD epoch
+        if not fired["done"]:
+            fired["done"] = True
+            detB.process_batch(_docs(spark, [(5, THIRD)]), 100)
+        return real_commit(root, version)
+
+    monkeypatch.setattr(detA.backend, "commit_pointer", inject_remote_append)
+    detA.compact(target_partitions=1)
+    folded = detA.metrics.snapshot()["folded_straggler_files"]
+    assert sum(folded.values()) >= 1, folded
+
+    # the straggler doc's signatures/bands made it into the new epoch:
+    # a near-variant still dedups against it, and its sig row survives
+    detC = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=ManifestBackend()
+    )
+    sigs = {x["doc_id"] for x in detC.read_store("sigs").select("doc_id").collect()}
+    assert 5 in sigs, sigs
+    NEAR_THIRD = THIRD.replace("object storage", "cloud storage")
+    r = {
+        x["doc_id"]: x
+        for x in detC.process_batch(_docs(spark, [(6, NEAR_THIRD)]), 101).collect()
+    }
+    assert r[6]["is_dup"] and r[6]["dup_of"] == 5
 
 
 def test_detector_backlog_metrics_track_appends_and_epochs(spark, tmp_path):

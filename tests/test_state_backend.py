@@ -573,11 +573,19 @@ def test_dual_writer_build_fencing_tx_store(spark, tmp_path, monkeypatch):
     b = ManifestBackend()
     v2 = os.path.join(state, "v2")
     b.claim_build(v2, "hostB:1:feedface")
+    # hostB's in-flight writes must survive the refusal: the refuse
+    # runs BEFORE any GC of the contested dir (delete-then-refuse
+    # would gut a dir hostB's intact marker still lets it commit)
+    b.prepare_dir(v2)
+    sentinel = os.path.join(v2, "part-hostB-0000.parquet")
+    b.publish_file(sentinel, b"hostB-in-flight")
     batch1 = _dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00"))
     with pytest.raises(RuntimeError, match="dual-writer detected"):
         procA.process(*batch1, batch_id=1)
     assert b.read_pointer(state) == 1  # nothing committed, state intact
+    assert os.path.exists(sentinel)  # hostB's build untouched
     b.release_build(v2)  # operator: hostB is dead — remove its marker
+    b.remove_tree(v2)  # operator clears the dead build too
     assert procA.process(*batch1, batch_id=1).count() == 1
     assert b.read_pointer(state) == 2
 
