@@ -520,12 +520,14 @@ class IncrementalNearDup:
         GC'd-and-reclaimed builder fails its commit-time validation,
         and the epoch GC refuses to reclaim a remote host's live claim
         — so no dual-compact schedule can publish an interleaved
-        epoch. What it deliberately does NOT close: the
-        append-vs-remote-compact race (an append landing in the
-        current epoch during a remote rewrite window is lost at the
-        flip — appends never touch the pointer or the marker) and a
-        mid-task write racing a reclaimed dir between its GC and the
-        new owner's commit; closing those needs time-bound leases.
+        epoch. The append-vs-remote-compact race (appends never touch
+        the pointer or a marker) gets a best-effort HEAL, not a fence:
+        compact diffs the superseded epoch's post-flip listing against
+        the file set its rewrite consumed and folds stragglers into
+        the new epoch (:meth:`_fold_stragglers`) — but a straggler the
+        lagging listing hides is still lost, and a reclaimed builder's
+        still-running Spark tasks can still write into a new owner's
+        dir; closing those fully needs time-bound leases.
         Multi-host deployments must still enforce single-writer
         externally (one owner per state prefix — the same rule every
         LSM table format imposes), with the markers as the
