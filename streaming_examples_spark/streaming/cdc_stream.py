@@ -51,6 +51,7 @@ from streaming_examples_spark.operators.txjoin import TxDenormResult, tx_denorma
 from streaming_examples_spark.streaming.state_backend import (
     LocalPosixBackend,
     StateStorageBackend,
+    acquire_build,
 )
 
 _VERSION_DIR_RE = re.compile(r"v\d+")
@@ -209,8 +210,6 @@ class TxDenormBatchProcessor:
                 "Write _layout.json with the store's true n_buckets, or "
                 "rebuild the state dir."
             )
-        import json
-
         with open(self._layout_path()) as fh:
             layout = json.load(fh)
         have = layout.get("n_buckets")
@@ -239,8 +238,6 @@ class TxDenormBatchProcessor:
     def _write_layout(self) -> None:
         if os.path.exists(self._layout_path()):
             return
-        import json
-
         tmp = self._layout_path() + ".tmp"
         with open(tmp, "w") as fh:
             # backend identity sealed alongside the bucket count: the two
@@ -280,25 +277,26 @@ class TxDenormBatchProcessor:
             full = os.path.join(self.state_dir, entry)
             m = _VERSION_DIR_RE.fullmatch(entry)
             if entry != cur and m and os.path.isdir(full):
-                # a version ABOVE the pointer is under construction or
-                # crashed garbage: respect a live foreign build claim
-                # (a second HOST mid-batch — the advisory lock can't
-                # see it) instead of GC'ing the dir out from under it
                 if int(entry[1:]) > cur_n:
-                    self._refuse_live_foreign_build(full)
-                self.backend.remove_tree(full)
-                self.backend.release_build(full)
+                    # a version ABOVE the pointer is under construction
+                    # or crashed garbage: CLAIM it before touching it —
+                    # acquire_build raises on a live foreign builder's
+                    # claim (a second HOST mid-batch, invisible to the
+                    # advisory lock) and atomically takes over an
+                    # abandoned same-host one, so the GC can never race
+                    # a fresh claimer between a probe and the delete
+                    acquire_build(self.backend, full, self._writer_token)
+                    self.backend.remove_tree(full)
+                    self.backend.release_build(full)
+                else:
+                    # BELOW the pointer: a committed, superseded dir —
+                    # no live build possible; release-then-remove so a
+                    # crash between the two cannot strand a marker on
+                    # a dir no listing will ever surface again
+                    self.backend.release_build(full)
+                    self.backend.remove_tree(full)
             elif entry.startswith("CURRENT."):
                 self.backend.remove_file(full)
-
-    def _refuse_live_foreign_build(self, path: str) -> None:
-        """Backend-shared fencing check (state_backend.
-        refuse_live_foreign_build); caller holds the writer lock."""
-        from streaming_examples_spark.streaming.state_backend import (
-            refuse_live_foreign_build,
-        )
-
-        refuse_live_foreign_build(self.backend, path, self._writer_token)
 
     def _load(self, name: str) -> DataFrame | None:
         path = self._frame_path(name)
@@ -316,8 +314,6 @@ class TxDenormBatchProcessor:
         path = os.path.join(self._root(), "_tx_hwm.json")
         if not os.path.exists(path):
             return None
-        import json
-
         with open(path) as fh:
             return json.load(fh).get("hwm")
 
@@ -394,14 +390,13 @@ class TxDenormBatchProcessor:
         → conditional put — same single-commit design."""
         cur = self._current_version()
         new_root = self._root(cur + 1)
-        # crashed prior attempt — but never GC a LIVE foreign builder's
-        # dir (two hosts can hold the per-filesystem advisory lock);
-        # then claim the build exclusively: a concurrent claimer loses
-        # the conditional put and raises instead of interleaving writes
-        self._refuse_live_foreign_build(new_root)
+        # claim FIRST (conditional put; raises on a live foreign
+        # builder — two hosts can hold the per-filesystem advisory
+        # lock), THEN clear any crashed prior attempt's leftovers:
+        # probing before claiming would let a fresh foreign claim land
+        # in the gap and be blindly released (acquire_build docstring)
+        acquire_build(self.backend, new_root, self._writer_token)
         self.backend.remove_tree(new_root)
-        self.backend.release_build(new_root)
-        self.backend.claim_build(new_root, self._writer_token)
         self.backend.prepare_dir(new_root)
         # scalar sidecars (e.g. the emitted-LSN high-watermark) ride the
         # same single commit point as the frames: written under the new
@@ -449,7 +444,11 @@ class TxDenormBatchProcessor:
         self.backend.commit_pointer(self.state_dir, cur + 1)
         # the claim only fences construction; the committed dir is live
         self.backend.release_build(new_root)
-        # post-commit cleanup; a crash here leaves garbage, GC'd next batch
+        # post-commit cleanup; a crash here leaves garbage, GC'd next
+        # batch. Release the superseded dir's marker first — it can
+        # carry one leaked by a crash between ITS commit and release,
+        # and once the dir is gone no listing resurfaces it
+        self.backend.release_build(self._root(cur))
         self.backend.remove_tree(self._root(cur))
 
     def process(
@@ -543,43 +542,74 @@ class TxDenormBatchProcessor:
         # start_tx_denorm_stream's docstring, enforced): an END at or
         # below the emitted high-watermark can no longer emit in commit
         # order. Runs AFTER the applied anti-join, so at-least-once
-        # redelivery of applied txs (within retention) never trips it;
-        # carried ENDs cannot trip it either — the barrier guarantees
-        # every emitted LSN is below every carried tx's LSN. One
-        # bounded .first() on the batch's (tiny) tx-metadata frame.
+        # redelivery of applied txs (within retention) never trips it.
+        # Enforcing mode checks tx_all (one bounded .first() on the
+        # tiny tx-metadata frame): carried ENDs cannot trip it there —
+        # the barrier guarantees every emitted LSN is below every
+        # carried tx's LSN, so any offender is a fresh arrival.
+        # Lenient mode counts offenders among THIS batch's arrivals
+        # only (tx_events, applied-anti-joined): a tolerated offender
+        # stays carried until its tx completes, and counting the carry
+        # again every batch would climb the regression counter forever
+        # for one wire event. Each offending END counts once per
+        # arrival (an at-least-once redelivery of a still-incomplete
+        # offender is a new arrival and recounts — arrivals are what
+        # the counter meters).
         prev_hwm = self._read_tx_hwm()
         if prev_hwm is not None:
             _parts = F.split(F.col("id"), ":")
-            offender = (
-                tx_all.filter(
-                    (F.col("status") == "END")
-                    & (_parts.getItem(1).cast("long") <= prev_hwm)
-                )
-                .select(
-                    _parts.getItem(0).cast("long").alias("tx_id"),
-                    _parts.getItem(1).cast("long").alias("commit_lsn"),
-                )
-                .first()
+            _offending = (F.col("status") == "END") & (
+                _parts.getItem(1).cast("long") <= prev_hwm
             )
-            if offender is not None:
-                msg = (
+            _as_tx = [
+                _parts.getItem(0).cast("long").alias("tx_id"),
+                _parts.getItem(1).cast("long").alias("commit_lsn"),
+            ]
+
+            def _order_violation_msg(off_tx, off_lsn, n_more=0):
+                more = f" (+{n_more} more this batch)" if n_more else ""
+                return (
                     f"tx-metadata delivery-order violation in batch "
-                    f"{batch_id}: END of tx {offender['tx_id']} arrived "
-                    f"with commit_lsn {offender['commit_lsn']} ≤ the "
-                    f"already-emitted high-watermark {prev_hwm}. The "
-                    "transaction stream must arrive in commit order "
+                    f"{batch_id}: END of tx {off_tx} arrived "
+                    f"with commit_lsn {off_lsn} ≤ the "
+                    f"already-emitted high-watermark {prev_hwm}{more}. "
+                    "The transaction stream must arrive in commit order "
                     "(the reference consumes a single-partition topic); "
                     "either the source reorders tx metadata across "
                     "micro-batches, or an at-least-once redelivery "
                     "outlived applied_retention_batches="
                     f"{self.applied_retention_batches}."
                 )
-                if self.enforce_tx_order:
-                    raise RuntimeError(msg)
-                import warnings
 
-                warnings.warn(msg)
-                self.metrics.tx_order_regressions += 1
+            if self.enforce_tx_order:
+                offender = tx_all.filter(_offending).select(*_as_tx).first()
+                if offender is not None:
+                    raise RuntimeError(
+                        _order_violation_msg(
+                            offender["tx_id"], offender["commit_lsn"]
+                        )
+                    )
+            else:
+                fresh = tx_events.dropDuplicates(["status", "id"])
+                if applied is not None:
+                    fresh = fresh.join(
+                        F.broadcast(applied),
+                        F.split(fresh["id"], ":").getItem(0).cast("long")
+                        == applied["tx_id"],
+                        "left_anti",
+                    )
+                offenders = fresh.filter(_offending).select(*_as_tx).collect()
+                if offenders:
+                    import warnings
+
+                    warnings.warn(
+                        _order_violation_msg(
+                            offenders[0]["tx_id"],
+                            offenders[0]["commit_lsn"],
+                            n_more=len(offenders) - 1,
+                        )
+                    )
+                    self.metrics.tx_order_regressions += len(offenders)
 
         carry_orders = self._load("carry_orders")
         carry_lines = self._load("carry_lines")

@@ -220,6 +220,9 @@ class IncrementalNearDup:
         from streaming_examples_spark.streaming.monitoring import DetectorMetrics
 
         self.metrics = DetectorMetrics()
+        # last post-append file count per (store, epoch) — saves one
+        # backend LIST per append for the metrics gauge (advisory)
+        self._append_count_cache: dict[tuple[str, int], int] = {}
         # build-marker fencing identity (state_backend.claim_build):
         # compaction epoch builds are claimed exclusively so a second
         # HOST (the advisory lock is per-filesystem) fails loudly
@@ -311,18 +314,26 @@ class IncrementalNearDup:
                     stray = os.path.join(root, f"v{e}")
                     if e > cur:
                         # an epoch ABOVE the pointer is a compaction in
-                        # flight or its crash garbage: respect a live
-                        # foreign build claim (dual-host schedule)
-                        # instead of GC'ing it out from under the writer
+                        # flight or its crash garbage: CLAIM it before
+                        # touching it — acquire_build raises on a live
+                        # foreign builder (dual-host schedule) and
+                        # atomically takes over an abandoned same-host
+                        # claim, so this GC can never race a fresh
+                        # claimer between a probe and the delete
                         from streaming_examples_spark.streaming.state_backend import (
-                            refuse_live_foreign_build,
+                            acquire_build,
                         )
 
-                        refuse_live_foreign_build(
-                            self.backend, stray, self._writer_token
-                        )
-                    self.backend.remove_tree(stray)
-                    self.backend.release_build(stray)
+                        acquire_build(self.backend, stray, self._writer_token)
+                        self.backend.remove_tree(stray)
+                        self.backend.release_build(stray)
+                    else:
+                        # BELOW the pointer: committed, superseded — no
+                        # live build possible; release-then-remove so a
+                        # crash between the two cannot strand a marker
+                        # on a dir no listing will surface again
+                        self.backend.release_build(stray)
+                        self.backend.remove_tree(stray)
         # A crash between a compaction's pointer flip and its DROP TABLE
         # leaves the SUPERSEDED epoch's table registered in any session
         # that survives the crash (fresh sessions never see it — table
@@ -340,16 +351,16 @@ class IncrementalNearDup:
                     if m and int(m.group(1)) != cur:
                         self.spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
 
-    def _reclaim_or_refuse(self, path: str) -> None:
-        """Clear a reclaimable (same-host, necessarily-abandoned under
-        our writer lock) build claim on ``path``; raise on a
-        remote-host claim (state_backend.refuse_live_foreign_build)."""
+    def _acquire_build(self, path: str) -> None:
+        """Claim-first acquisition of a build dir: raises on a live
+        remote-host claim; atomically takes over an abandoned
+        same-host one (state_backend.acquire_build — the claim CAS
+        runs BEFORE any probe, closing the probe-then-claim window)."""
         from streaming_examples_spark.streaming.state_backend import (
-            refuse_live_foreign_build,
+            acquire_build,
         )
 
-        refuse_live_foreign_build(self.backend, path, self._writer_token)
-        self.backend.release_build(path)
+        acquire_build(self.backend, path, self._writer_token)
 
     def _buckets(self, name: str) -> int | None:
         # only the two corpus stores are bucketable; routing any other
@@ -739,7 +750,9 @@ class IncrementalNearDup:
                     if not n.endswith(".parquet"):
                         continue
                     try:
-                        n_bytes += os.path.getsize(os.path.join(path, n))
+                        n_bytes += self.backend.file_size(
+                            os.path.join(path, n)
+                        )
                         files += 1
                     except OSError:
                         continue  # compacted away mid-walk
@@ -753,7 +766,14 @@ class IncrementalNearDup:
     def _append_store(self, name: str, rows: DataFrame) -> None:
         self._write_layout()
         epoch, path = self._ensure_epoch(name)
-        before = self._count_files(path)
+        # one backend LIST per append, not two: the pre-append count is
+        # the previous append's post-count when we have it (advisory
+        # gauge only — a concurrent writer or a lagging listing skews
+        # the delta, never a correctness input)
+        key = (name, epoch)
+        before = self._append_count_cache.get(key)
+        if before is None:
+            before = self._count_files(path)
         if not self._buckets(name):
             rows.write.mode("append").parquet(path)
         else:
@@ -769,9 +789,13 @@ class IncrementalNearDup:
                 .option("path", path)
                 .saveAsTable(self._table(name, epoch))
             )
-        self.metrics.observe_append(
-            name, max(0, self._count_files(path) - before)
-        )
+        after = self._count_files(path)
+        # keep one entry per store (stale epochs pruned on the spot)
+        self._append_count_cache = {
+            k: v for k, v in self._append_count_cache.items() if k[0] != name
+        }
+        self._append_count_cache[key] = after
+        self.metrics.observe_append(name, max(0, after - before))
         self.metrics.observe_epoch(name, epoch)
 
     # -- viral-cap membership counts -------------------------------------
@@ -1222,21 +1246,17 @@ class IncrementalNearDup:
                 # name) before the pointer flips; _gc_epochs cleared
                 # any garbage a previously crashed attempt left there
                 nxt_table = self._table(name, nxt)
-                # exclusive build claim: a second host compacting the
-                # same store loses the conditional put and raises
-                # instead of interleaving writes into this epoch dir.
-                # Refuse BEFORE remove_tree — deleting first would
-                # gut a live remote builder's dir while its claim
-                # survives, and that builder would then validate its
-                # intact marker and commit the half-deleted dir (the
-                # exact interleaving the marker exists to prevent).
-                # The refuse+release also clears a crashed claim whose
+                # exclusive build claim FIRST (a second host compacting
+                # the same store loses the conditional put and raises
+                # instead of interleaving writes into this epoch dir),
+                # THEN clear crash garbage: claiming before deleting
+                # means a live remote builder's dir is never gutted
+                # while its claim survives, and a crashed claim whose
                 # dir never materialized (_gc_epochs only walks LISTED
-                # epoch dirs, so such a claim survives it)
-                self._reclaim_or_refuse(nxt_path)
+                # epoch dirs) is taken over atomically
+                self._acquire_build(nxt_path)
                 self.spark.sql(f"DROP TABLE IF EXISTS {nxt_table}")
                 self.backend.remove_tree(nxt_path)
-                self.backend.claim_build(nxt_path, self._writer_token)
                 # the rewrite source is the store's own read path —
                 # Spark's file enumeration, fresh on every backend
                 # (a backend LIST here would run stale-SHORT under
@@ -1265,12 +1285,15 @@ class IncrementalNearDup:
                 # files; the epoch removal below reclaims them
                 self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name, cur)}")
                 self._fold_stragglers(name, cur_path, consumed)
+                # release-then-remove: the superseded dir can carry a
+                # marker leaked by a crash between ITS commit and
+                # release; once the dir is gone no listing surfaces it
+                self.backend.release_build(cur_path)
                 self.backend.remove_tree(cur_path)
                 continue
-            # refuse-then-remove, same reasoning as the bucketed branch
-            self._reclaim_or_refuse(nxt_path)
+            # claim-then-clear, same reasoning as the bucketed branch
+            self._acquire_build(nxt_path)
             self.backend.remove_tree(nxt_path)
-            self.backend.claim_build(nxt_path, self._writer_token)
             frame = self._load_store(name)
             consumed = _data_file_names(frame.inputFiles())
             frame.dropDuplicates().repartition(target_partitions).write.mode(
@@ -1280,6 +1303,7 @@ class IncrementalNearDup:
             self.backend.commit_pointer(root, nxt)
             self.backend.release_build(nxt_path)
             self._fold_stragglers(name, cur_path, consumed)
+            self.backend.release_build(cur_path)
             self.backend.remove_tree(cur_path)
         self._rebuild_hot()
 
@@ -1330,10 +1354,11 @@ class IncrementalNearDup:
         tolerated kind (band dups collapse in the cap's
         countDistinct / the probe's semantics; the next full compact's
         dropDuplicates heals both stores)."""
+        consumed_set = set(consumed)
         extra = [
             n
             for n in self._store_data_files(name, old_path)
-            if n not in set(consumed)
+            if n not in consumed_set
         ]
         if not extra:
             return
@@ -1369,17 +1394,12 @@ class IncrementalNearDup:
         # per-batch refresh delta-count those files on top of the
         # summary — double-counted members, spurious virality,
         # permanently skipped probes (the unsafe direction).
-        files = sorted(
-            os.path.basename(uri)
-            for uri in store.inputFiles()
-            if uri.endswith(".parquet")
-        )
+        files = _data_file_names(store.inputFiles())
         nxt = hot_cur + 1
         nxt_path = os.path.join(hot_root, f"v{nxt}")
-        # refuse-then-remove, same reasoning as _compact_locked
-        self._reclaim_or_refuse(nxt_path)
+        # claim-then-clear, same reasoning as _compact_locked
+        self._acquire_build(nxt_path)
         self.backend.remove_tree(nxt_path)
-        self.backend.claim_build(nxt_path, self._writer_token)
         (
             store
             .groupBy("band_id", "band_key")
@@ -1399,7 +1419,9 @@ class IncrementalNearDup:
         self.backend.commit_pointer(hot_root, nxt)
         self.backend.release_build(nxt_path)
         if hot_cur:
-            self.backend.remove_tree(os.path.join(hot_root, f"v{hot_cur}"))
+            old_hot = os.path.join(hot_root, f"v{hot_cur}")
+            self.backend.release_build(old_hot)
+            self.backend.remove_tree(old_hot)
 
     def _compact_hot_buckets(self, name: str, schema: str, threshold: int) -> None:
         """Merge every over-fragmented bucket's files, touching

@@ -44,8 +44,11 @@ class PipelineMetrics:
     #: contract (the reference's single-partition tx topic makes this
     #: impossible by construction; a misconfigured multi-partition
     #: topic or a reordering file source makes it silent). Counted
-    #: when the processor runs with enforce_tx_order=False; the
-    #: default mode raises instead.
+    #: when the processor runs with enforce_tx_order=False — one count
+    #: per offending END **arrival** (a batch with three reordered
+    #: ENDs counts 3; a tolerated offender carried while its tx stays
+    #: incomplete is not recounted; an at-least-once redelivery is a
+    #: new arrival and recounts). The default mode raises instead.
     tx_order_regressions: int = 0
     last_batch_id: int = -1
     batches: int = 0

@@ -150,27 +150,67 @@ class StateStorageBackend:
     # then picks one commit winner, but the committed dir may hold the
     # loser's interleaved writes (mixed-batch state, the exact poison
     # the versioned commit exists to prevent). The build marker closes
-    # that: a conditional put (`if-none-match` on real stores, O_EXCL
-    # here — the same primitive the manifest backend's pointer
-    # generations use) claims a dir under construction, and the claim
-    # is re-validated immediately before commit_pointer. These are
-    # concrete on the base class because every backend emulates them
-    # with the identical exclusive-create, and the marker name is part
-    # of the cross-backend layout (an underscore-name: invisible to
-    # the logical namespace reads above).
+    # that: a conditional put (`if-none-match` on real stores) claims
+    # a dir under construction, and the claim is re-validated
+    # immediately before commit_pointer. The four primitives are
+    # ABSTRACT here — a real object-store backend MUST implement them
+    # with the store's own conditional put; silently inheriting a
+    # local-disk emulation would leave the dual-writer fence inert on
+    # exactly the deployment it targets (each host reading its own
+    # local marker). The shipped backends share the O_EXCL emulation
+    # via _ExclusiveCreateBuildMarkers. The marker name
+    # (``<dir>.builder``, a SIBLING of the build dir so the claim
+    # survives the overwrite of the very dir it fences) is part of
+    # the cross-backend layout.
 
     @staticmethod
     def _build_marker(path: str) -> str:
-        # a SIBLING of the build dir, never inside it: Spark's
-        # mode("overwrite") deletes the target dir's contents, and the
-        # claim must survive the very writes it fences
         return path.rstrip(os.sep) + ".builder"
 
     def claim_build(self, path: str, owner: str) -> None:
         """Exclusively claim the version/epoch dir ``path`` as under
         construction by ``owner`` (a ``host:pid:uuid`` token from
-        locks.owner_token()). Raises RuntimeError when another owner's
-        claim exists — the dual-writer signal."""
+        locks.owner_token()). MUST be a conditional put (create only
+        if absent) on the ``_build_marker(path)`` object; raises
+        RuntimeError when another owner's claim exists — the
+        dual-writer signal. Prefer :func:`acquire_build`, which adds
+        the reclaim-of-abandoned-claims protocol."""
+        raise NotImplementedError
+
+    def read_build_owner(self, path: str) -> str | None:
+        """The claim's owner token (a GET — read-your-writes fresh),
+        or None when the dir carries no claim."""
+        raise NotImplementedError
+
+    def validate_build(self, path: str, owner: str) -> None:
+        """Immediately before commit_pointer: the claim must still be
+        OURS. A differing/missing owner means the dir was GC'd and
+        re-claimed by another writer while we wrote — committing would
+        publish a dir with interleaved foreign writes. Raises
+        RuntimeError on violation."""
+        raise NotImplementedError
+
+    def release_build(self, path: str) -> None:
+        """Drop the claim — after the commit (the dir is live; claims
+        only fence construction) or with the GC of a dead builder's
+        garbage. Idempotent."""
+        raise NotImplementedError
+
+    def file_size(self, path: str) -> int:
+        """Size in bytes of one data file (a HEAD request on a real
+        store). Advisory-gauge plumbing (store_stats); raises OSError
+        when the file vanished mid-walk."""
+        raise NotImplementedError
+
+
+class _ExclusiveCreateBuildMarkers:
+    """The shipped O_EXCL emulation of the build-marker conditional
+    put, shared by the local backend and the manifest double (for
+    which exclusive-create IS the faithful model of the object
+    store's `if-none-match`). Mixed into concrete backends only —
+    see the fencing contract on StateStorageBackend."""
+
+    def claim_build(self, path: str, owner: str) -> None:
         # the marker is a sibling of the build dir: ensure the parent
         # prefix exists (object stores have no dirs to create; the
         # local emulation needs the makedirs)
@@ -194,8 +234,6 @@ class StateStorageBackend:
             os.close(fd)
 
     def read_build_owner(self, path: str) -> str | None:
-        """The claim's owner token (a GET — read-your-writes fresh),
-        or None when the dir carries no claim."""
         try:
             with open(self._build_marker(path)) as fh:
                 return fh.read() or None
@@ -203,10 +241,6 @@ class StateStorageBackend:
             return None
 
     def validate_build(self, path: str, owner: str) -> None:
-        """Immediately before commit_pointer: the claim must still be
-        OURS. A differing/missing owner means the dir was GC'd and
-        re-claimed by another writer while we wrote — committing would
-        publish a dir with interleaved foreign writes."""
         found = self.read_build_owner(path)
         if found != owner:
             raise RuntimeError(
@@ -217,44 +251,60 @@ class StateStorageBackend:
             )
 
     def release_build(self, path: str) -> None:
-        """Drop the claim — after the commit (the dir is live; claims
-        only fence construction) or with the GC of a dead builder's
-        garbage. Idempotent."""
         try:
             os.unlink(self._build_marker(path))
         except FileNotFoundError:
             pass
 
+    def file_size(self, path: str) -> int:
+        return os.path.getsize(path)
 
-def refuse_live_foreign_build(
+
+def acquire_build(
     backend: "StateStorageBackend", path: str, own_token: str
 ) -> None:
-    """Raise when ``path`` carries a build claim the caller may not
-    reclaim (see locks.claim_reclaimable_under_writer_lock). Caller
-    must hold the state dir's advisory writer lock — same-host claims
-    are reclaimable precisely because the lock excludes same-host
-    in-flight batches; remote-host claims are indeterminate and
-    refused."""
+    """Claim-FIRST acquisition of a build dir (callers hold the state
+    dir's advisory writer lock). The order matters: probing for a
+    foreign claim and only then claiming leaves a window where a
+    second writer's fresh claim is read as absent (or blindly
+    released) and both writers end up owning the dir — the exact
+    interleaving the marker exists to prevent. Here the conditional
+    put runs first; only on CONFLICT is the standing claim consulted:
+
+    - reclaimable (same host — the advisory lock excludes same-host
+      in-flight batches, so the claim is necessarily abandoned; see
+      locks.claim_reclaimable_under_writer_lock): release it and
+      re-claim. The re-claim is itself a conditional put — a racing
+      third claimer wins it and THIS caller fails loudly.
+    - foreign (remote host, liveness unprovable): raise the
+      dual-writer error; the manual heal is documented in it.
+
+    On return the caller owns the claim and may GC/rebuild the dir."""
     from streaming_examples_spark.streaming.locks import (
         claim_reclaimable_under_writer_lock,
     )
 
-    owner = backend.read_build_owner(path)
-    if (
-        owner
-        and owner != own_token
-        and not claim_reclaimable_under_writer_lock(owner)
-    ):
-        raise RuntimeError(
-            f"dual-writer detected on {path}: a build claim by "
-            f"{owner!r} is held from another host, where liveness "
-            "cannot be proven. Two writers share this state dir — "
-            "stop the other one; if its host is known dead, remove "
-            f"{path + '.builder'} manually."
-        )
+    try:
+        backend.claim_build(path, own_token)
+        return
+    except RuntimeError:
+        owner = backend.read_build_owner(path)
+        if owner is not None and not claim_reclaimable_under_writer_lock(owner):
+            raise RuntimeError(
+                f"dual-writer detected on {path}: a build claim by "
+                f"{owner!r} is held from another host, where liveness "
+                "cannot be proven. Two writers share this state dir — "
+                "stop the other one; if its host is known dead, remove "
+                f"{path + '.builder'} manually."
+            )
+        backend.release_build(path)
+    # abandoned same-host claim cleared (or it vanished between the
+    # CAS and the read) — one more conditional put, losable only to a
+    # genuinely concurrent claimer, which must stay loud
+    backend.claim_build(path, own_token)
 
 
-class LocalPosixBackend(StateStorageBackend):
+class LocalPosixBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
     """The shipped backend: hardlink carry (copy fallback for
     filesystems that refuse links), fsync'd temp + ``os.replace``
     pointer flip, directory fsync for rename durability."""
@@ -326,7 +376,7 @@ class LocalPosixBackend(StateStorageBackend):
         return [path] if os.path.exists(path) else []
 
 
-class ManifestBackend(StateStorageBackend):
+class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
     """Object-store semantics emulated over a local directory: the
     test-double that proves the commit protocol holds WITHOUT POSIX's
     two load-bearing conveniences. Forbidden here, by construction:

@@ -773,3 +773,57 @@ def test_stream_runs_on_manifest_backend(spark, tmp_path):
     with open(os.path.join(dirs["state"], "_layout.json")) as fh:
         layout = json.load(fh)
     assert layout == {"n_buckets": 4, "backend": "manifest"}
+
+
+@pytest.mark.parametrize("backend_key", sorted(BACKENDS))
+def test_acquire_build_claim_first_protocol(tmp_path, backend_key):
+    """acquire_build is claim-FIRST (a conditional put, never a
+    probe-then-claim): it takes over an abandoned same-host claim
+    atomically, refuses a remote host's claim with the dual-writer
+    error, and the base class ships NO marker implementation — a real
+    object-store backend must provide its own conditional put, or the
+    fence would silently compare each host's local disk."""
+    import socket
+
+    from streaming_examples_spark.streaming.state_backend import (
+        StateStorageBackend,
+        acquire_build,
+    )
+
+    b = BACKENDS[backend_key]()
+    path = str(tmp_path / "v7")
+
+    # virgin dir: claim lands, owner readable, double-claim conflicts
+    acquire_build(b, path, "me:1:aaa")
+    assert b.read_build_owner(path) == "me:1:aaa"
+    with pytest.raises(RuntimeError, match="build conflict"):
+        b.claim_build(path, "me:2:bbb")
+    b.validate_build(path, "me:1:aaa")
+    with pytest.raises(RuntimeError, match="build fencing violation"):
+        b.validate_build(path, "me:2:bbb")
+    b.release_build(path)
+    b.release_build(path)  # idempotent
+
+    # abandoned same-host claim (crashed earlier instance): reclaimed
+    b.claim_build(path, f"{socket.gethostname()}:999:dead")
+    acquire_build(b, path, "me:3:ccc")
+    assert b.read_build_owner(path) == "me:3:ccc"
+    b.release_build(path)
+
+    # remote host's claim: refused loudly, claim left intact
+    b.claim_build(path, "otherhost:1:feed")
+    with pytest.raises(RuntimeError, match="dual-writer detected"):
+        acquire_build(b, path, "me:4:ddd")
+    assert b.read_build_owner(path) == "otherhost:1:feed"
+
+    # the abstract base carries contracts, not an implementation
+    base = StateStorageBackend()
+    for call in (
+        lambda: base.claim_build(path, "x"),
+        lambda: base.read_build_owner(path),
+        lambda: base.validate_build(path, "x"),
+        lambda: base.release_build(path),
+        lambda: base.file_size(path),
+    ):
+        with pytest.raises(NotImplementedError):
+            call()
