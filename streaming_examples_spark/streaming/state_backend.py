@@ -47,6 +47,7 @@ from __future__ import annotations
 import errno
 import os
 import shutil
+import time
 
 # errnos meaning "this filesystem cannot hardlink src→dst" (cross-
 # device bind mounts, some network/container filesystems); anything
@@ -202,6 +203,22 @@ class StateStorageBackend:
         when the file vanished mid-walk."""
         raise NotImplementedError
 
+    def build_claim_age(self, path: str) -> float | None:
+        """Seconds since the build claim on ``path`` was written (a
+        HEAD request's Last-Modified on a real store), or None when
+        no claim exists. Input to :func:`heal_stale_builds` only —
+        liveness decisions from wall-clock age are the OPERATOR's
+        (the protocol itself never ages claims out)."""
+        raise NotImplementedError
+
+    def list_build_markers(self, root: str) -> list[str]:
+        """Basenames of every ``*.builder`` claim directly under
+        ``root`` (a suffix-filtered LIST). Sidecars are excluded from
+        the logical namespace (list_dir), so healing needs its own
+        enumeration. May lag on a real store — heal runs are
+        retryable maintenance, not protocol."""
+        raise NotImplementedError
+
 
 class _ExclusiveCreateBuildMarkers:
     """The shipped O_EXCL emulation of the build-marker conditional
@@ -258,6 +275,75 @@ class _ExclusiveCreateBuildMarkers:
 
     def file_size(self, path: str) -> int:
         return os.path.getsize(path)
+
+    def build_claim_age(self, path: str) -> float | None:
+        try:
+            return max(
+                0.0, time.time() - os.path.getmtime(self._build_marker(path))
+            )
+        except FileNotFoundError:
+            return None
+
+    def list_build_markers(self, root: str) -> list[str]:
+        try:
+            names = os.listdir(root)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.endswith(".builder"))
+
+
+def heal_stale_builds(
+    backend: "StateStorageBackend",
+    root: str,
+    older_than_s: float,
+    dry_run: bool = False,
+) -> dict:
+    """Release build claims under ``root`` older than ``older_than_s``
+    — the scriptable form of the "remove the marker once the host is
+    known dead" manual heal (the `remove_orphan_files(older_than)`
+    pattern of LSM table formats). Remote-host claims never age out
+    in the protocol itself (acquire_build refuses them regardless of
+    age); after a host dies mid-build its claim wedges every future
+    build of that version until an operator clears it. This function
+    is that operator action, made safe to script:
+
+    - ``older_than_s`` must exceed the LONGEST possible build (batch
+      or compaction) plus clock skew between hosts — the age is
+      wall-clock metadata, not a lease the builder refreshes.
+    - Healing a claim whose builder is in fact alive does NOT publish
+      corrupt state by itself: the zombie fails its commit-time
+      validate_build (its marker is gone or re-owned). The residual is
+      the documented one — its still-running Spark tasks can write
+      bytes into a dir a NEW claimer then builds; choose the TTL so
+      that cannot be in flight.
+    - Callers must hold (or run under) the state dir's advisory
+      writer lock so same-filesystem writers are excluded during the
+      walk (tools/heal_stale_builds.py does).
+
+    Returns ``{"root", "healed": [...], "kept": [...]}`` with one
+    entry per claim: dir, owner token, age, and whether the build dir
+    currently exists. ``dry_run`` reports without releasing."""
+    if older_than_s <= 0:
+        raise ValueError("older_than_s must be positive")
+    report: dict = {"root": root, "healed": [], "kept": []}
+    for marker in backend.list_build_markers(root):
+        path = os.path.join(root, marker[: -len(".builder")])
+        age = backend.build_claim_age(path)
+        if age is None:
+            continue  # released between the listing and the stat
+        entry = {
+            "dir": path,
+            "owner": backend.read_build_owner(path),
+            "age_s": round(age, 1),
+            "dir_exists": backend.dir_exists(path),
+        }
+        if age > older_than_s:
+            if not dry_run:
+                backend.release_build(path)
+            report["healed"].append(entry)
+        else:
+            report["kept"].append(entry)
+    return report
 
 
 def acquire_build(

@@ -827,3 +827,98 @@ def test_acquire_build_claim_first_protocol(tmp_path, backend_key):
     ):
         with pytest.raises(NotImplementedError):
             call()
+
+
+@pytest.mark.parametrize("backend_key", sorted(BACKENDS))
+def test_heal_stale_builds_ages_out_dead_hosts_claims(tmp_path, backend_key):
+    """The manual heal, scriptable (state_backend.heal_stale_builds):
+    claims older than the operator's threshold are released whatever
+    host wrote them (a dead remote host's wedge auto-clears); younger
+    claims and dry-run are untouched; a healed-but-alive zombie still
+    cannot commit — its commit-time validate_build fails against the
+    re-owned marker."""
+    import time as _time
+
+    from streaming_examples_spark.streaming.state_backend import (
+        acquire_build,
+        heal_stale_builds,
+    )
+
+    b = BACKENDS[backend_key]()
+    root = str(tmp_path / "state")
+    old, fresh = os.path.join(root, "v3"), os.path.join(root, "v4")
+    b.claim_build(old, "deadhost:1:aaaa")
+    b.claim_build(fresh, "livehost:2:bbbb")
+    # backdate the dead host's claim beyond the threshold
+    stale_t = _time.time() - 3600
+    os.utime(b._build_marker(old), (stale_t, stale_t))
+
+    with pytest.raises(ValueError):
+        heal_stale_builds(b, root, 0)
+
+    # dry-run reports both, releases neither
+    rep = heal_stale_builds(b, root, 600, dry_run=True)
+    assert [e["dir"] for e in rep["healed"]] == [old]
+    assert [e["dir"] for e in rep["kept"]] == [fresh]
+    assert b.read_build_owner(old) == "deadhost:1:aaaa"
+
+    # apply: the stale claim clears, the fresh one survives, and the
+    # wedged version becomes buildable again
+    rep = heal_stale_builds(b, root, 600)
+    assert [e["dir"] for e in rep["healed"]] == [old]
+    assert b.read_build_owner(old) is None
+    assert b.read_build_owner(fresh) == "livehost:2:bbbb"
+    acquire_build(b, old, "me:5:cccc")
+
+    # zombie safety: if deadhost was in fact alive, its commit-time
+    # validation fails against the re-owned marker — it cannot publish
+    with pytest.raises(RuntimeError, match="build fencing violation"):
+        b.validate_build(old, "deadhost:1:aaaa")
+
+
+def test_heal_stale_builds_tool_covers_both_layouts(tmp_path):
+    """tools/heal_stale_builds.py walks the tx version root AND nested
+    detector store roots, honors dry-run-by-default, and releases only
+    with --apply."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from streaming_examples_spark.streaming.state_backend import (
+        LocalPosixBackend,
+    )
+
+    b = LocalPosixBackend()
+    state = tmp_path / "state"
+    tx_dir, bands = str(state / "v9"), str(state / "bands" / "v2")
+    b.claim_build(tx_dir, "deadhost:1:aaaa")
+    b.claim_build(bands, "deadhost:1:bbbb")
+    stale_t = _time.time() - 7200
+    for p in (tx_dir, bands):
+        os.utime(b._build_marker(p), (stale_t, stale_t))
+
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "heal_stale_builds.py",
+    )
+
+    def run(*extra):
+        proc = subprocess.run(
+            [_sys.executable, tool, str(state), "--older-than", "3600", *extra],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return _json.loads(proc.stdout)
+
+    out = run()  # dry-run by default
+    healed = [e["dir"] for r in out["reports"] for e in r["healed"]]
+    assert sorted(healed) == sorted([tx_dir, bands])
+    assert b.read_build_owner(tx_dir) == "deadhost:1:aaaa"  # untouched
+
+    out = run("--apply")
+    assert out["apply"] is True
+    assert b.read_build_owner(tx_dir) is None
+    assert b.read_build_owner(bands) is None
