@@ -1484,3 +1484,160 @@ def test_random_lifecycle_compactions_crashes_restarts(spark, tmp_path, seed, ba
         assert got == sorted(expected_canon.values())
     finally:
         _drop_store_tables(spark, tmp_path / "state")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [13, 4711])
+def test_random_dual_host_schedules_fail_loud_or_heal(
+    spark, tmp_path, seed, monkeypatch
+):
+    """Dual-HOST soak over one manifest-backed detector store: two
+    instances carrying DIFFERENT host identities (the advisory lock is
+    defeated — the object-store scenario it cannot order) run a random
+    interleaved schedule of batches, full compactions, hot-bucket
+    compactions, and mid-compact remote appends (the straggler-fold
+    window, injected at the victim's commit_pointer with the remote
+    batch's epoch GC lag-stubbed as in the focused fold test).
+
+    Allowed outcomes per op: success, or a LOUD fencing/CAS error
+    ("dual-writer detected" / "build conflict" / "build fencing
+    violation" / "pointer generation conflict"). Forbidden, and
+    asserted at the end regardless of schedule:
+
+      * silent canonical loss — every doc a COMPLETED batch reported
+        canonical must still catch a near-variant at the end
+      * double canonicals — at most one canonical per family across
+        both writers' completed reports
+      * an unreadable store — a fresh instance compacts and reads it
+    """
+    import contextlib
+    import random
+    import re as _re
+
+    from streaming_examples_spark.streaming import incremental_dedup as incdedup_mod
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    monkeypatch.setattr(
+        incdedup_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    _ALLOWED = _re.compile(
+        "dual-writer detected|build conflict|build fencing violation"
+        "|pointer generation conflict"
+    )
+    rng = random.Random(seed)
+    state = str(tmp_path / "state")
+
+    def fresh(host):
+        det = IncrementalNearDup(
+            spark, state, threshold=0.5, backend=ManifestBackend()
+        )
+        det._writer_token = f"{host}:1:{rng.randrange(16**6):06x}"
+        return det
+
+    # NOTE: same-host reclaim logic keys on socket.gethostname(); both
+    # tokens here are FOREIGN to it, so each instance refuses the
+    # other's live claims — the faithful two-host model.
+    dets = {"hostA": fresh("hostA"), "hostB": fresh("hostB")}
+
+    fam_text = {
+        f: " ".join(f"dw{seed}fam{f}tok{j}" for j in range(12)) for f in range(3)
+    }
+    next_id = {"n": 1000}
+    canonical: dict[int, int] = {}  # doc_id -> family, completed reports only
+    batch_no = {"n": 0}
+
+    def run_batch(det, allow_gc_stub=False):
+        f = rng.randrange(3)
+        doc_id = next_id["n"]
+        next_id["n"] += rng.randint(1, 5)
+        batch_no["n"] += 1
+        rows = [(doc_id, fam_text[f])]
+        if canonical and rng.random() < 0.4:  # redelivery of a known doc
+            known = rng.choice(sorted(canonical))
+            rows.append((known, fam_text[canonical[known]]))
+        try:
+            rep = det.process_batch(_docs(spark, rows), batch_no["n"]).collect()
+        except RuntimeError as e:
+            assert _ALLOWED.search(str(e)), f"NOT a loud fencing error: {e}"
+            return
+        for r in rep:
+            if not r["is_dup"]:
+                canonical[r["doc_id"]] = f
+
+    def run_compact(det, hot):
+        try:
+            det.compact(hot_bucket_threshold=rng.choice([1, 2]) if hot else None)
+        except RuntimeError as e:
+            assert _ALLOWED.search(str(e)), f"NOT a loud fencing error: {e}"
+
+    def run_racing_compact(victim_host):
+        """Remote batch lands mid-compact, after the rewrite pinned its
+        file set (the straggler-fold window)."""
+        victim = dets[victim_host]
+        other = dets["hostB" if victim_host == "hostA" else "hostA"]
+        real_commit = victim.backend.commit_pointer
+        real_gc = other._gc_epochs
+        fired = {"done": False}
+
+        def inject(root, version):
+            if not fired["done"]:
+                fired["done"] = True
+                # the remote batch's listing lags: it never saw the
+                # in-flight build (fresh listing would refuse loudly —
+                # covered by the plain-schedule ops above)
+                other._gc_epochs = lambda: None
+                try:
+                    run_batch(other)
+                finally:
+                    other._gc_epochs = real_gc
+            return real_commit(root, version)
+
+        victim.backend.commit_pointer = inject
+        try:
+            run_compact(victim, hot=False)
+        finally:
+            victim.backend.commit_pointer = real_commit
+
+    # seed both stores before the random schedule so mid-compact races
+    # always target stores WITH data (a compact over empty stores never
+    # reaches its commit point, making the injected race inert)
+    run_batch(dets["hostA"])
+    run_batch(dets["hostB"])
+    for _ in range(10):
+        host = rng.choice(["hostA", "hostB"])
+        op = rng.choice(["batch", "batch", "batch", "compact", "hot", "race"])
+        if op == "batch":
+            run_batch(dets[host])
+        elif op == "compact":
+            run_compact(dets[host], hot=False)
+        elif op == "hot":
+            run_compact(dets[host], hot=True)
+        else:
+            run_racing_compact(host)
+
+    # at most one canonical per family across both writers
+    fams = list(canonical.values())
+    assert len(fams) == len(set(fams)), f"double canonicals: {canonical}"
+
+    # no silent canonical loss: every reported canonical still catches
+    # a near-variant through a FRESH instance after a healing compact
+    final = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=ManifestBackend()
+    )
+    final.compact(target_partitions=1)
+    probe_id = 90000
+    for doc_id, f in sorted(canonical.items()):
+        near = fam_text[f].replace(f"dw{seed}fam{f}tok11", "variantword")
+        batch_no["n"] += 1
+        rep = {
+            x["doc_id"]: x
+            for x in final.process_batch(
+                _docs(spark, [(probe_id, near)]), 10000 + batch_no["n"]
+            ).collect()
+        }
+        assert rep[probe_id]["is_dup"], f"lost canonical {doc_id} (family {f})"
+        assert rep[probe_id]["dup_of"] == doc_id
+        probe_id += 1
