@@ -541,37 +541,53 @@ class TxDenormBatchProcessor:
         # -- tx-metadata delivery-order intake check (the contract in
         # start_tx_denorm_stream's docstring, enforced): an END at or
         # below the emitted high-watermark can no longer emit in commit
-        # order. Runs AFTER the applied anti-join, so at-least-once
-        # redelivery of applied txs (within retention) never trips it.
-        # Enforcing mode checks tx_all (one bounded .first() on the
-        # tiny tx-metadata frame): carried ENDs cannot trip it there —
-        # the barrier guarantees every emitted LSN is below every
-        # carried tx's LSN, so any offender is a fresh arrival.
-        # Lenient mode counts offenders among THIS batch's arrivals
-        # only (tx_events, applied-anti-joined): a tolerated offender
-        # stays carried until its tx completes, and counting the carry
-        # again every batch would climb the regression counter forever
-        # for one wire event. Each offending END counts once per
-        # arrival (an at-least-once redelivery of a still-incomplete
-        # offender is a new arrival and recounts — arrivals are what
-        # the counter meters).
+        # order. Checked on THIS batch's arrivals only (tx_events,
+        # filtered before anything joins in — the frame is tiny and
+        # almost always empty, so the one bounded job stays cheap; the
+        # earlier tx_all variant dragged the carry-union + dedup +
+        # anti-join lineage into every batch for nothing):
+        #   * carried ENDs cannot be offenders in enforcing mode — the
+        #     barrier guarantees every emitted LSN is below every
+        #     carried tx's LSN, so any offender is a fresh arrival;
+        #   * at-least-once redelivery of APPLIED txs (within
+        #     retention) is anti-joined away before the check;
+        #   * each offending END counts once per ARRIVAL in lenient
+        #     mode (a tolerated offender carried while its tx stays
+        #     incomplete is not recounted; a redelivery is a new
+        #     arrival and recounts);
+        #   * the one uncovered edge: state carrying offenders a
+        #     LENIENT run tolerated lets them emit out of order when
+        #     they complete under a later enforcing restart — the
+        #     check meters arrivals, and those arrived on the lenient
+        #     run's watch.
         prev_hwm = self._read_tx_hwm()
         if prev_hwm is not None:
             _parts = F.split(F.col("id"), ":")
-            _offending = (F.col("status") == "END") & (
-                _parts.getItem(1).cast("long") <= prev_hwm
+            fresh = tx_events.dropDuplicates(["status", "id"]).filter(
+                (F.col("status") == "END")
+                & (_parts.getItem(1).cast("long") <= prev_hwm)
             )
-            _as_tx = [
+            if applied is not None:
+                fresh = fresh.join(
+                    F.broadcast(applied),
+                    F.split(fresh["id"], ":").getItem(0).cast("long")
+                    == applied["tx_id"],
+                    "left_anti",
+                )
+            offenders = fresh.select(
                 _parts.getItem(0).cast("long").alias("tx_id"),
                 _parts.getItem(1).cast("long").alias("commit_lsn"),
-            ]
-
-            def _order_violation_msg(off_tx, off_lsn, n_more=0):
-                more = f" (+{n_more} more this batch)" if n_more else ""
-                return (
+            ).collect()
+            if offenders:
+                more = (
+                    f" (+{len(offenders) - 1} more this batch)"
+                    if len(offenders) > 1
+                    else ""
+                )
+                msg = (
                     f"tx-metadata delivery-order violation in batch "
-                    f"{batch_id}: END of tx {off_tx} arrived "
-                    f"with commit_lsn {off_lsn} ≤ the "
+                    f"{batch_id}: END of tx {offenders[0]['tx_id']} arrived "
+                    f"with commit_lsn {offenders[0]['commit_lsn']} ≤ the "
                     f"already-emitted high-watermark {prev_hwm}{more}. "
                     "The transaction stream must arrive in commit order "
                     "(the reference consumes a single-partition topic); "
@@ -580,36 +596,12 @@ class TxDenormBatchProcessor:
                     "outlived applied_retention_batches="
                     f"{self.applied_retention_batches}."
                 )
+                if self.enforce_tx_order:
+                    raise RuntimeError(msg)
+                import warnings
 
-            if self.enforce_tx_order:
-                offender = tx_all.filter(_offending).select(*_as_tx).first()
-                if offender is not None:
-                    raise RuntimeError(
-                        _order_violation_msg(
-                            offender["tx_id"], offender["commit_lsn"]
-                        )
-                    )
-            else:
-                fresh = tx_events.dropDuplicates(["status", "id"])
-                if applied is not None:
-                    fresh = fresh.join(
-                        F.broadcast(applied),
-                        F.split(fresh["id"], ":").getItem(0).cast("long")
-                        == applied["tx_id"],
-                        "left_anti",
-                    )
-                offenders = fresh.filter(_offending).select(*_as_tx).collect()
-                if offenders:
-                    import warnings
-
-                    warnings.warn(
-                        _order_violation_msg(
-                            offenders[0]["tx_id"],
-                            offenders[0]["commit_lsn"],
-                            n_more=len(offenders) - 1,
-                        )
-                    )
-                    self.metrics.tx_order_regressions += len(offenders)
+                warnings.warn(msg)
+                self.metrics.tx_order_regressions += len(offenders)
 
         carry_orders = self._load("carry_orders")
         carry_lines = self._load("carry_lines")
