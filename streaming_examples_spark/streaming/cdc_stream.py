@@ -135,6 +135,9 @@ class TxDenormBatchProcessor:
         # batch's start (the caller may still read the CURRENT batch's
         # frame after process() returns, so same-batch unpersist races)
         self._prev_emissions: DataFrame | None = None
+        # emissions schema from the last non-idle batch — lets the idle
+        # fast path return a correctly-shaped empty frame jobs-free
+        self._emissions_schema = None
         os.makedirs(state_dir, exist_ok=True)
 
     def _bucket_of(self, key) -> F.Column:
@@ -503,6 +506,25 @@ class TxDenormBatchProcessor:
         # reading state, under the same writer lock
         self._check_layout()
         self._gc_state_versions()
+        # -- idle micro-batch fast path: no new events AND no new tx
+        # metadata means nothing can change — carried txs cannot
+        # complete without events, the barrier cannot move, nothing
+        # can emit — so skip the whole pipeline AND the state-version
+        # rewrite (replaying an idle batch is a no-op). A quiet stream
+        # then costs three limit-1 probes per trigger instead of the
+        # full multi-job batch (the same economics as the detector's
+        # r10 idle-batch append skip). Requires one prior non-idle
+        # batch in THIS processor instance (the emissions schema is
+        # cached from it); a freshly restarted processor warms up
+        # through the slow path, which handles empty inputs correctly.
+        if (
+            self._emissions_schema is not None
+            and tx_events.isEmpty()
+            and order_events.isEmpty()
+            and line_events.isEmpty()
+        ):
+            self.metrics.observe_batch(0, _time.time() - _batch_t0, 0)
+            return self.spark.createDataFrame([], self._emissions_schema)
         # no committed version yet = this batch is the initial load
         # (the snapshot phase, for the per-table RowsScanned counter)
         initial_load = self._current_version() == 0
@@ -765,6 +787,7 @@ class TxDenormBatchProcessor:
             frame.unpersist()
         # emissions stays cached until the next batch starts (caller
         # may still read it); tracked above so that batch unpersists it
+        self._emissions_schema = emissions.schema  # idle fast path's shape
         return emissions
 
 

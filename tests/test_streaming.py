@@ -1048,3 +1048,74 @@ def test_migrate_state_tool_finalizes_pointer_marker_window(spark, tmp_path):
     assert not os.path.exists(os.path.join(state, "_migration.json"))
     docs = TxDenormBatchProcessor(spark, state, n_buckets=8).process(*b1, 1).collect()
     assert sorted(str(l["price"]) for l in docs[0]["lines"]) == ["3.00", "7.00"]
+
+
+def test_idle_microbatch_fast_path(spark, tmp_path, monkeypatch):
+    """An idle micro-batch (no events, no tx metadata) must cost three
+    limit-1 probes, not the full pipeline: the operator chain is never
+    invoked (bombed via monkeypatch), no state version is written
+    (replay of an idle batch is a no-op), and the returned frame is
+    empty with the real emissions schema. A freshly restarted
+    processor has no cached schema and warms up through the slow
+    path, which handles empty inputs correctly."""
+    import streaming_examples_spark.streaming.cdc_stream as cs
+    from streaming_examples_spark.streaming.state_backend import LocalPosixBackend
+
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    log = TxLog()
+    log.tx(
+        lambda t: t.insert_order(30000),
+        lambda t: t.insert_line(300001, 30000, price="5.00"),
+    )
+    real = proc.process(
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+        batch_id=0,
+    )
+    assert real.count() == 1
+
+    b = LocalPosixBackend()
+    v_before = b.read_pointer(state)
+    committed_before = proc.metrics.committed_transactions
+    empty = TxLog()
+
+    def idle_dfs():
+        return (
+            empty.order_events_df(spark),
+            empty.line_events_df(spark),
+            empty.tx_events_df(spark),
+        )
+
+    with monkeypatch.context() as m:
+        m.setattr(
+            cs,
+            "tx_denormalize",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("pipeline ran on an idle batch")
+            ),
+        )
+        idle = proc.process(*idle_dfs(), batch_id=1)
+    assert idle.count() == 0
+    assert idle.schema == real.schema
+    assert b.read_pointer(state) == v_before  # no state rewrite
+    # still metered through the same per-batch hook as the slow path
+    assert proc.metrics.committed_transactions == committed_before
+    assert proc.metrics.last_batch_events_per_sec == 0.0
+
+    # the next REAL batch runs normally and sees the carried state
+    log2 = TxLog()
+    log2._lsn, log2._next_tx = 90000, 900
+    log2.tx(lambda t: t.insert_line(300002, 30000, price="9.00"))
+    d = proc.process(
+        log2.order_events_df(spark),
+        log2.line_events_df(spark),
+        log2.tx_events_df(spark),
+        batch_id=2,
+    ).collect()
+    assert sorted(str(l["price"]) for l in d[0]["lines"]) == ["5.00", "9.00"]
+
+    # restart: no cached schema -> slow path, empty inputs, empty out
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    assert fresh.process(*idle_dfs(), batch_id=3).count() == 0
