@@ -523,8 +523,18 @@ class TxDenormBatchProcessor:
             and order_events.isEmpty()
             and line_events.isEmpty()
         ):
+            empty = self.spark.createDataFrame([], self._emissions_schema)
+            # the emission_sink contract is per-BATCH (sinks may advance
+            # progress markers or commit a downstream tx per trigger),
+            # so it still observes idle batches — with the same empty
+            # frame the slow path would have handed it. Only the
+            # output_dir parquet append is skipped: an empty append
+            # carries no rows, and one zero-row file per idle trigger
+            # bloats the directory a long-running quiet stream writes.
+            if self.emission_sink is not None:
+                self.emission_sink(empty, batch_id)
             self.metrics.observe_batch(0, _time.time() - _batch_t0, 0)
-            return self.spark.createDataFrame([], self._emissions_schema)
+            return empty
         # no committed version yet = this batch is the initial load
         # (the snapshot phase, for the per-table RowsScanned counter)
         initial_load = self._current_version() == 0

@@ -315,16 +315,12 @@ class IncrementalNearDup:
                     if e > cur:
                         # an epoch ABOVE the pointer is a compaction in
                         # flight or its crash garbage: CLAIM it before
-                        # touching it — acquire_build raises on a live
+                        # touching it — _acquire_build raises on a live
                         # foreign builder (dual-host schedule) and
                         # atomically takes over an abandoned same-host
                         # claim, so this GC can never race a fresh
                         # claimer between a probe and the delete
-                        from streaming_examples_spark.streaming.state_backend import (
-                            acquire_build,
-                        )
-
-                        acquire_build(self.backend, stray, self._writer_token)
+                        self._acquire_build(stray)
                         self.backend.remove_tree(stray)
                         self.backend.release_build(stray)
                     else:
@@ -1223,6 +1219,13 @@ class IncrementalNearDup:
                 # backstop for the same window).
                 self._reset_cap_cache()
                 raise
+            finally:
+                # any compaction (full OR hot-bucket, success or crash)
+                # deletes/merges files in a live or fresh epoch: a
+                # cached post-append file count would make the next
+                # observe_append delta run against a stale-HIGH
+                # baseline and undercount real appends
+                self._append_count_cache.clear()
 
     def _compact_locked(
         self, target_partitions: int, hot_bucket_threshold: int | None

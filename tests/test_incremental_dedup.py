@@ -1257,6 +1257,16 @@ def test_detector_backlog_metrics_track_appends_and_epochs(spark, tmp_path):
     m4 = det.metrics.snapshot()
     assert m4["appended_files_last_batch"].get("sigs", 0) == 0
 
+    # a REAL append after the compaction is counted against a fresh
+    # baseline — the compaction cleared the append-count cache, so the
+    # delta is not computed against the pre-rewrite file pile
+    det.process_batch(
+        _docs(spark, [(7, "wholly new corpus text on bucketed joins")]), 3
+    )
+    m5 = det.metrics.snapshot()
+    assert m5["appended_files_last_batch"]["sigs"] >= 1
+    assert m5["appended_files_last_batch"]["bands"] >= 1
+
 
 def test_rebuild_hot_coverage_exact_under_list_lag(spark, tmp_path):
     """The band_hot summary's ``_files.json`` must name EXACTLY the

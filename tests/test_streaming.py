@@ -1062,7 +1062,13 @@ def test_idle_microbatch_fast_path(spark, tmp_path, monkeypatch):
     from streaming_examples_spark.streaming.state_backend import LocalPosixBackend
 
     state = str(tmp_path / "state")
-    proc = TxDenormBatchProcessor(spark, state, n_buckets=8)
+    sink_calls = []
+    proc = TxDenormBatchProcessor(
+        spark,
+        state,
+        n_buckets=8,
+        emission_sink=lambda df, bid: sink_calls.append((bid, df.count())),
+    )
     log = TxLog()
     log.tx(
         lambda t: t.insert_order(30000),
@@ -1103,6 +1109,10 @@ def test_idle_microbatch_fast_path(spark, tmp_path, monkeypatch):
     # still metered through the same per-batch hook as the slow path
     assert proc.metrics.committed_transactions == committed_before
     assert proc.metrics.last_batch_events_per_sec == 0.0
+    # the per-batch emission_sink contract survives idle triggers
+    # (sinks may advance progress markers per batch): called with the
+    # batch id and an empty frame
+    assert sink_calls == [(0, 1), (1, 0)]
 
     # the next REAL batch runs normally and sees the carried state
     log2 = TxLog()
