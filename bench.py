@@ -226,6 +226,20 @@ def main() -> int:
         "sf": sf_val,
     }
     print(json.dumps(out))
+    # The driver retains only the TAIL of stdout; the full line above
+    # is longer than that window, so its head (the totals) was cut in
+    # BENCH_r10.json ("parsed": null). Emit a compact summary LAST so
+    # the retained tail always ends with one complete JSON object.
+    print(json.dumps({
+        "metric": out["metric"],
+        "value": out["value"],
+        "value_min": out["value_min"],
+        "value_cold": out["value_cold"],
+        "unit": "sec",
+        "loadavg": out["loadavg"],
+        "loaded": out["loaded"],
+        "sf": sf_val,
+    }))
     return 0
 
 

@@ -108,6 +108,7 @@ def tx_denormalize(
     schema: str = "public",
     dedup_events: bool | None = None,
     persist_ends: bool = True,
+    order_delete_gc_horizon_lsn: int | None = None,
 ) -> TxDenormResult:
     """Run the flagship pipeline over one batch of envelope events.
 
@@ -127,6 +128,18 @@ def tx_denormalize(
     first batch after restart) must pass ``True``; exactly-once batch
     inputs (an immutable parquet event log) may leave it off and skip
     the full-width shuffle entirely.
+
+    ``order_delete_gc_horizon_lsn``: deleted-order markers (see the
+    state roll-forward below) are retained FOREVER by default —
+    reference parity (the Flink operator's latest-per-key state keeps
+    the delete image with no op filter,
+    TxAwareTwoInputNonBroadcastJoinProcessOperator.java:369-398). A
+    caller that knows the source's oldest-in-flight-transaction LSN
+    horizon (e.g. from pg_replication_slots.restart_lsn — no tx that
+    began before that point is still open, so no future commit can
+    touch a row deleted below it) may pass it here; markers with
+    ``commit_lsn < horizon`` are dropped from the rolled-forward state.
+    Live (non-deleted) images are never GC'd by this knob.
     """
     norm_o = normalize_events(order_events, "orders", "id")
     norm_l = normalize_events(line_events, "order_lines", "order_id")
@@ -318,6 +331,18 @@ def tx_denormalize(
     )
 
     # -- 4. assemble docs / tombstones -----------------------------------
+    # The isNotNull guard drops touched pairs whose as-of order image
+    # does not exist AT ALL — possible only for an order the pipeline
+    # has NEVER seen (mid-stream bootstrap without a snapshot load;
+    # with op='r' snapshot reads every order is seen before any line).
+    # It does NOT drop deleted orders: the delete image stays in the
+    # version pool (state roll-forward below keeps it), so a
+    # later-commit tx touching a line of an already-deleted order
+    # re-emits the (order, commit) tombstone — the reference's
+    # aggregation does the same from its retained latest-per-key delete
+    # image (OrderWithLines.java:90-100, TxAwareAggregationFunction
+    # .java:74-99). Regression: tests/test_txjoin.py::
+    # test_cross_batch_line_delete_of_deleted_order_reemits_tombstone.
     deleted = F.col("o.op") == OP_DELETE
     emissions = (
         order_asof.filter(F.col("o").isNotNull() & F.col("o.op").isNotNull())
@@ -351,6 +376,19 @@ def tx_denormalize(
     )
 
     # -- 5. roll state forward (latest per key over state ∪ batch) -------
+    # Deleted orders are NOT filtered out: the delete image stays as a
+    # narrow marker row (op='d', after NULL — only key + LSNs carry
+    # weight). A later-commit transaction begun before the delete
+    # committed can still touch a LINE of the dead order in a LATER
+    # micro-batch (read-committed interleaving; different row, so no
+    # lock conflict serializes the writes); the next batch's as-of join
+    # must find the delete image to re-emit the tombstone for that
+    # (order, commit) pair. The reference retains exactly this: its
+    # join-state GC keeps latestProcessed per key with NO op filter
+    # (TxAwareTwoInputNonBroadcastJoinProcessOperator.java:369-398).
+    # Retention: forever by default (reference parity, one narrow row
+    # per ever-deleted order); order_delete_gc_horizon_lsn trims
+    # markers below a caller-supplied oldest-in-flight-tx horizon.
     new_order_state = (
         o_versions.groupBy("order_key")
         .agg(
@@ -364,7 +402,6 @@ def tx_denormalize(
                 version,
             ).alias("s")
         )
-        .filter(F.col("s.op") != OP_DELETE)  # order delete clears state
         .select(
             "order_key",
             F.col("s.op").alias("op"),
@@ -373,6 +410,11 @@ def tx_denormalize(
             F.col("s.event_lsn").alias("event_lsn"),
         )
     )
+    if order_delete_gc_horizon_lsn is not None:
+        new_order_state = new_order_state.filter(
+            (F.col("op") != OP_DELETE)
+            | (F.col("commit_lsn") >= F.lit(order_delete_gc_horizon_lsn))
+        )
     new_line_state = (
         l_versions.groupBy("line_id")
         .agg(
@@ -387,6 +429,15 @@ def tx_denormalize(
                 version,
             ).alias("s")
         )
+        # Deleted LINES (unlike deleted orders above) are safe to drop
+        # from state — this is the line-state GC. Observationally
+        # equivalent to retention: the line as-of stage already filters
+        # op='d' out of the array, and the SAME line row can never be
+        # resurrected by a cross-batch interleaved tx (conflicting
+        # writes to one row serialize under the source DB's row lock,
+        # so the second writer sees the delete and produces no event).
+        # Only the ORDER delete image is referenced by OTHER rows'
+        # events (its lines), which is why it must be retained.
         .filter(F.col("s.op") != OP_DELETE)
         .select(
             F.col("s.order_key").alias("order_key"),

@@ -606,14 +606,25 @@ class TxDenormBatchProcessor:
                     == applied["tx_id"],
                     "left_anti",
                 )
-            offenders = fresh.select(
+            # bounded driver transfer (r10 ADVICE): a pathological batch
+            # (e.g. a large tx-metadata replay after applied-retention
+            # expiry) can make every END an offender — cap the sample
+            # pulled for the message and count the rest distributed
+            _OFFENDER_SAMPLE = 16
+            offender_frame = fresh.select(
                 _parts.getItem(0).cast("long").alias("tx_id"),
                 _parts.getItem(1).cast("long").alias("commit_lsn"),
-            ).collect()
+            )
+            offenders = offender_frame.limit(_OFFENDER_SAMPLE).collect()
+            n_offenders = (
+                len(offenders)
+                if len(offenders) < _OFFENDER_SAMPLE
+                else offender_frame.count()
+            )
             if offenders:
                 more = (
-                    f" (+{len(offenders) - 1} more this batch)"
-                    if len(offenders) > 1
+                    f" (+{n_offenders - 1} more this batch)"
+                    if n_offenders > 1
                     else ""
                 )
                 msg = (
@@ -633,7 +644,7 @@ class TxDenormBatchProcessor:
                 import warnings
 
                 warnings.warn(msg)
-                self.metrics.tx_order_regressions += len(offenders)
+                self.metrics.tx_order_regressions += n_offenders
 
         carry_orders = self._load("carry_orders")
         carry_lines = self._load("carry_lines")

@@ -325,9 +325,18 @@ class IncrementalNearDup:
                         self.backend.release_build(stray)
                     else:
                         # BELOW the pointer: committed, superseded — no
-                        # live build possible; release-then-remove so a
-                        # crash between the two cannot strand a marker
-                        # on a dir no listing will surface again
+                        # live build possible. A compaction crash between
+                        # its pointer flip and its remove_tree lands the
+                        # dir HERE; re-run the straggler fold from the
+                        # persisted consumed manifest before reclaiming,
+                        # so concurrently-appended files are not lost
+                        # (band_hot holds summaries, never appends —
+                        # nothing to fold)
+                        if name != "band_hot":
+                            self._fold_stragglers_from_manifest(name, e)
+                        # release-then-remove so a crash between the two
+                        # cannot strand a marker on a dir no listing
+                        # will surface again
                         self.backend.release_build(stray)
                         self.backend.remove_tree(stray)
         # A crash between a compaction's pointer flip and its DROP TABLE
@@ -1282,6 +1291,7 @@ class IncrementalNearDup:
                 )
                 # the claim must still be ours right before the flip
                 self.backend.validate_build(nxt_path, self._writer_token)
+                self._write_consumed_manifest(nxt_path, cur, consumed)
                 self.backend.commit_pointer(root, nxt)
                 self.backend.release_build(nxt_path)
                 # metadata-only drop: the external table keeps its
@@ -1303,6 +1313,7 @@ class IncrementalNearDup:
                 "overwrite"
             ).parquet(nxt_path)
             self.backend.validate_build(nxt_path, self._writer_token)
+            self._write_consumed_manifest(nxt_path, cur, consumed)
             self.backend.commit_pointer(root, nxt)
             self.backend.release_build(nxt_path)
             self._fold_stragglers(name, cur_path, consumed)
@@ -1330,6 +1341,52 @@ class IncrementalNearDup:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(
             *(os.path.join(epoch_path, n) for n in files)
+        )
+
+    def _write_consumed_manifest(
+        self, nxt_path: str, superseded_epoch: int, consumed: list[str]
+    ) -> None:
+        """Persist the rewrite's consumed file-set INSIDE the new epoch
+        dir, before the pointer flip publishes it (underscore-prefixed:
+        invisible to parquet readers, same pattern as band_hot's
+        ``_files.json``). This closes the crash window the r10 fold
+        left open: a death between ``commit_pointer`` and
+        ``remove_tree`` hands the superseded dir to the NEXT
+        ``_gc_epochs``, which can now re-run the straggler fold from
+        this manifest instead of deleting unconsumed appends blind."""
+        with open(os.path.join(nxt_path, "_consumed.json"), "w") as fh:
+            json.dump(
+                {"superseded_epoch": superseded_epoch, "consumed": consumed}, fh
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def _fold_stragglers_from_manifest(self, name: str, stray_epoch: int) -> None:
+        """GC-time re-run of the straggler fold for a below-pointer
+        epoch dir (crash-recovery path). Reads the consumed manifest
+        the compaction persisted in the CURRENT epoch dir; folds only
+        when the manifest names exactly this superseded epoch —
+        otherwise (pre-manifest store, or a stray older than cur-1,
+        unreachable by the normal protocol) it degrades to the r10
+        behavior and the docstring's listing-lag caveat applies.
+        Idempotent-with-duplicates: a crash between this fold and the
+        dir removal re-folds the same files next GC; the duplicate
+        rows are the store protocol's tolerated kind (collapsed by
+        countDistinct / the next compact's dropDuplicates)."""
+        root = self._path(name)
+        cur = self.backend.read_pointer(root)
+        mpath = os.path.join(root, f"v{cur}", "_consumed.json")
+        if not os.path.exists(mpath):
+            return
+        try:
+            with open(mpath) as fh:
+                manifest = json.load(fh)
+        except (OSError, ValueError):
+            return  # unreadable manifest: degrade to blind removal
+        if manifest.get("superseded_epoch") != stray_epoch:
+            return
+        self._fold_stragglers(
+            name, os.path.join(root, f"v{stray_epoch}"), manifest["consumed"]
         )
 
     def _fold_stragglers(

@@ -1209,6 +1209,82 @@ def test_compact_folds_concurrent_remote_append(spark, tmp_path, monkeypatch):
     assert r[6]["is_dup"] and r[6]["dup_of"] == 5
 
 
+def test_gc_refolds_stragglers_after_crash_between_flip_and_removal(
+    spark, tmp_path, monkeypatch
+):
+    """The r10 fold's crash window, now healed (r10 ADVICE): a
+    compaction that dies AFTER its pointer flip but BEFORE folding +
+    removing the superseded epoch hands that dir to the next
+    _gc_epochs — which must re-run the straggler fold from the
+    persisted ``_consumed.json`` manifest instead of deleting the
+    remote host's unconsumed append blind."""
+    import contextlib
+
+    from streaming_examples_spark.streaming import incremental_dedup as incdedup_mod
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+    )
+    from streaming_examples_spark.streaming.state_backend import ManifestBackend
+
+    monkeypatch.setattr(
+        incdedup_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    state = str(tmp_path / "state")
+    detA = IncrementalNearDup(spark, state, threshold=0.5, backend=ManifestBackend())
+    detA.process_batch(_docs(spark, [(1, BASE), (2, OTHER)]), 0)
+
+    THIRD = (
+        "entirely new material on state stores committing epochs through "
+        "generation pointers with conditional puts on object storage"
+    )
+    detB = IncrementalNearDup(spark, state, threshold=0.5, backend=ManifestBackend())
+    monkeypatch.setattr(detB, "_gc_epochs", lambda: None)
+    real_commit = detA.backend.commit_pointer
+    fired = {"done": False}
+
+    def inject_remote_append(root, version):
+        if not fired["done"]:
+            fired["done"] = True
+            detB.process_batch(_docs(spark, [(5, THIRD)]), 100)
+        return real_commit(root, version)
+
+    monkeypatch.setattr(detA.backend, "commit_pointer", inject_remote_append)
+
+    # crash exactly in the window: pointer flipped, fold never ran
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash between flip and fold")
+
+    monkeypatch.setattr(detA, "_fold_stragglers", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        detA.compact(target_partitions=1)
+
+    # recovery: a fresh detector's first locked op runs _gc_epochs,
+    # which folds the straggler from the manifest before reclaiming
+    detC = IncrementalNearDup(spark, state, threshold=0.5, backend=ManifestBackend())
+    NEAR_THIRD = THIRD.replace("object storage", "cloud storage")
+    r = {
+        x["doc_id"]: x
+        for x in detC.process_batch(_docs(spark, [(6, NEAR_THIRD)]), 101).collect()
+    }
+    folded = detC.metrics.snapshot()["folded_straggler_files"]
+    assert sum(folded.values()) >= 1, folded
+    sigs = {x["doc_id"] for x in detC.read_store("sigs").select("doc_id").collect()}
+    assert 5 in sigs, sigs
+    assert r[6]["is_dup"] and r[6]["dup_of"] == 5
+    # and no below-pointer epoch dirs survive the healed GC
+    for store in ("sigs", "bands"):
+        root = detC._path(store)
+        cur = detC.backend.read_pointer(root)
+        import re as _re
+
+        epochs = [
+            int(m.group(1))
+            for entry in detC.backend.list_dir(root)
+            if (m := _re.fullmatch(r"v(\d+)", entry))
+        ]
+        assert all(e == cur for e in epochs), (store, cur, epochs)
+
+
 def test_detector_backlog_metrics_track_appends_and_epochs(spark, tmp_path):
     """Backlog/lag monitoring (the replication-slot dashboard analog):
     a two-batch run must report per-batch appended-file counts, a

@@ -149,11 +149,12 @@ def _naive_replay(log: TxLog):
     return orders, lines, touched
 
 
-@pytest.mark.slow
-@settings(max_examples=5, deadline=None)
-@given(seed=st.integers(0, 2**32 - 1), cut_frac=st.floats(0.2, 0.8))
-def test_random_interleaved_histories_match_naive_replay(spark, tmp_path_factory, seed, cut_frac):
-    log = _random_log(seed)
+def check_history(spark, state_dir, log: TxLog, cut_fracs):
+    """Run ``log`` through the batch processor split at the LSN
+    quantiles ``cut_fracs`` (0 cuts = single batch, 1 cut = two
+    batches, ...) and assert the three pipeline contracts against the
+    naive-replay oracle. Shared by the hypothesis properties, the
+    pinned r10 falsifying example, and tools/soak_tx_properties.py."""
     exp_orders, exp_lines, exp_touched = _naive_replay(log)
 
     o, l, x = (
@@ -161,25 +162,22 @@ def test_random_interleaved_histories_match_naive_replay(spark, tmp_path_factory
         log.line_events_df(spark),
         log.tx_events_df(spark),
     )
-    state = tmp_path_factory.mktemp(f"state-{seed}")
-    proc = TxDenormBatchProcessor(spark, str(state))
-    lsns = sorted(r["lsn"] for r in o.select("source.lsn").collect()
-                  ) + sorted(r["lsn"] for r in l.select("source.lsn").collect())
-    cut = sorted(lsns)[int(cut_frac * (len(lsns) - 1))]
-    out1 = proc.process(
-        o.filter(F.col("source.lsn") <= cut), l.filter(F.col("source.lsn") <= cut), x, 0
-    ).collect()
-    out2 = proc.process(
-        o.filter(F.col("source.lsn") > cut), l.filter(F.col("source.lsn") > cut), x, 1
-    ).collect()
-    rows = out1 + out2
+    proc = TxDenormBatchProcessor(spark, str(state_dir))
+    lsns = sorted(e["source"]["lsn"] for e in log.events)
+    cuts = sorted({lsns[int(f * (len(lsns) - 1))] for f in cut_fracs})
+    bounds = [-1] + cuts + [2**62]
+    batches = []
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        cond = (F.col("source.lsn") > F.lit(lo)) & (F.col("source.lsn") <= F.lit(hi))
+        batches.append(proc.process(o.filter(cond), l.filter(cond), x, i).collect())
+    rows = [r for b in batches for r in b]
 
     # 1. exactly one emission per touched (order, tx-commit) pair
     got_pairs = [(r["order_key"], r["commit_lsn"]) for r in rows]
     assert sorted(got_pairs) == sorted(exp_touched)
 
     # 2. per-batch commit-LSN emission order
-    for batch in (out1, out2):
+    for batch in batches:
         lsns_b = [r["commit_lsn"] for r in batch]
         assert lsns_b == sorted(lsns_b)
 
@@ -199,3 +197,36 @@ def test_random_interleaved_histories_match_naive_replay(spark, tmp_path_factory
             assert got_lines == exp_doc_lines
         else:
             assert r["deleted"]  # deleted order's last word is a tombstone
+
+
+@pytest.mark.slow
+@settings(max_examples=5, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), cut_frac=st.floats(0.2, 0.8))
+def test_random_interleaved_histories_match_naive_replay(spark, tmp_path_factory, seed, cut_frac):
+    check_history(spark, tmp_path_factory.mktemp(f"state-{seed}"),
+                  _random_log(seed), [cut_frac])
+
+
+@pytest.mark.slow
+@settings(max_examples=3, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       c1=st.floats(0.15, 0.45), c2=st.floats(0.55, 0.85))
+def test_random_histories_three_batch_split(spark, tmp_path_factory, seed, c1, c2):
+    """Same contracts across a THREE-batch split — state rolls forward
+    twice, so carryover-over-carryover and marker-over-marker shapes
+    get coverage a single boundary can't give (VERDICT r10 soak ask)."""
+    check_history(spark, tmp_path_factory.mktemp(f"state3-{seed}"),
+                  _random_log(seed), [c1, c2])
+
+
+def test_judge_r10_falsifying_example_seed13_cut08(spark, tmp_path_factory):
+    """The r10 judge's falsifying example, pinned DETERMINISTICALLY
+    (not just as a hypothesis-DB entry): seed=13, cut_frac=0.8 — tx 502
+    (commit 1200) deletes order 30000 in batch 0; tx 504 (commit 1250,
+    begun before 502 committed) deletes a line of 30000 in batch 1.
+    The engine must re-emit the (30000, 1250) tombstone; r10 dropped it
+    by filtering the delete image out of order_state. Operator-level
+    minimal twin: tests/test_txjoin.py::
+    test_cross_batch_line_delete_of_deleted_order_reemits_tombstone."""
+    check_history(spark, tmp_path_factory.mktemp("state-seed13"),
+                  _random_log(13), [0.8])

@@ -140,9 +140,121 @@ def test_order_delete_emits_tombstone(spark):
     assert tomb["deleted"] is True
     assert tomb["order_key"] == 10001  # key survives for the sink tombstone
     assert tomb["id"] is None and tomb["lines"] is None
-    # state cleared (TxAwareAggregationFunction.java:91-94)
-    assert res.order_state.count() == 0
+    # the AGGREGATION's doc state clears on delete (TxAwareAggregation
+    # Function.java:91-94) but the JOIN state retains the delete image
+    # as latest-per-key (TxAware...Operator.java:369-398 — no op
+    # filter): the rolled-forward order_state keeps a narrow op='d'
+    # marker so a later-batch interleaved tx that touches a line of
+    # this order re-emits the tombstone (r10 judge-found bug).
+    markers = res.order_state.collect()
+    assert len(markers) == 1
+    assert markers[0]["op"] == "d" and markers[0]["after"] is None
+    # deleted LINES do clear (same-row resurrection impossible; pure GC)
     assert res.line_state.count() == 0
+
+
+# -- r10 judge regression: cross-batch tombstone re-emission --------------
+def test_cross_batch_line_delete_of_deleted_order_reemits_tombstone(spark):
+    """Minimal deterministic form of the r10 judge's falsifying example
+    (hypothesis seed=13, cut_frac=0.8, pinned end-to-end in
+    test_tx_properties.py): tx B deletes order O in batch 0; tx C —
+    begun before B committed, so a legitimate read-committed
+    interleaving (C touches a DIFFERENT row, no lock conflict) —
+    deletes a line of O, and C's events land in batch 1. The
+    (O, C.commit) touched pair must re-emit the tombstone. r10 emitted
+    nothing: the delete image was filtered out of order_state, so
+    batch 1 had no memory of the order. The reference retains the
+    image as latest-per-key join state (TxAwareTwoInputNonBroadcast
+    JoinProcessOperator.java:369-398) and its aggregation re-emits
+    (OrderWithLines.java:90-100)."""
+    from pyspark.sql import functions as F
+
+    log = TxLog()
+    c1 = log.tx(
+        lambda t: t.insert_order(30000),
+        lambda t: t.insert_line(700000, 30000),
+    )
+    t_c = log.begin()  # interleaved: begun before t_b commits
+    t_c.insert_line(700002, 30000)
+    t_b = log.begin()
+    t_b.delete_line(700000)
+    t_b.delete_order(30000)
+    c_b = t_b.commit()
+    t_c.delete_line(700002)
+    c_c = t_c.commit()
+    assert c_b < c_c
+
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    # batch 0 = everything up to t_b's last event; t_c's line delete
+    # (the only event with a higher LSN) lands in batch 1
+    cut = max(e["source"]["lsn"] for e in log.events
+              if e["source"]["txId"] == t_b.tx_id)
+    res1 = tx_denormalize(
+        o.filter(F.col("source.lsn") <= cut),
+        l.filter(F.col("source.lsn") <= cut),
+        x,
+    )
+    out1 = sorted(
+        (r.asDict() for r in res1.emissions.collect()),
+        key=lambda r: r["commit_lsn"],
+    )
+    # the streaming caller anti-joins already-applied txs out of the
+    # metadata feed (cdc_stream.py applied-tx protection); a raw
+    # operator batch must do the same or emitted txs look permanently
+    # incomplete (their events are gone) and wedge the barrier
+    applied = {r["tx_id"] for r in res1.emitted_txs.collect()}
+    x2 = x.filter(
+        ~F.split(F.col("id"), ":").getItem(0).cast("long").isin(sorted(applied))
+    )
+    res2 = tx_denormalize(
+        o.filter(F.col("source.lsn") > cut),
+        l.filter(F.col("source.lsn") > cut),
+        x2,
+        order_state=res1.order_state,
+        line_state=res1.line_state,
+        carryover_orders=res1.carryover_orders,
+        carryover_lines=res1.carryover_lines,
+    )
+    out2 = [r.asDict() for r in res2.emissions.collect()]
+
+    assert [(r["order_key"], r["commit_lsn"], r["deleted"]) for r in out1] == [
+        (30000, c1, False),
+        (30000, c_b, True),
+    ]
+    # THE regression: batch 1 re-emits the (O, C.commit) tombstone
+    assert [(r["order_key"], r["commit_lsn"], r["deleted"]) for r in out2] == [
+        (30000, c_c, True),
+    ]
+    # and the marker rolls forward again (C's delete is now latest)
+    markers = res2.order_state.collect()
+    assert len(markers) == 1 and markers[0]["op"] == "d"
+
+
+def test_order_delete_marker_gc_horizon(spark):
+    """order_delete_gc_horizon_lsn trims delete markers strictly below
+    the caller's oldest-in-flight-tx horizon; live images never GC."""
+    log = TxLog()
+    log.tx(lambda t: t.insert_order(10001))
+    log.tx(lambda t: t.insert_order(10002))
+    c_del = log.tx(lambda t: t.delete_order(10001))
+
+    def roll(horizon):
+        res = tx_denormalize(
+            log.order_events_df(spark),
+            log.line_events_df(spark),
+            log.tx_events_df(spark),
+            order_delete_gc_horizon_lsn=horizon,
+        )
+        return {r["order_key"]: r["op"] for r in res.order_state.collect()}
+
+    # horizon at the marker's commit → retained (>= keeps)
+    assert roll(c_del) == {10001: "d", 10002: "c"}
+    # horizon past it → marker dropped, live order untouched
+    assert roll(c_del + 1) == {10002: "c"}
 
 
 # -- order with zero lines still emits (LEFT JOIN semantics) --------------
