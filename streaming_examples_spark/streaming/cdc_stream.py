@@ -84,6 +84,7 @@ class TxDenormBatchProcessor:
         backend: StateStorageBackend | None = None,
         emission_sink=None,
         enforce_tx_order: bool = True,
+        order_delete_gc_horizon_lsn=None,
     ):
         from streaming_examples_spark.streaming.monitoring import PipelineMetrics
 
@@ -122,6 +123,17 @@ class TxDenormBatchProcessor:
         #: check — size the retention to the source's redelivery
         #: horizon.
         self.enforce_tx_order = enforce_tx_order
+        #: GC dial for deleted-order markers (txjoin state retention):
+        #: ``None`` (default) keeps them forever — reference parity; an
+        #: int drops markers below that LSN at every state roll; a
+        #: CALLABLE ``() -> int | None`` is consulted once per batch so
+        #: an operator can feed the live replication-slot horizon
+        #: (pg_replication_slots.restart_lsn) without restarting the
+        #: stream. GC is LAZY per bucket: a marker drops when its
+        #: bucket is next rewritten (i.e. touched by a batch) — a full
+        #: sweep would break the O(touched buckets) per-batch I/O
+        #: contract. See SCALE_NOTES "deleted-order markers".
+        self.order_delete_gc_horizon_lsn = order_delete_gc_horizon_lsn
         # build-marker fencing identity (state_backend.claim_build):
         # the advisory writer lock is per-filesystem, so two HOSTS can
         # both hold it on an object store — the marker makes the
@@ -687,6 +699,11 @@ class TxDenormBatchProcessor:
             # dedup is always on here — batches are micro-batch sized,
             # the shuffle is bounded by batch width, not corpus width
             dedup_events=True,
+            order_delete_gc_horizon_lsn=(
+                self.order_delete_gc_horizon_lsn()
+                if callable(self.order_delete_gc_horizon_lsn)
+                else self.order_delete_gc_horizon_lsn
+            ),
         )
         # emitted_txs feeds three consumers (the tx_keep anti-join, the
         # committed-tx metric, and new_applied in _store_all); it comes
@@ -826,6 +843,7 @@ def start_tx_denorm_stream(
     n_buckets: int = 32,
     backend=None,
     enforce_tx_order: bool = True,
+    order_delete_gc_horizon_lsn=None,
 ):
     """Wire the three CDC streams (orders / order_lines / transaction
     metadata — the reference's three Kafka topics, DataStreamV2Job.
@@ -870,6 +888,7 @@ def start_tx_denorm_stream(
         backend=backend,
         emission_sink=emission_sink,
         enforce_tx_order=enforce_tx_order,
+        order_delete_gc_horizon_lsn=order_delete_gc_horizon_lsn,
     )
 
     from streaming_examples_spark.model.envelope import (

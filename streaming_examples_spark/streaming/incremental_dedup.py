@@ -779,6 +779,11 @@ class IncrementalNearDup:
         before = self._append_count_cache.get(key)
         if before is None:
             before = self._count_files(path)
+        # lag-double hook: a DIRECT Spark write is invisible to the
+        # backend, so the eventual-consistency double cannot open its
+        # list-after-write window for it — tell it first (no-op on
+        # real backends; see StateStorageBackend.note_spark_write)
+        self.backend.note_spark_write(path)
         if not self._buckets(name):
             rows.write.mode("append").parquet(path)
         else:
@@ -1280,6 +1285,7 @@ class IncrementalNearDup:
                 # the post-flip listing against it
                 src = self._load_store(name)
                 consumed = _data_file_names(src.inputFiles())
+                self.backend.note_spark_write(nxt_path)  # lag-double hook
                 (
                     src
                     .dropDuplicates()  # heal any append-retry duplicates
@@ -1309,6 +1315,7 @@ class IncrementalNearDup:
             self.backend.remove_tree(nxt_path)
             frame = self._load_store(name)
             consumed = _data_file_names(frame.inputFiles())
+            self.backend.note_spark_write(nxt_path)  # lag-double hook
             frame.dropDuplicates().repartition(target_partitions).write.mode(
                 "overwrite"
             ).parquet(nxt_path)
@@ -1460,6 +1467,7 @@ class IncrementalNearDup:
         # claim-then-clear, same reasoning as _compact_locked
         self._acquire_build(nxt_path)
         self.backend.remove_tree(nxt_path)
+        self.backend.note_spark_write(nxt_path)  # lag-double hook
         (
             store
             .groupBy("band_id", "band_key")

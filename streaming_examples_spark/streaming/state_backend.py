@@ -115,6 +115,20 @@ class StateStorageBackend:
     def remove_file(self, path: str) -> None:
         raise NotImplementedError
 
+    def note_spark_write(self, path: str) -> None:
+        """Hook called immediately BEFORE a DIRECT Spark write (parquet
+        append / table save) lands in ``path`` without backend
+        mediation. Real backends no-op: Spark-side listing consistency
+        is the store's contract with Spark itself (every
+        parquet-on-object-store deployment already requires it, and
+        S3/GCS/Azure guarantee it today). The eventual-consistency
+        test double overrides this to open its list-after-write lag
+        window for the dir, so BACKEND listings issued after a Spark
+        append run stale-SHORT exactly like they would after a
+        backend-mediated write — closing the coverage gap its SCOPE
+        note originally documented."""
+        return None
+
     def publish_file(self, path: str, data: bytes) -> None:
         """Atomically publish a small single object (layout seals,
         manifests): a reader sees the old content, the new content, or
@@ -733,14 +747,16 @@ class LaggedManifestBackend(ManifestBackend):
 
     SCOPE — what this double does and does not lag: windows open on
     BACKEND-MEDIATED mutations (prepare_dir/publish_file/remove_*/
-    carry_file/commit_pointer) and serve stale views to BACKEND-
-    MEDIATED reads (dir_exists probes, list_dir, read_locations'
-    physical half). Spark's direct parquet writes do not open windows
-    and Spark's own scan-time file enumeration (Hadoop FS listing) is
-    not intercepted — that half of listing consistency is the store's
-    contract with Spark itself, which every parquet-on-object-store
-    deployment already requires (and which S3/GCS/Azure all guarantee
-    today). The protocol is therefore designed so that NO correctness-
+    carry_file/commit_pointer) AND — since r11 — on direct Spark
+    writes, which the store announces through ``note_spark_write``
+    right before each parquet append / table save, so backend listings
+    after an append run stale-SHORT like any other mutation. Stale
+    views are served to BACKEND-MEDIATED reads (dir_exists probes,
+    list_dir, read_locations' physical half). Spark's own scan-time
+    file enumeration (Hadoop FS listing) remains un-intercepted —
+    that half of listing consistency is the store's contract with
+    Spark itself, which every parquet-on-object-store deployment
+    already requires (and which S3/GCS/Azure all guarantee today). The protocol is therefore designed so that NO correctness-
     bearing read depends on a backend LIST being fresh: store loads
     resolve existence from the committed pointer (a GET) and hand the
     epoch dir to Spark to enumerate; the remaining backend listings
@@ -814,6 +830,14 @@ class LaggedManifestBackend(ManifestBackend):
         # may lag, but the marker itself reads back by GET (fresh)
         self._snap(path)
         super().claim_build(path, owner)
+
+    def note_spark_write(self, path: str) -> None:
+        # a DIRECT Spark write is a mutation this double would
+        # otherwise never see: freeze the pre-write view so backend
+        # listings run stale-SHORT on the appended files too (r10
+        # ADVICE — the SCOPE paragraph's original coverage gap)
+        d = os.path.abspath(path)
+        self._snap(d, os.path.dirname(d))
 
     def commit_pointer(self, state_dir: str, version: int) -> int:
         # the pointer read path resolves generations by GET, so the

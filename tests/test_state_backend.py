@@ -922,3 +922,201 @@ def test_heal_stale_builds_tool_covers_both_layouts(tmp_path):
     assert out["apply"] is True
     assert b.read_build_owner(tx_dir) is None
     assert b.read_build_owner(bands) is None
+
+
+# -- randomized dual-host soak over the TX store (VERDICT r10 #5) ---------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [7, 4711])
+def test_random_dual_host_tx_schedules_exactly_once_or_loud(
+    spark, tmp_path, seed, monkeypatch
+):
+    """Randomized dual-HOST soak over one manifest-backed tx store —
+    the tx-store counterpart of the detector soak
+    (test_incremental_dedup.py): two TxDenormBatchProcessor instances
+    with distinct writer tokens (the advisory lock is defeated to
+    model separate hosts) drive a random interleaved history through a
+    random schedule of plain batches, injected crashes at random
+    backend primitives (then retry on a fresh host), host restarts,
+    and remote full batches hijacked into the victim's commit window
+    (the dual-writer schedule the build markers fence).
+
+    Invariants, asserted at the end regardless of schedule:
+
+      * fail-loud: every op either succeeds or raises a KNOWN loud
+        error (injected crash / build fencing violation / dual-writer
+        detected / pointer generation conflict) — never silent
+      * sink-level at-least-once, nothing lost: the union of pairs
+        delivered through emission_sink == the oracle's touched pairs
+      * caller-level exactly-once: pairs across successfully RETURNED
+        frames are unique and a subset of the oracle's
+      * per-frame commit-LSN emission order
+      * the store survives: a fresh processor lands a clean tail batch
+    """
+    import contextlib
+    import random as _random
+
+    from test_tx_properties import _naive_replay, _random_log
+
+    from streaming_examples_spark.streaming import locks as locks_mod
+
+    monkeypatch.setattr(
+        locks_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    rng = _random.Random(seed)
+    log = _random_log(seed)
+    exp_orders, exp_lines, exp_touched = _naive_replay(log)
+    o, l, x = _dfs(spark, log)
+    state = str(tmp_path / "state")
+
+    sink_pairs: list[tuple] = []
+
+    def sink(df, batch_id):
+        sink_pairs.extend(
+            (r["order_key"], r["commit_lsn"]) for r in df.collect()
+        )
+
+    def mk_host():
+        return TxDenormBatchProcessor(
+            spark, state, n_buckets=8, backend=ManifestBackend(),
+            emission_sink=sink,
+        )
+
+    hosts = [mk_host(), mk_host()]
+    LOUD = (
+        "injected crash",
+        "build fencing violation",
+        "dual-writer detected",
+        "generation conflict",
+    )
+
+    lsns = sorted(e["source"]["lsn"] for e in log.events)
+    n_batches = rng.randint(3, 4)
+    cuts = sorted({lsns[int(f * (len(lsns) - 1))]
+                   for f in [i / n_batches for i in range(1, n_batches)]})
+    bounds = [-1] + cuts + [2**62]
+    frame_rows: list = []
+
+    def good(df):
+        # a successfully returned frame must be in commit-LSN order
+        rows = df.collect()
+        lsns_f = [r["commit_lsn"] for r in rows]
+        assert lsns_f == sorted(lsns_f)
+        frame_rows.extend(rows)
+
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        cond = (F.col("source.lsn") > F.lit(lo)) & (F.col("source.lsn") <= F.lit(hi))
+        batch = (o.filter(cond), l.filter(cond), x)
+        event = rng.choice(["plain", "plain", "crash", "restart", "remote_mid_commit"])
+        h = rng.randrange(2)
+        if event == "restart":
+            hosts[h] = mk_host()
+            event = "plain"
+
+        if event == "plain":
+            good(hosts[h].process(*batch, batch_id=i))
+        elif event == "crash":
+            prim = rng.choice(["commit_pointer", "carry_file", "remove_tree"])
+            calls = {"n": 0, "at": rng.randint(1, 2)}
+
+            def should(*_a, **_k):
+                calls["n"] += 1
+                return calls["n"] == calls["at"]
+
+            _crash_once(hosts[h].backend, prim, should)
+            try:
+                good(hosts[h].process(*batch, batch_id=i))
+            except RuntimeError as e:
+                assert any(p in str(e) for p in LOUD), e
+                # retry on a FRESH host (crash-replay contract)
+                hosts[h] = mk_host()
+                good(hosts[h].process(*batch, batch_id=i))
+            else:
+                hosts[h] = mk_host()  # uninjected wrapper must not linger
+        else:  # remote_mid_commit: other host runs the SAME batch inside
+            # the victim's commit window (build-marker fencing schedule)
+            victim, remote = hosts[h], hosts[1 - h]
+            real_validate = victim.backend.validate_build
+            fired = {"done": False}
+
+            def hijack(path, owner, _remote=remote, _batch=batch, _i=i,
+                       _real=real_validate):
+                if not fired["done"]:
+                    fired["done"] = True
+                    good(_remote.process(*_batch, batch_id=_i))
+                return _real(path, owner)
+
+            monkeypatch.setattr(victim.backend, "validate_build", hijack)
+            try:
+                good(victim.process(*batch, batch_id=i))
+            except RuntimeError as e:
+                assert any(p in str(e) for p in LOUD), e
+            finally:
+                monkeypatch.setattr(victim.backend, "validate_build", real_validate)
+            hosts[h] = mk_host()  # victim's in-flight state is untrusted
+
+    # -- invariants ------------------------------------------------------
+    exp_pairs = sorted(exp_touched)
+    got_frame_pairs = [(r["order_key"], r["commit_lsn"]) for r in frame_rows]
+    # caller-level exactly-once: no duplicates, nothing invented
+    assert len(got_frame_pairs) == len(set(got_frame_pairs)), got_frame_pairs
+    assert set(got_frame_pairs) <= set(exp_pairs)
+    # sink-level: nothing lost (dups allowed — at-least-once)
+    assert set(sink_pairs) == set(exp_pairs), (
+        sorted(set(exp_pairs) - set(sink_pairs)),
+        sorted(set(sink_pairs) - set(exp_pairs)),
+    )
+    # NOTE: no frame-level completeness assertion — a crash injected
+    # AFTER the state swap (remove_tree cleanup) correctly makes the
+    # retry return an empty frame (applied-tx filter); the pairs were
+    # delivered through the sink, which is the completeness gate above.
+
+    # the store survives: a fresh processor lands a clean tail batch
+    tail = TxLog()
+    tail._lsn, tail._next_tx = 900000, 9000
+    tail.tx(lambda t: t.insert_order(90001), lambda t: t.insert_line(990001, 90001))
+    fresh = mk_host()
+    d = fresh.process(*_dfs(spark, tail), batch_id=99).collect()
+    assert len(d) == 1 and d[0]["id"] == 90001
+
+
+@pytest.mark.slow
+def test_stream_gc_horizon_trims_delete_markers(spark, tmp_path):
+    """The deleted-order marker retention dial, stream-level: markers
+    persist across batches by default (so cross-batch tombstone
+    re-emission works — the r10 fix); a callable
+    ``order_delete_gc_horizon_lsn`` consulted per batch drops markers
+    below the fed horizon LAZILY, when their bucket is next rewritten
+    (n_buckets=1 here so every batch touches the marker's bucket)."""
+    state = str(tmp_path / "state")
+    horizon = {"lsn": None}
+    proc = TxDenormBatchProcessor(
+        spark, state, n_buckets=1,
+        order_delete_gc_horizon_lsn=lambda: horizon["lsn"],
+    )
+    log = TxLog()
+    c1 = log.tx(lambda t: t.insert_order(30000),
+                lambda t: t.insert_line(300001, 30000))
+    c_del = log.tx(lambda t: t.delete_line(300001),
+                   lambda t: t.delete_order(30000))
+    c3 = log.tx(lambda t: t.insert_order(30009))
+    o, l, x = _dfs(spark, log)
+
+    def batch(lo, hi):
+        cond = (F.col("source.lsn") > lo) & (F.col("source.lsn") <= hi)
+        return o.filter(cond), l.filter(cond), x
+
+    assert proc.process(*batch(-1, c1), batch_id=0).count() == 1
+    assert proc.process(*batch(c1, c_del), batch_id=1).count() == 1
+
+    # horizon unset → the delete marker persisted into state
+    st = proc._load_buckets("order_state", [0]).collect()
+    assert [(r["order_key"], r["op"]) for r in st] == [(30000, "d")]
+
+    # operator feeds a horizon past the delete; the next batch's state
+    # roll (bucket 0 touched by the new order) drops the marker
+    horizon["lsn"] = c_del + 1
+    assert proc.process(*batch(c_del, c3), batch_id=2).count() == 1
+    st2 = proc._load_buckets("order_state", [0]).collect()
+    assert {r["order_key"]: r["op"] for r in st2} == {30009: "c"}

@@ -149,12 +149,13 @@ def _naive_replay(log: TxLog):
     return orders, lines, touched
 
 
-def check_history(spark, state_dir, log: TxLog, cut_fracs):
+def check_history(spark, state_dir, log: TxLog, cut_fracs, **proc_kwargs):
     """Run ``log`` through the batch processor split at the LSN
     quantiles ``cut_fracs`` (0 cuts = single batch, 1 cut = two
     batches, ...) and assert the three pipeline contracts against the
     naive-replay oracle. Shared by the hypothesis properties, the
-    pinned r10 falsifying example, and tools/soak_tx_properties.py."""
+    pinned r10 falsifying example, and tools/soak_tx_properties.py
+    (which passes n_buckets=8 through ``proc_kwargs`` for throughput)."""
     exp_orders, exp_lines, exp_touched = _naive_replay(log)
 
     o, l, x = (
@@ -162,7 +163,7 @@ def check_history(spark, state_dir, log: TxLog, cut_fracs):
         log.line_events_df(spark),
         log.tx_events_df(spark),
     )
-    proc = TxDenormBatchProcessor(spark, str(state_dir))
+    proc = TxDenormBatchProcessor(spark, str(state_dir), **proc_kwargs)
     lsns = sorted(e["source"]["lsn"] for e in log.events)
     cuts = sorted({lsns[int(f * (len(lsns) - 1))] for f in cut_fracs})
     bounds = [-1] + cuts + [2**62]
