@@ -332,6 +332,22 @@ class TxDenormBatchProcessor:
         with open(path) as fh:
             return json.load(fh).get("hwm")
 
+    def _read_parts_sidecar(self, version: int) -> dict | None:
+        """The committed version's bucket-part enumeration sidecar
+        (``_parts.json``: frame name → sorted part names, touched ∪
+        carried — a superset of what physically exists, see
+        ``_store_all``). Driver-side open(): a GET, fresh under
+        list-after-write lag — which is the point: the next batch's
+        carry enumeration reads THIS instead of a lag-prone listing.
+        ``None`` for version 0 or a pre-r11 version (no sidecar)."""
+        if version <= 0:
+            return None
+        path = os.path.join(self._root(version), "_parts.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
     def _load_buckets(self, name: str, buckets: list[int]) -> DataFrame | None:
         """Read only the listed hash buckets of a bucketed state table.
 
@@ -341,13 +357,26 @@ class TxDenormBatchProcessor:
         never even listed, and carried buckets with no local bytes
         (manifest backends) still resolve to their physical files."""
         path = self._frame_path(name)
-        if not buckets or not self.backend.dir_exists(path):
+        cur = self._current_version()
+        if not buckets or cur == 0:
             return None
+        # Existence is resolved from the committed POINTER plus the
+        # version's ``_parts.json`` sidecar — both GETs — never from a
+        # dir probe: the probe reads a listing that can lag the very
+        # Spark write that created the dir. The r11 lag windows
+        # (note_spark_write) caught exactly that here — state loaded as
+        # None one batch after it was written, the same LIST-gated-read
+        # class the detector's _load_store fixed in r10.
+        parts = (self._read_parts_sidecar(cur) or {}).get(name)
+        want = [f"_bucket={b}" for b in buckets]
+        if parts is not None:
+            known = set(parts)
+            want = [p for p in want if p in known]
+        elif not self.backend.dir_exists(path):
+            return None  # pre-r11 version (no sidecar): the old probe
         locs: list[str] = []
-        for b in buckets:
-            locs.extend(
-                self.backend.read_locations(os.path.join(path, f"_bucket={b}"))
-            )
+        for part in want:
+            locs.extend(self.backend.read_locations(os.path.join(path, part)))
         if not locs:
             return None  # none of the touched buckets holds state
         return self.spark.read.parquet(*locs)
@@ -360,9 +389,20 @@ class TxDenormBatchProcessor:
         (a direct ``spark.read.parquet`` on the version dir would
         silently miss it). Returns None for an absent/empty frame."""
         path = self._frame_path(name)
-        if not self.backend.dir_exists(path):
+        # bucketed frames enumerate from the committed sidecar (a GET)
+        # when present — same lag-immunity as _load_buckets; the probe/
+        # listing path remains for plain and pre-r11 frames
+        sidecar = self._read_parts_sidecar(self._current_version()) or {}
+        if name in sidecar:
+            # superset contract: absent parts resolve to no locations
+            # below (read_locations is empty-safe) — no dir probe needed
+            parts = list(sidecar[name])
+        elif self.backend.dir_exists(path):
+            parts = [
+                p for p in self.backend.list_dir(path) if p.startswith("_bucket=")
+            ]
+        else:
             return None
-        parts = [p for p in self.backend.list_dir(path) if p.startswith("_bucket=")]
         if not parts:
             return self._load(name)
         locs: list[str] = []
@@ -419,9 +459,13 @@ class TxDenormBatchProcessor:
         for name, data in (scalars or {}).items():
             self.backend.publish_file(os.path.join(new_root, name), data)
         for name, df in frames.items():
+            self.backend.note_spark_write(os.path.join(new_root, name))
             df.write.mode("overwrite").parquet(os.path.join(new_root, name))
+        prev_parts = self._read_parts_sidecar(cur)
+        new_parts: dict[str, list[str]] = {}
         for name, (df, buckets) in (bucketed or {}).items():
             new_path = os.path.join(new_root, name)
+            self.backend.note_spark_write(new_path)
             (
                 df.withColumn("_bucket", self._bucket_of(F.col("order_key")))
                 .write.mode("overwrite")
@@ -430,22 +474,53 @@ class TxDenormBatchProcessor:
             )
             old_path = self._frame_path(name, cur)
             touched = {f"_bucket={b}" for b in buckets}
-            # listings go through the backend: under a manifest backend
-            # a bucket carried for 2+ batches has no local bytes at its
-            # logical path — os.listdir would silently drop it from the
-            # carry set (state loss), which is exactly the POSIX
-            # assumption this seam exists to keep out of the protocol
-            if self.backend.dir_exists(old_path):
-                for part in self.backend.list_dir(old_path):
-                    if not part.startswith("_bucket=") or part in touched:
-                        continue
-                    src_dir = os.path.join(old_path, part)
-                    dst_dir = os.path.join(new_path, part)
-                    self.backend.prepare_dir(dst_dir)
-                    for f in self.backend.list_dir(src_dir):
-                        self.backend.carry_file(
-                            os.path.join(src_dir, f), os.path.join(dst_dir, f)
-                        )
+            # Carry enumeration source, in preference order:
+            #   1. the previous version's _parts.json sidecar — a GET
+            #      (publish_file'd before that version's flip), immune
+            #      to list-after-write lag. It records touched ∪
+            #      carried parts, a SUPERSET of what physically exists
+            #      (a part whose every key was deleted writes no dir):
+            #      superset is safe — an absent part carries nothing,
+            #      which is exactly its state.
+            #   2. pre-r11 versions (no sidecar): the backend listing,
+            #      the old behavior. Listings go through the backend —
+            #      under a manifest backend a bucket carried for 2+
+            #      batches has no local bytes at its logical path.
+            #      A stale-SHORT listing here could silently drop an
+            #      untouched bucket (state loss); the sidecar exists
+            #      to retire that hazard, and every version written
+            #      from r11 on has one.
+            # Per-part FILE listings remain backend listings: carried
+            # files are manifest-tracked (the manifest half of list_dir
+            # is a GET — fresh); physical files were Spark-written one
+            # full batch ago, the scan-time-enumeration contract the
+            # SCOPE note documents (a production deployment puts this
+            # layout behind a Delta/Iceberg commit log instead).
+            if prev_parts is not None:
+                candidates = prev_parts.get(name, [])
+            elif self.backend.dir_exists(old_path):
+                candidates = self.backend.list_dir(old_path)
+            else:
+                candidates = []
+            carried = []
+            for part in candidates:
+                if not part.startswith("_bucket=") or part in touched:
+                    continue
+                src_dir = os.path.join(old_path, part)
+                if not self.backend.dir_exists(src_dir):
+                    continue  # legitimately-empty part (sidecar superset)
+                self.backend.prepare_dir(os.path.join(new_path, part))
+                for f in self.backend.list_dir(src_dir):
+                    self.backend.carry_file(
+                        os.path.join(src_dir, f), os.path.join(new_path, part, f)
+                    )
+                carried.append(part)
+            new_parts[name] = sorted(touched | set(carried))
+        if bucketed:
+            self.backend.publish_file(
+                os.path.join(new_root, "_parts.json"),
+                json.dumps(new_parts).encode(),
+            )
         # bucket layout sealed before any version can commit: a restart
         # with a different n_buckets must raise, not read wrong buckets
         self._write_layout()

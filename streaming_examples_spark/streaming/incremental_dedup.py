@@ -333,7 +333,24 @@ class IncrementalNearDup:
                         # (band_hot holds summaries, never appends —
                         # nothing to fold)
                         if name != "band_hot":
-                            self._fold_stragglers_from_manifest(name, e)
+                            # best-effort: a torn/corrupt straggler file
+                            # (crash garbage is exactly what lands here)
+                            # must not wedge every subsequent locked op —
+                            # r10 reclaimed blind and made progress; warn
+                            # LOUDLY and degrade to that rather than
+                            # raising out of every future _gc_epochs
+                            try:
+                                self._fold_stragglers_from_manifest(name, e)
+                            except Exception as exc:  # noqa: BLE001
+                                import warnings
+
+                                warnings.warn(
+                                    f"GC-time straggler fold of {stray} "
+                                    f"failed ({exc!r}); reclaiming the "
+                                    "superseded epoch WITHOUT the fold — "
+                                    "unconsumed concurrent appends in it "
+                                    "(if any) are lost, the r10 behavior"
+                                )
                         # release-then-remove so a crash between the two
                         # cannot strand a marker on a dir no listing
                         # will surface again
@@ -799,7 +816,14 @@ class IncrementalNearDup:
                 .option("path", path)
                 .saveAsTable(self._table(name, epoch))
             )
-        after = self._count_files(path)
+        # under the lag double, note_spark_write above froze this dir's
+        # listing pre-append, so the post-count can read stale-LOW (the
+        # gauge is advisory — its docstring tolerates lag). Clamp to
+        # the pre-count so the cached baseline never moves BACKWARD:
+        # deltas then telescope correctly (a batch under-counted here
+        # is picked up by the next batch's fresh pre-count) instead of
+        # double-counting from a poisoned cache.
+        after = max(self._count_files(path), before)
         # keep one entry per store (stale epochs pruned on the spot)
         self._append_count_cache = {
             k: v for k, v in self._append_count_cache.items() if k[0] != name
@@ -1360,13 +1384,18 @@ class IncrementalNearDup:
         left open: a death between ``commit_pointer`` and
         ``remove_tree`` hands the superseded dir to the NEXT
         ``_gc_epochs``, which can now re-run the straggler fold from
-        this manifest instead of deleting unconsumed appends blind."""
-        with open(os.path.join(nxt_path, "_consumed.json"), "w") as fh:
-            json.dump(
-                {"superseded_epoch": superseded_epoch, "consumed": consumed}, fh
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
+        this manifest instead of deleting unconsumed appends blind.
+        Routed through ``backend.publish_file`` — the seam primitive
+        for small single objects (atomic temp+replace locally; a real
+        object-store backend PUTs it) — so the write is visible to the
+        lag double's op accounting and lands wherever the backend's
+        physical storage is, unlike a bare ``open()``."""
+        self.backend.publish_file(
+            os.path.join(nxt_path, "_consumed.json"),
+            json.dumps(
+                {"superseded_epoch": superseded_epoch, "consumed": consumed}
+            ).encode(),
+        )
 
     def _fold_stragglers_from_manifest(self, name: str, stray_epoch: int) -> None:
         """GC-time re-run of the straggler fold for a below-pointer

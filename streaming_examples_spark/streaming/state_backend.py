@@ -748,15 +748,20 @@ class LaggedManifestBackend(ManifestBackend):
     SCOPE — what this double does and does not lag: windows open on
     BACKEND-MEDIATED mutations (prepare_dir/publish_file/remove_*/
     carry_file/commit_pointer) AND — since r11 — on direct Spark
-    writes, which the store announces through ``note_spark_write``
-    right before each parquet append / table save, so backend listings
-    after an append run stale-SHORT like any other mutation. Stale
-    views are served to BACKEND-MEDIATED reads (dir_exists probes,
-    list_dir, read_locations' physical half). Spark's own scan-time
-    file enumeration (Hadoop FS listing) remains un-intercepted —
-    that half of listing consistency is the store's contract with
-    Spark itself, which every parquet-on-object-store deployment
-    already requires (and which S3/GCS/Azure all guarantee today). The protocol is therefore designed so that NO correctness-
+    writes, which BOTH stores announce through ``note_spark_write``
+    right before each parquet append / epoch rewrite / state-frame
+    write, so backend listings after a Spark write run stale-SHORT
+    like any other mutation. Stale views are served to BACKEND-
+    MEDIATED reads (dir_exists probes, list_dir, read_locations'
+    physical half). The one formerly correctness-bearing backend LIST
+    — the tx store's untouched-bucket carry enumeration — is sidecar-
+    driven since r11 (``_parts.json``, a publish_file'd GET), so no
+    protocol read left depends on a listing reflecting a just-issued
+    write. Spark's own scan-time file enumeration (Hadoop FS listing)
+    remains un-intercepted — that half of listing consistency is the
+    store's contract with Spark itself, which every parquet-on-object-
+    store deployment already requires (and which S3/GCS/Azure all
+    guarantee today). The protocol is therefore designed so that NO correctness-
     bearing read depends on a backend LIST being fresh: store loads
     resolve existence from the committed pointer (a GET) and hand the
     epoch dir to Spark to enumerate; the remaining backend listings

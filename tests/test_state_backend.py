@@ -957,7 +957,7 @@ def test_random_dual_host_tx_schedules_exactly_once_or_loud(
     import contextlib
     import random as _random
 
-    from test_tx_properties import _naive_replay, _random_log
+    from test_tx_properties import _naive_replay, _random_log, lsn_cut_bounds
 
     from streaming_examples_spark.streaming import locks as locks_mod
 
@@ -991,11 +991,8 @@ def test_random_dual_host_tx_schedules_exactly_once_or_loud(
         "generation conflict",
     )
 
-    lsns = sorted(e["source"]["lsn"] for e in log.events)
     n_batches = rng.randint(3, 4)
-    cuts = sorted({lsns[int(f * (len(lsns) - 1))]
-                   for f in [i / n_batches for i in range(1, n_batches)]})
-    bounds = [-1] + cuts + [2**62]
+    bounds = lsn_cut_bounds(log, [i / n_batches for i in range(1, n_batches)])
     frame_rows: list = []
 
     def good(df):
@@ -1120,3 +1117,44 @@ def test_stream_gc_horizon_trims_delete_markers(spark, tmp_path):
     assert proc.process(*batch(c_del, c3), batch_id=2).count() == 1
     st2 = proc._load_buckets("order_state", [0]).collect()
     assert {r["order_key"]: r["op"] for r in st2} == {30009: "c"}
+
+
+def test_carry_enumeration_sidecar_and_pre_r11_fallback(spark, tmp_path):
+    """r11: the untouched-bucket carry enumerates from the committed
+    version's ``_parts.json`` sidecar (a GET — immune to
+    list-after-write lag; the superset contract: parts that wrote no
+    dir carry nothing). A pre-r11 version without the sidecar falls
+    back to the backend listing, and the next commit reinstates it."""
+    import json as _json
+
+    state, proc = _first_batch(spark, tmp_path, LocalPosixBackend())
+    batch = _dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00"))
+    assert proc.process(*batch, batch_id=1).count() == 1
+
+    v = proc._current_version()
+    sidecar_path = os.path.join(state, f"v{v}", "_parts.json")
+    with open(sidecar_path) as fh:
+        sidecar = _json.load(fh)
+    assert sorted(sidecar) == ["line_state", "order_state"]
+    # the seeded 8 orders span several of the 8 buckets; every part the
+    # version holds must be enumerated (touched ∪ carried superset)
+    assert all(p.startswith("_bucket=") for p in sidecar["order_state"])
+    assert len(sidecar["order_state"]) >= 2
+
+    # pre-r11 shape: no sidecar → listing fallback must still carry
+    os.remove(sidecar_path)
+    d = proc.process(
+        *_dfs(spark, _one_line_tx(95000, 950, 300073, 30007, "3.00")),
+        batch_id=2,
+    ).collect()
+    assert sorted(str(l["price"]) for l in d[0]["lines"]) == ["3.00", "5.00"]
+    # an order untouched since batch 0 survived the fallback carry…
+    d2 = proc.process(
+        *_dfs(spark, _one_line_tx(97000, 970, 300011, 30001, "2.00")),
+        batch_id=3,
+    ).collect()
+    assert sorted(str(l["price"]) for l in d2[0]["lines"]) == ["2.00", "5.00"]
+    # …and the post-fallback commits write the sidecar again
+    assert os.path.exists(
+        os.path.join(state, f"v{proc._current_version()}", "_parts.json")
+    )

@@ -149,6 +149,17 @@ def _naive_replay(log: TxLog):
     return orders, lines, touched
 
 
+def lsn_cut_bounds(log: TxLog, cut_fracs) -> list[int]:
+    """LSN batch boundaries for splitting ``log`` at the given event
+    quantiles: [-1, cut..., 2**62] — batch i is (bounds[i], bounds[i+1]].
+    One definition shared by check_history and the dual-host soak in
+    test_state_backend.py, so what the soak exercises cannot drift
+    from what the properties verify."""
+    lsns = sorted(e["source"]["lsn"] for e in log.events)
+    cuts = sorted({lsns[int(f * (len(lsns) - 1))] for f in cut_fracs})
+    return [-1] + cuts + [2**62]
+
+
 def check_history(spark, state_dir, log: TxLog, cut_fracs, **proc_kwargs):
     """Run ``log`` through the batch processor split at the LSN
     quantiles ``cut_fracs`` (0 cuts = single batch, 1 cut = two
@@ -164,9 +175,7 @@ def check_history(spark, state_dir, log: TxLog, cut_fracs, **proc_kwargs):
         log.tx_events_df(spark),
     )
     proc = TxDenormBatchProcessor(spark, str(state_dir), **proc_kwargs)
-    lsns = sorted(e["source"]["lsn"] for e in log.events)
-    cuts = sorted({lsns[int(f * (len(lsns) - 1))] for f in cut_fracs})
-    bounds = [-1] + cuts + [2**62]
+    bounds = lsn_cut_bounds(log, cut_fracs)
     batches = []
     for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
         cond = (F.col("source.lsn") > F.lit(lo)) & (F.col("source.lsn") <= F.lit(hi))
