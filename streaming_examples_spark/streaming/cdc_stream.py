@@ -69,6 +69,17 @@ _LEGACY_FRAME_DIRS = (
 )
 
 
+class StateAdoptionError(RuntimeError):
+    """A pre-r11 (sidecar-less) state version could not be adopted
+    because a backend listing disagreed with a GET witness — the
+    listing is stale (list-after-write lag). Raised INSTEAD of
+    silently loading state as None/empty, the failure mode that bit
+    twice before (r10 detector ``_load_store``, r11 tx
+    ``_load_buckets``). Retryable: re-open the store once the old
+    writer has been stopped for longer than the store's
+    list-after-write horizon."""
+
+
 class TxDenormBatchProcessor:
     """The ``foreachBatch`` body, also usable standalone for replaying
     a partitioned event log batch-by-batch (tests do exactly that)."""
@@ -150,6 +161,11 @@ class TxDenormBatchProcessor:
         # emissions schema from the last non-idle batch — lets the idle
         # fast path return a correctly-shaped empty frame jobs-free
         self._emissions_schema = None
+        # memoized legacy-adoption synthesis, keyed by version: read
+        # paths never WRITE the adopted sidecar (a reader must stay
+        # read-only on a store it does not own), so without the memo a
+        # long-lived reader would re-list the legacy version per read
+        self._adopted_parts: dict[int, dict[str, list[str]]] = {}
         os.makedirs(state_dir, exist_ok=True)
 
     def _bucket_of(self, key) -> F.Column:
@@ -326,27 +342,172 @@ class TxDenormBatchProcessor:
         state it describes — a premature hwm would false-positive the
         order check on every crash replay). Driver-side open(): a GET,
         no Spark job, fresh under list-after-write lag."""
-        path = os.path.join(self._root(), "_tx_hwm.json")
-        if not os.path.exists(path):
+        raw = self.backend.read_file(os.path.join(self._root(), "_tx_hwm.json"))
+        if raw is None:
             return None
-        with open(path) as fh:
-            return json.load(fh).get("hwm")
+        return json.loads(raw).get("hwm")
 
-    def _read_parts_sidecar(self, version: int) -> dict | None:
+    def _read_parts_sidecar(self, version: int) -> tuple[dict, bool] | None:
         """The committed version's bucket-part enumeration sidecar
-        (``_parts.json``: frame name → sorted part names, touched ∪
-        carried — a superset of what physically exists, see
-        ``_store_all``). Driver-side open(): a GET, fresh under
-        list-after-write lag — which is the point: the next batch's
-        carry enumeration reads THIS instead of a lag-prone listing.
+        (``_parts.json``), read through the backend's ``read_file``
+        seam: a GET, fresh under list-after-write lag — which is the
+        point: every later enumeration reads THIS instead of a
+        lag-prone listing. Returns ``(frames, exact)`` where frames
+        maps frame name → sorted part names:
+
+        * format 2 (r12+): ``{"format": 2, "frames": {...}}`` — EXACT:
+          every listed part exists (Spark-written parts enumerated
+          from the writer's own scan-time file index, carried parts
+          from the carry loop itself), so readers and the next carry
+          need no existence probe at all.
+        * format 1 (r11): a bare ``{frame: [parts]}`` map — a SUPERSET
+          (touched ∪ carried; a touched bucket whose every key was
+          deleted wrote no dir), so consumers must tolerate absent
+          parts (``read_locations`` is empty-safe) or probe.
+
         ``None`` for version 0 or a pre-r11 version (no sidecar)."""
         if version <= 0:
             return None
-        path = os.path.join(self._root(version), "_parts.json")
-        if not os.path.exists(path):
+        raw = self.backend.read_file(
+            os.path.join(self._root(version), "_parts.json")
+        )
+        if raw is None:
             return None
-        with open(path) as fh:
-            return json.load(fh)
+        data = json.loads(raw)
+        if data.get("format") == 2:
+            return data["frames"], True
+        return data, False
+
+    def _written_parts(self, path: str) -> list[str]:
+        """``_bucket=K`` partition dirs our OWN just-issued Spark write
+        created under ``path`` — enumerated through Spark's scan-time
+        file index (``DataFrame.inputFiles``), never a backend LIST.
+        This is the one listing class the protocol's SCOPE note
+        documents as consistent by contract: the store's listing
+        guarantee to Spark itself, which every parquet-on-object-store
+        deployment already requires (and S3/GCS/Azure give today); the
+        eventual-consistency double accordingly does not lag it. The
+        dir is the writer's pre-commit private output — no carried
+        (manifest-only) entries can exist in it yet. Empty when the
+        write produced no rows (zero-row frame → only ``_SUCCESS``,
+        schema non-inferable)."""
+        try:
+            files = self.spark.read.parquet(path).inputFiles()
+        except Exception:
+            return []
+        parts = {
+            m.group(1)
+            for f in files
+            for m in [re.search(r"(_bucket=\d+)/", f)]
+            if m is not None
+        }
+        return sorted(parts)
+
+    def _adopt_legacy_parts(self, version: int) -> dict[str, list[str]]:
+        """Synthesize the part enumeration for a committed PRE-r11
+        version (no ``_parts.json``) — the one store state whose
+        enumeration cannot come from a GET, because the legacy writer
+        never published one. Adoption must therefore read backend
+        listings, and every listing is cross-checked against a GET
+        witness; any disagreement raises :class:`StateAdoptionError`
+        instead of silently treating stale-absent as empty (the bug
+        class that emptied state twice: r10 detector ``_load_store``,
+        r11 tx ``_load_buckets``; reference contract: checkpoint
+        restore never silently drops state,
+        TxAwareTwoInputNonBroadcastJoinProcessOperator.java:100-160).
+
+        Witnesses, in order:
+
+        1. the committed POINTER (a GET) names this version, so its
+           dir exists — a probe that says otherwise IS a stale
+           listing: raise.
+        2. every committed tx-store version physically contains ALL
+           SIX frame dirs (``_store_all`` writes the four plain frames
+           unconditionally and a zero-row bucketed write still creates
+           its dir), so a root listing missing any of
+           ``_LEGACY_FRAME_DIRS`` is stale — this catches the
+           stale-PARTIAL listing a crashed-then-retried build can
+           freeze (the lag double keeps the OLDEST snapshot, which may
+           be the crashed attempt's half-written frame set): raise.
+        3. every frame dir the root listing names must itself probe
+           present (manifest-GET fence first, then the LIST probe) —
+           a miss is a stale per-dir view: raise.
+
+        Under the lagged double these witnesses are complete: a stale
+        root view either predates the version's ``prepare_dir``
+        (probes ABSENT → witness 1) or froze a crashed attempt's
+        partial tree (→ witness 2); frame-dir windows cannot outlive
+        the root's (every frame mutation re-extends the root's
+        window), and witness 3 backstops them anyway. On a real store
+        the residual is a listing stale enough to fabricate a complete
+        six-frame tree with different PART sets — operationally
+        excluded by adopting only after the legacy writer has been
+        stopped past the store's list-after-write horizon (the
+        documented migration recipe).
+
+        Read-only: the synthesis is memoized in-process but NOT
+        published into the committed dir — a reader must not write a
+        store it does not own. The owning writer's next commit writes
+        a format-2 sidecar, closing adoption permanently."""
+        cached = self._adopted_parts.get(version)
+        if cached is not None:
+            return cached
+        root = self._root(version)
+        if not self.backend.dir_exists(root):
+            raise StateAdoptionError(
+                f"adopting pre-r11 tx state at {self.state_dir}: the "
+                f"committed pointer names version {version} but the "
+                f"version dir probes absent — the backend listing is "
+                "stale (list-after-write lag). Retry after the store's "
+                "listing horizon; state was NOT silently loaded as empty."
+            )
+        listing = self.backend.list_dir(root)
+        missing = [f for f in _LEGACY_FRAME_DIRS if f not in listing]
+        if missing:
+            raise StateAdoptionError(
+                f"adopting pre-r11 tx state at {self.state_dir}: the "
+                f"root listing of version {version} is missing frame "
+                f"dirs {missing} that every committed version contains "
+                "— the listing is stale or partial (list-after-write "
+                "lag / frozen crashed-build view). Retry after the "
+                "store's listing horizon; state was NOT silently "
+                "loaded as empty."
+            )
+        frames: dict[str, list[str]] = {}
+        for entry in listing:
+            if entry.startswith(("_", ".")):
+                continue  # scalar sidecars / internal files
+            frame_path = os.path.join(root, entry)
+            if not self.backend.dir_exists(frame_path):
+                raise StateAdoptionError(
+                    f"adopting pre-r11 tx state at {self.state_dir}: the "
+                    f"root listing names frame {entry!r} but its dir "
+                    "probes absent — a stale per-dir view "
+                    "(list-after-write lag). Retry after the store's "
+                    "listing horizon."
+                )
+            parts = [
+                p
+                for p in self.backend.list_dir(frame_path)
+                if p.startswith("_bucket=")
+            ]
+            if parts:
+                frames[entry] = sorted(parts)
+        self._adopted_parts[version] = frames
+        return frames
+
+    def _parts_enumeration(self, version: int) -> tuple[dict, bool]:
+        """The part enumeration for ``version``, from the sidecar (a
+        GET) when one exists, else fail-loud legacy adoption — never a
+        bare dir probe. ``(frames, exact)`` as `_read_parts_sidecar`;
+        adoption synthesizes from listings that existed at adoption
+        time, hence exact. Version 0 (no committed state) is empty."""
+        if version <= 0:
+            return {}, True
+        sidecar = self._read_parts_sidecar(version)
+        if sidecar is not None:
+            return sidecar
+        return self._adopt_legacy_parts(version), True
 
     def _load_buckets(self, name: str, buckets: list[int]) -> DataFrame | None:
         """Read only the listed hash buckets of a bucketed state table.
@@ -366,14 +527,15 @@ class TxDenormBatchProcessor:
         # Spark write that created the dir. The r11 lag windows
         # (note_spark_write) caught exactly that here — state loaded as
         # None one batch after it was written, the same LIST-gated-read
-        # class the detector's _load_store fixed in r10.
-        parts = (self._read_parts_sidecar(cur) or {}).get(name)
-        want = [f"_bucket={b}" for b in buckets]
-        if parts is not None:
-            known = set(parts)
-            want = [p for p in want if p in known]
-        elif not self.backend.dir_exists(path):
-            return None  # pre-r11 version (no sidecar): the old probe
+        # class the detector's _load_store fixed in r10. A pre-r11
+        # version (no sidecar) goes through fail-loud adoption
+        # (_adopt_legacy_parts) — never the old silent dir probe.
+        frames, _exact = self._parts_enumeration(cur)
+        parts = frames.get(name)
+        if parts is None:
+            return None  # frame absent from the committed enumeration
+        known = set(parts)
+        want = [p for p in (f"_bucket={b}" for b in buckets) if p in known]
         locs: list[str] = []
         for part in want:
             locs.extend(self.backend.read_locations(os.path.join(path, part)))
@@ -389,20 +551,22 @@ class TxDenormBatchProcessor:
         (a direct ``spark.read.parquet`` on the version dir would
         silently miss it). Returns None for an absent/empty frame."""
         path = self._frame_path(name)
+        cur = self._current_version()
+        if cur == 0:
+            return self._load(name)
         # bucketed frames enumerate from the committed sidecar (a GET)
-        # when present — same lag-immunity as _load_buckets; the probe/
-        # listing path remains for plain and pre-r11 frames
-        sidecar = self._read_parts_sidecar(self._current_version()) or {}
-        if name in sidecar:
-            # superset contract: absent parts resolve to no locations
-            # below (read_locations is empty-safe) — no dir probe needed
-            parts = list(sidecar[name])
-        elif self.backend.dir_exists(path):
-            parts = [
-                p for p in self.backend.list_dir(path) if p.startswith("_bucket=")
-            ]
-        else:
-            return None
+        # — same lag-immunity as _load_buckets; a pre-r11 version goes
+        # through fail-loud adoption. A name outside the enumeration
+        # is a PLAIN frame (Spark-written whole every batch, physical
+        # tree == logical content): _load resolves it with a GET
+        # (os.path.exists) + Spark's own scan — no backend listing on
+        # any branch.
+        frames, _exact = self._parts_enumeration(cur)
+        if name not in frames:
+            return self._load(name)
+        # v1 superset contract: absent parts resolve to no locations
+        # below (read_locations is empty-safe) — no dir probe needed
+        parts = list(frames[name])
         if not parts:
             return self._load(name)
         locs: list[str] = []
@@ -461,7 +625,7 @@ class TxDenormBatchProcessor:
         for name, df in frames.items():
             self.backend.note_spark_write(os.path.join(new_root, name))
             df.write.mode("overwrite").parquet(os.path.join(new_root, name))
-        prev_parts = self._read_parts_sidecar(cur)
+        prev_frames, prev_exact = self._parts_enumeration(cur)
         new_parts: dict[str, list[str]] = {}
         for name, (df, buckets) in (bucketed or {}).items():
             new_path = os.path.join(new_root, name)
@@ -472,55 +636,51 @@ class TxDenormBatchProcessor:
                 .partitionBy("_bucket")
                 .parquet(new_path)
             )
+            # EXACT written-part set, from the writer's own scan-time
+            # file index (never a backend LIST; see _written_parts) —
+            # a touched bucket whose every key was deleted wrote no
+            # dir and is recorded as such, so the next batch's carry
+            # needs no existence probe at all (r11 ADVICE: the
+            # superset sidecar forced a lag-prone dir_exists skip).
+            written = self._written_parts(new_path)
             old_path = self._frame_path(name, cur)
             touched = {f"_bucket={b}" for b in buckets}
-            # Carry enumeration source, in preference order:
-            #   1. the previous version's _parts.json sidecar — a GET
-            #      (publish_file'd before that version's flip), immune
-            #      to list-after-write lag. It records touched ∪
-            #      carried parts, a SUPERSET of what physically exists
-            #      (a part whose every key was deleted writes no dir):
-            #      superset is safe — an absent part carries nothing,
-            #      which is exactly its state.
-            #   2. pre-r11 versions (no sidecar): the backend listing,
-            #      the old behavior. Listings go through the backend —
-            #      under a manifest backend a bucket carried for 2+
-            #      batches has no local bytes at its logical path.
-            #      A stale-SHORT listing here could silently drop an
-            #      untouched bucket (state loss); the sidecar exists
-            #      to retire that hazard, and every version written
-            #      from r11 on has one.
+            # Carry enumeration source: the previous version's part
+            # enumeration — the _parts.json sidecar (a GET, immune to
+            # list-after-write lag) or fail-loud legacy adoption for a
+            # pre-r11 store; never a bare backend listing. Format-2
+            # sidecars are EXACT (every listed part exists); the r11
+            # format-1 superset needs the dir probe below for exactly
+            # one transition batch, after which this commit's format-2
+            # sidecar retires it.
             # Per-part FILE listings remain backend listings: carried
             # files are manifest-tracked (the manifest half of list_dir
             # is a GET — fresh); physical files were Spark-written one
             # full batch ago, the scan-time-enumeration contract the
             # SCOPE note documents (a production deployment puts this
             # layout behind a Delta/Iceberg commit log instead).
-            if prev_parts is not None:
-                candidates = prev_parts.get(name, [])
-            elif self.backend.dir_exists(old_path):
-                candidates = self.backend.list_dir(old_path)
-            else:
-                candidates = []
             carried = []
-            for part in candidates:
+            for part in prev_frames.get(name, []):
                 if not part.startswith("_bucket=") or part in touched:
                     continue
                 src_dir = os.path.join(old_path, part)
-                if not self.backend.dir_exists(src_dir):
-                    continue  # legitimately-empty part (sidecar superset)
+                if not prev_exact and not self.backend.dir_exists(src_dir):
+                    continue  # legitimately-empty part (v1 superset)
                 self.backend.prepare_dir(os.path.join(new_path, part))
                 for f in self.backend.list_dir(src_dir):
                     self.backend.carry_file(
                         os.path.join(src_dir, f), os.path.join(new_path, part, f)
                     )
                 carried.append(part)
-            new_parts[name] = sorted(touched | set(carried))
-        if bucketed:
-            self.backend.publish_file(
-                os.path.join(new_root, "_parts.json"),
-                json.dumps(new_parts).encode(),
-            )
+            new_parts[name] = sorted(set(written) | set(carried))
+        # published UNCONDITIONALLY (r11 ADVICE: a version committed
+        # without bucketed frames must still carry a sidecar — its
+        # truthful enumeration is empty — or the next reader would
+        # fall back to legacy adoption on a post-r11 store)
+        self.backend.publish_file(
+            os.path.join(new_root, "_parts.json"),
+            json.dumps({"format": 2, "frames": new_parts}).encode(),
+        )
         # bucket layout sealed before any version can commit: a restart
         # with a different n_buckets must raise, not read wrong buckets
         self._write_layout()
@@ -703,11 +863,20 @@ class TxDenormBatchProcessor:
                 _parts.getItem(1).cast("long").alias("commit_lsn"),
             )
             offenders = offender_frame.limit(_OFFENDER_SAMPLE).collect()
-            n_offenders = (
-                len(offenders)
-                if len(offenders) < _OFFENDER_SAMPLE
-                else offender_frame.count()
-            )
+            if len(offenders) < _OFFENDER_SAMPLE:
+                n_offenders = len(offenders)
+            else:
+                # ≥ sample size: count the rest distributed — against a
+                # PERSISTED frame so the count never re-executes the
+                # `fresh` lineage a second time (r11 ADVICE: the
+                # pathological huge-offender batch this bounds is
+                # exactly when a double recompute hurts most, and two
+                # executions could in principle see different plans)
+                offender_frame = offender_frame.persist()
+                try:
+                    n_offenders = offender_frame.count()
+                finally:
+                    offender_frame.unpersist()
             if offenders:
                 more = (
                     f" (+{n_offenders - 1} more this batch)"

@@ -926,9 +926,11 @@ class IncrementalNearDup:
         all_files = self._bands_data_files()
         covered: list[str] = []
         usable = False
-        if manifest_path and os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                covered = json.load(fh)
+        raw_manifest = (
+            self.backend.read_file(manifest_path) if manifest_path else None
+        )
+        if raw_manifest is not None:
+            covered = json.loads(raw_manifest)
             # a summary referencing files that no longer exist (crash
             # between the bands rewrite and the summary swap) is stale:
             # fall back to counting ALL files — exact, self-heals at
@@ -1411,13 +1413,18 @@ class IncrementalNearDup:
         countDistinct / the next compact's dropDuplicates)."""
         root = self._path(name)
         cur = self.backend.read_pointer(root)
-        mpath = os.path.join(root, f"v{cur}", "_consumed.json")
-        if not os.path.exists(mpath):
+        # read through the backend's read_file seam — the symmetric
+        # half of the publish_file that wrote it (r11 ADVICE: a raw
+        # open() against a backend whose publish_file lands bytes
+        # elsewhere silently degrades to blind removal)
+        raw = self.backend.read_file(
+            os.path.join(root, f"v{cur}", "_consumed.json")
+        )
+        if raw is None:
             return
         try:
-            with open(mpath) as fh:
-                manifest = json.load(fh)
-        except (OSError, ValueError):
+            manifest = json.loads(raw)
+        except ValueError:
             return  # unreadable manifest: degrade to blind removal
         if manifest.get("superseded_epoch") != stray_epoch:
             return
@@ -1507,11 +1514,12 @@ class IncrementalNearDup:
             .parquet(nxt_path)
         )
         # Spark/pyarrow readers skip underscore-prefixed files: the
-        # manifest rides inside the epoch dir so one flip publishes both
-        with open(os.path.join(nxt_path, "_files.json"), "w") as fh:
-            json.dump(files, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        # manifest rides inside the epoch dir so one flip publishes
+        # both. publish_file/read_file keep the write/read seam
+        # symmetric across backends (r11 ADVICE).
+        self.backend.publish_file(
+            os.path.join(nxt_path, "_files.json"), json.dumps(files).encode()
+        )
         self.backend.validate_build(nxt_path, self._writer_token)
         self.backend.commit_pointer(hot_root, nxt)
         self.backend.release_build(nxt_path)

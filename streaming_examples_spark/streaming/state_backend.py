@@ -136,6 +136,25 @@ class StateStorageBackend:
         (PUT is atomic per object); POSIX needs temp+rename."""
         raise NotImplementedError
 
+    def read_file(self, path: str) -> bytes | None:
+        """Read back one small published object (a GET — read-your-
+        writes fresh on every store this protocol targets); ``None``
+        when absent. The READ half of :meth:`publish_file`: every
+        manifest/sidecar written through ``publish_file`` must be read
+        through this, never a bare ``open()`` — a backend whose
+        ``publish_file`` lands bytes somewhere other than the local
+        path overrides BOTH, keeping the seam symmetric (r11 ADVICE:
+        asymmetric reads silently degrade to 'absent' on such a
+        backend, e.g. a consumed-set manifest read as missing → blind
+        straggler removal). Both shipped backends store published
+        objects at their literal local path, so the base
+        implementation is concrete."""
+        try:
+            with open(path, "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
     # -- logical namespace (reads + carry listings) ----------------------
     # The physical tree is NOT necessarily the logical content: under a
     # manifest backend a carried file has no local bytes at its logical

@@ -1120,11 +1120,14 @@ def test_stream_gc_horizon_trims_delete_markers(spark, tmp_path):
 
 
 def test_carry_enumeration_sidecar_and_pre_r11_fallback(spark, tmp_path):
-    """r11: the untouched-bucket carry enumerates from the committed
-    version's ``_parts.json`` sidecar (a GET — immune to
-    list-after-write lag; the superset contract: parts that wrote no
-    dir carry nothing). A pre-r11 version without the sidecar falls
-    back to the backend listing, and the next commit reinstates it."""
+    """r11/r12: the untouched-bucket carry enumerates from the
+    committed version's ``_parts.json`` sidecar (a GET — immune to
+    list-after-write lag). r12 writes format 2, an EXACT enumeration
+    (every listed part physically exists — a touched bucket whose
+    every key was deleted is NOT listed), so the carry needs no
+    existence probe. A pre-r11 version without the sidecar goes
+    through witness-checked legacy adoption (fresh listings here —
+    POSIX backend — so adoption succeeds and still carries)."""
     import json as _json
 
     state, proc = _first_batch(spark, tmp_path, LocalPosixBackend())
@@ -1135,14 +1138,23 @@ def test_carry_enumeration_sidecar_and_pre_r11_fallback(spark, tmp_path):
     sidecar_path = os.path.join(state, f"v{v}", "_parts.json")
     with open(sidecar_path) as fh:
         sidecar = _json.load(fh)
-    assert sorted(sidecar) == ["line_state", "order_state"]
+    assert sidecar["format"] == 2
+    frames = sidecar["frames"]
+    assert sorted(frames) == ["line_state", "order_state"]
     # the seeded 8 orders span several of the 8 buckets; every part the
-    # version holds must be enumerated (touched ∪ carried superset)
-    assert all(p.startswith("_bucket=") for p in sidecar["order_state"])
-    assert len(sidecar["order_state"]) >= 2
+    # version holds must be enumerated
+    assert all(p.startswith("_bucket=") for p in frames["order_state"])
+    assert len(frames["order_state"]) >= 2
+    # format 2 is EXACT: every enumerated part physically exists
+    for name in ("order_state", "line_state"):
+        for part in frames[name]:
+            assert os.path.isdir(os.path.join(state, f"v{v}", name, part)), (
+                f"format-2 sidecar lists absent part {name}/{part}"
+            )
 
-    # pre-r11 shape: no sidecar → listing fallback must still carry
+    # pre-r11 shape: no sidecar → witness-checked adoption must carry
     os.remove(sidecar_path)
+    proc._adopted_parts.clear()
     d = proc.process(
         *_dfs(spark, _one_line_tx(95000, 950, 300073, 30007, "3.00")),
         batch_id=2,
@@ -1158,3 +1170,151 @@ def test_carry_enumeration_sidecar_and_pre_r11_fallback(spark, tmp_path):
     assert os.path.exists(
         os.path.join(state, f"v{proc._current_version()}", "_parts.json")
     )
+
+
+# -- pre-r11 (sidecar-less) store adoption: the last LIST-gated read --
+# r12 (VERDICT r11 #1): a store committed by pre-r11 code has no
+# _parts.json, so its part enumeration can only come from backend
+# listings — the exact read class that silently emptied state twice
+# (r10 detector _load_store, r11 tx _load_buckets). Adoption must
+# therefore be witness-checked: any listing that disagrees with a GET
+# raises StateAdoptionError instead of loading state as None.
+
+
+def _strip_sidecar(state, version):
+    os.remove(os.path.join(state, f"v{version}", "_parts.json"))
+
+
+def test_pre_r11_adoption_fails_loud_under_open_lag_window(spark, tmp_path):
+    """Adopting a sidecar-less store while the legacy writer's
+    list-after-write windows (including spark-write windows) are still
+    open must raise StateAdoptionError — never silently load state as
+    None. Once the windows expire, the SAME store adopts correctly:
+    reads resolve every key, a follow-up batch carries untouched
+    buckets, and its commit reinstates a format-2 sidecar."""
+    import json as _json
+
+    from streaming_examples_spark.streaming.cdc_stream import (
+        StateAdoptionError,
+    )
+
+    # lag_ops large enough that every window opened by the final
+    # legacy batch is still open at adoption time (reads never advance
+    # the double's op clock, so the window provably spans the attempt)
+    backend = LaggedManifestBackend(lag_ops=64)
+    state, proc = _first_batch(spark, tmp_path, backend)
+    assert (
+        proc.process(
+            *_dfs(spark, _one_line_tx(90000, 900, 300001, 30000, "9.00")),
+            batch_id=1,
+        ).count()
+        == 1
+    )
+    v = proc._current_version()
+    _strip_sidecar(state, v)  # raw remove: simulates a pre-r11 writer
+
+    # a FRESH processor (adoption path — empty memo) on the same
+    # still-lagged backend: the version root's stale view predates its
+    # prepare_dir, so witness 1 (committed pointer vs dir probe) fires
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend)
+    with pytest.raises(StateAdoptionError, match="stale"):
+        fresh.read_state("order_state")
+    with pytest.raises(StateAdoptionError, match="stale"):
+        fresh._load_buckets("order_state", [0, 1, 2, 3])
+    # the writer path refuses too: processing a batch over the adopted
+    # store must not commit against silently-empty state
+    with pytest.raises(StateAdoptionError, match="stale"):
+        fresh.process(
+            *_dfs(spark, _one_line_tx(95000, 950, 300073, 30007, "3.00")),
+            batch_id=2,
+        )
+
+    # expire every window (mutations advance the op clock; reads do
+    # not), then the same store adopts from fresh listings
+    scratch = tmp_path / "scratch"
+    os.makedirs(scratch, exist_ok=True)
+    for i in range(70):
+        backend.publish_file(str(scratch / f"x{i}"), b"")
+    adopted = TxDenormBatchProcessor(
+        spark, state, n_buckets=8, backend=backend
+    )
+    keys = {
+        r["order_key"]
+        for r in adopted.read_state("order_state")
+        .select("order_key")
+        .collect()
+    }
+    assert keys == {30000 + i for i in range(8)}
+    # follow-up batch: a bucket untouched since batch 0 still carries
+    d = adopted.process(
+        *_dfs(spark, _one_line_tx(95000, 950, 300073, 30007, "3.00")),
+        batch_id=2,
+    ).collect()
+    assert sorted(str(l["price"]) for l in d[0]["lines"]) == ["3.00", "5.00"]
+    # …and the adopting commit wrote an exact format-2 sidecar
+    raw = backend.read_file(
+        os.path.join(state, f"v{adopted._current_version()}", "_parts.json")
+    )
+    assert _json.loads(raw)["format"] == 2
+
+
+def test_adoption_witness_catches_partial_root_listing(spark, tmp_path):
+    """Witness 2: a stale root listing frozen from a crashed build
+    attempt can be PRESENT but PARTIAL (missing frame dirs every
+    committed version contains) — adoption must refuse it."""
+    from streaming_examples_spark.streaming.cdc_stream import (
+        StateAdoptionError,
+    )
+
+    backend = LaggedManifestBackend(lag_ops=5)
+    state, proc = _first_batch(spark, tmp_path, backend)
+    v = proc._current_version()
+    _strip_sidecar(state, v)
+    root = os.path.abspath(os.path.join(state, f"v{v}"))
+    # freeze a partial view: the dir "exists" but lists only two of
+    # the six frame dirs (what a crashed attempt's snapshot looks like)
+    backend._stale[root] = (
+        backend._ops + 1000,
+        True,
+        ["order_state", "carry_orders"],
+    )
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend)
+    with pytest.raises(StateAdoptionError, match="missing frame dirs"):
+        fresh.read_state("order_state")
+
+
+def test_adoption_witness_catches_frame_probe_mismatch(spark, tmp_path):
+    """Witness 3: a frame dir the (fresh) root listing names must
+    itself probe present; a stale per-dir absent view raises."""
+    from streaming_examples_spark.streaming.cdc_stream import (
+        StateAdoptionError,
+    )
+
+    backend = LaggedManifestBackend(lag_ops=5)
+    state, proc = _first_batch(spark, tmp_path, backend)
+    v = proc._current_version()
+    _strip_sidecar(state, v)
+    frame = os.path.abspath(os.path.join(state, f"v{v}", "order_state"))
+    backend._stale[frame] = (backend._ops + 1000, False, None)
+    fresh = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend)
+    with pytest.raises(StateAdoptionError, match="probes absent"):
+        fresh.read_state("order_state")
+
+
+def test_store_all_publishes_sidecar_without_bucketed_frames(
+    spark, tmp_path, backend_cls
+):
+    """r11 ADVICE: a version committed with NO bucketed frames must
+    still publish the sidecar (truthfully empty) — otherwise the next
+    reader of a post-r11 store would fall into legacy adoption."""
+    import json as _json
+
+    backend = backend_cls()
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=8, backend=backend)
+    df = spark.createDataFrame([(1,)], "x long")
+    proc._store_all({"carry_orders": df})
+    raw = backend.read_file(os.path.join(state, "v1", "_parts.json"))
+    assert raw is not None
+    data = _json.loads(raw)
+    assert data == {"format": 2, "frames": {}}
