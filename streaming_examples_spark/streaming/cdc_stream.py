@@ -929,6 +929,59 @@ class TxDenormBatchProcessor:
             .collect()  # bounded: ≤ n_buckets ints
         )
 
+        gc_horizon = (
+            self.order_delete_gc_horizon_lsn()
+            if callable(self.order_delete_gc_horizon_lsn)
+            else self.order_delete_gc_horizon_lsn
+        )
+        if gc_horizon is not None:
+            # Safety guard on the GC dial: the provably-safe horizon is
+            # the source's oldest-in-flight-transaction LSN
+            # (pg_replication_slots.restart_lsn — SCALE_NOTES), which
+            # is ≤ every in-flight LSN by definition. A horizon AHEAD
+            # of an event/END still in flight this batch could trim a
+            # delete marker those very events need (the tombstone
+            # re-emission contract), so it is REFUSED, not clamped —
+            # a wrong feed is an operator bug worth a halted stream.
+            # Cost: one min-agg over micro-batch-sized frames, only on
+            # the opt-in GC path (gc_horizon unset skips it entirely).
+            lsn_pool = (
+                order_events.select(
+                    F.col("source.lsn").cast("long").alias("lsn")
+                )
+                .unionByName(
+                    line_events.select(
+                        F.col("source.lsn").cast("long").alias("lsn")
+                    )
+                )
+                .unionByName(
+                    tx_all.filter(F.col("status") == "END").select(
+                        F.split(F.col("id"), ":")
+                        .getItem(1)
+                        .cast("long")
+                        .alias("lsn")
+                    )
+                )
+            )
+            for carry in (carry_orders, carry_lines):
+                if carry is not None:
+                    lsn_pool = lsn_pool.unionByName(
+                        carry.select(
+                            F.col("event_lsn").cast("long").alias("lsn")
+                        )
+                    )
+            inflight_floor = lsn_pool.agg(F.min("lsn")).first()[0]
+            if inflight_floor is not None and gc_horizon > inflight_floor:
+                raise ValueError(
+                    f"order_delete_gc_horizon_lsn={gc_horizon} is ahead of "
+                    f"the oldest in-flight LSN {inflight_floor} in batch "
+                    f"{batch_id}: trimming delete markers above an "
+                    "in-flight event can drop a tombstone a pending "
+                    "transaction still needs. Feed the source's "
+                    "oldest-in-flight horizon "
+                    "(pg_replication_slots.restart_lsn) instead — it is "
+                    "≤ every in-flight LSN by definition."
+                )
         res: TxDenormResult = tx_denormalize(
             order_events,
             line_events,
@@ -943,11 +996,7 @@ class TxDenormBatchProcessor:
             # dedup is always on here — batches are micro-batch sized,
             # the shuffle is bounded by batch width, not corpus width
             dedup_events=True,
-            order_delete_gc_horizon_lsn=(
-                self.order_delete_gc_horizon_lsn()
-                if callable(self.order_delete_gc_horizon_lsn)
-                else self.order_delete_gc_horizon_lsn
-            ),
+            order_delete_gc_horizon_lsn=gc_horizon,
         )
         # emitted_txs feeds three consumers (the tx_keep anti-join, the
         # committed-tx metric, and new_applied in _store_all); it comes
