@@ -1727,3 +1727,229 @@ def test_random_dual_host_schedules_fail_loud_or_heal(
         assert rep[probe_id]["is_dup"], f"lost canonical {doc_id} (family {f})"
         assert rep[probe_id]["dup_of"] == doc_id
         probe_id += 1
+
+
+# -- COMPOSED adversarial soak: dual-host × list-after-write lag ×
+# crash injection on ONE detector store (VERDICT r11 #3). The three
+# dimensions exist as separate soaks; a real object store presents
+# them together: a shared LaggedManifestBackend models the server-side
+# eventual-consistency view BOTH hosts read through, crashes fire at
+# random backend primitives mid-op, and abandoned foreign claims are
+# healed the documented way (heal_stale_builds) before the retry.
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [31, 77])
+def test_composed_dual_host_lag_crash_detector_soak(
+    spark, tmp_path, seed, monkeypatch
+):
+    """Every op succeeds or fails LOUDLY (fencing/CAS/injected crash);
+    wedged claims heal via the operator recipe; at the end: no double
+    canonicals, no silent canonical loss, and a fresh instance reads
+    and compacts the store.
+
+    One documented exception, asserted as such: a doc appended by the
+    RACED remote batch (a dual-writer append mid-compact — already a
+    contract violation the fold metric flags) may lose its bands when
+    the post-flip straggler fold's listing is served stale by the lag
+    double — `_fold_stragglers` is explicitly best-effort under
+    list-after-write lag ("closing that needs time-bound leases").
+    Those docs are TAINTED: their canonicals are tracked separately,
+    allowed to be superseded by a later clean canonical, and their
+    probe accepts documented loss. Everything the protocol PROMISES
+    (all non-raced schedules, crash+heal+retry, fencing under lag)
+    stays strict."""
+    import contextlib
+    import random
+    import re as _re
+    import time as _time
+
+    from streaming_examples_spark.streaming import incremental_dedup as incdedup_mod
+    from streaming_examples_spark.streaming.incremental_dedup import (
+        IncrementalNearDup,
+        _STORES,
+    )
+    from streaming_examples_spark.streaming.state_backend import (
+        LaggedManifestBackend,
+        heal_stale_builds,
+    )
+
+    monkeypatch.setattr(
+        incdedup_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    _ALLOWED = _re.compile(
+        "dual-writer detected|build conflict|build fencing violation"
+        "|pointer generation conflict|injected crash"
+    )
+    rng = random.Random(seed)
+    state = str(tmp_path / "state")
+    shared_backend = LaggedManifestBackend(lag_ops=rng.randint(3, 12))
+
+    def fresh(host):
+        det = IncrementalNearDup(
+            spark, state, threshold=0.5, backend=shared_backend
+        )
+        det._writer_token = f"{host}:1:{rng.randrange(16**6):06x}"
+        return det
+
+    dets = {"hostA": fresh("hostA"), "hostB": fresh("hostB")}
+
+    def heal_all():
+        # the documented operator action for a dead foreign builder:
+        # age out its claims, store by store (markers sit at each
+        # store root). TTL is safe here — the schedule is sequential,
+        # so no build can be in flight during the heal.
+        _time.sleep(0.05)
+        det = dets["hostA"]
+        for name in (*_STORES, "band_hot"):
+            heal_stale_builds(shared_backend, det._path(name), 0.01)
+
+    fam_text = {
+        f: " ".join(f"cx{seed}fam{f}tok{j}" for j in range(12)) for f in range(3)
+    }
+    next_id = {"n": 1000}
+    canonical: dict[int, int] = {}  # clean completed reports: strict
+    raced_canonical: dict[int, int] = {}  # raced appends: documented
+    batch_no = {"n": 0}
+
+    def run_batch(det, tainted=False):
+        f = rng.randrange(3)
+        doc_id = next_id["n"]
+        next_id["n"] += rng.randint(1, 5)
+        batch_no["n"] += 1
+        rows = [(doc_id, fam_text[f])]
+        if canonical and rng.random() < 0.4:
+            known = rng.choice(sorted(canonical))
+            rows.append((known, fam_text[canonical[known]]))
+        try:
+            rep = det.process_batch(_docs(spark, rows), batch_no["n"]).collect()
+        except RuntimeError as e:
+            assert _ALLOWED.search(str(e)), f"NOT a loud error: {e}"
+            return False
+        for r in rep:
+            if not r["is_dup"]:
+                (raced_canonical if tainted else canonical)[r["doc_id"]] = f
+        return True
+
+    def run_compact(det, hot):
+        try:
+            det.compact(hot_bucket_threshold=rng.choice([1, 2]) if hot else None)
+            return True
+        except RuntimeError as e:
+            assert _ALLOWED.search(str(e)), f"NOT a loud error: {e}"
+            return False
+
+    def run_crash(host):
+        """Arm a one-shot crash at a random backend primitive, run a
+        random op; on the loud failure heal + retry on a fresh
+        instance — the full operator recovery loop under lag."""
+        prim = rng.choice(["commit_pointer", "publish_file", "carry_file"])
+        calls = {"n": 0, "at": rng.randint(1, 3)}
+        real = getattr(shared_backend, prim)
+
+        def wrapper(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == calls["at"]:
+                raise RuntimeError("injected crash")
+            return real(*a, **kw)
+
+        setattr(shared_backend, prim, wrapper)
+        op = rng.choice([lambda d: run_batch(d), lambda d: run_compact(d, False)])
+        try:
+            op(dets[host])
+        finally:
+            try:
+                delattr(shared_backend, prim)
+            except AttributeError:
+                pass
+        heal_all()
+        dets[host] = fresh(host)
+        assert run_batch(dets[host]), "post-crash retry did not complete"
+
+    def run_racing_compact(victim_host):
+        victim = dets[victim_host]
+        other = dets["hostB" if victim_host == "hostA" else "hostA"]
+        real_commit = shared_backend.commit_pointer
+        real_gc = other._gc_epochs
+        fired = {"done": False}
+
+        def inject(root, version):
+            if not fired["done"]:
+                fired["done"] = True
+                other._gc_epochs = lambda: None
+                try:
+                    run_batch(other, tainted=True)
+                finally:
+                    other._gc_epochs = real_gc
+            return real_commit(root, version)
+
+        monkeypatch.setattr(shared_backend, "commit_pointer", inject)
+        try:
+            run_compact(victim, hot=False)
+        finally:
+            monkeypatch.setattr(shared_backend, "commit_pointer", real_commit)
+
+    run_batch(dets["hostA"])
+    run_batch(dets["hostB"])
+    for _ in range(8):
+        host = rng.choice(["hostA", "hostB"])
+        op = rng.choice(["batch", "batch", "compact", "hot", "race", "crash"])
+        if op == "batch":
+            run_batch(dets[host])
+        elif op == "compact":
+            run_compact(dets[host], hot=False)
+        elif op == "hot":
+            run_compact(dets[host], hot=True)
+        elif op == "race":
+            run_racing_compact(host)
+        else:
+            run_crash(host)
+
+    # CLEAN canonicals are strictly unique per family; a raced
+    # (tainted) canonical may additionally exist for a family — the
+    # documented dual-writer-append residual, not a protocol promise
+    fams = list(canonical.values())
+    assert len(fams) == len(set(fams)), f"double canonicals: {canonical}"
+
+    heal_all()
+    final = IncrementalNearDup(
+        spark, state, threshold=0.5, backend=shared_backend
+    )
+    final.compact(target_partitions=1)
+    probe_id = 90000
+    for doc_id, f in sorted(canonical.items()):
+        # strict: a clean canonical must still catch near-variants —
+        # dup_of may name an earlier raced canonical of the family if
+        # that one's bands DID survive (both are legitimate members)
+        near = fam_text[f].replace(f"cx{seed}fam{f}tok11", "variantword")
+        batch_no["n"] += 1
+        rep = {
+            x["doc_id"]: x
+            for x in final.process_batch(
+                _docs(spark, [(probe_id, near)]), 10000 + batch_no["n"]
+            ).collect()
+        }
+        assert rep[probe_id]["is_dup"], f"lost canonical {doc_id} (family {f})"
+        legit = {doc_id} | {
+            d for d, rf in raced_canonical.items() if rf == f
+        }
+        assert rep[probe_id]["dup_of"] in legit, (rep[probe_id], legit)
+        probe_id += 1
+    # documented-loss accounting for raced docs: the near-variant of a
+    # family whose ONLY canonical was raced either still resolves (the
+    # fold won its race) or reports canonical — silent loss confined
+    # to the contract-violating append, never a wrong answer
+    clean_fams = set(canonical.values())
+    for f in sorted(set(raced_canonical.values()) - clean_fams):
+        near = fam_text[f].replace(f"cx{seed}fam{f}tok11", "variantword")
+        batch_no["n"] += 1
+        rep = {
+            x["doc_id"]: x
+            for x in final.process_batch(
+                _docs(spark, [(probe_id, near)]), 10000 + batch_no["n"]
+            ).collect()
+        }
+        if rep[probe_id]["is_dup"]:
+            raced_docs = {d for d, rf in raced_canonical.items() if rf == f}
+            assert rep[probe_id]["dup_of"] in raced_docs
+        probe_id += 1

@@ -1459,3 +1459,154 @@ def test_marker_bearing_store_through_public_readers(spark, tmp_path):
         for r in adopted.read_state("order_state").collect()
     }
     assert arows[30000] == "d"
+
+
+# -- COMPOSED adversarial soak: dual-host × list-after-write lag × crash
+# (VERDICT r11 #3). The per-dimension soaks exist separately (dual-host
+# above; lag via the backend_cls matrix; crash via _crash_once suites);
+# a real object store presents all three AT ONCE. One shared
+# LaggedManifestBackend models the server-side eventual-consistency
+# view both hosts read through; crashes leave same-host-reclaimable
+# claims the retry heals; the remote-mid-commit hijack exercises the
+# build-marker fence under stale listings.
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [101, 9001])
+def test_composed_dual_host_lag_crash_tx_soak(
+    spark, tmp_path, seed, monkeypatch
+):
+    """Every op must succeed or fail LOUDLY; at the end: sink-level
+    at-least-once completeness, caller-level exactly-once, per-frame
+    commit-LSN order, and a fresh processor lands a clean tail batch —
+    regardless of the random schedule."""
+    import contextlib
+    import random as _random
+
+    from test_tx_properties import _naive_replay, _random_log, lsn_cut_bounds
+
+    from streaming_examples_spark.streaming import locks as locks_mod
+
+    monkeypatch.setattr(
+        locks_mod, "writer_lock", lambda *a, **kw: contextlib.nullcontext()
+    )
+    rng = _random.Random(seed)
+    log = _random_log(seed)
+    exp_orders, exp_lines, exp_touched = _naive_replay(log)
+    o, l, x = _dfs(spark, log)
+    state = str(tmp_path / "state")
+
+    # ONE shared lag double: the store's eventual-consistency view is
+    # server-side, so either host's mutation lags BOTH hosts' listings
+    shared_backend = LaggedManifestBackend(lag_ops=rng.randint(3, 12))
+
+    sink_pairs: list[tuple] = []
+
+    def sink(df, batch_id):
+        sink_pairs.extend(
+            (r["order_key"], r["commit_lsn"]) for r in df.collect()
+        )
+
+    def mk_host():
+        return TxDenormBatchProcessor(
+            spark, state, n_buckets=8, backend=shared_backend,
+            emission_sink=sink,
+        )
+
+    hosts = [mk_host(), mk_host()]
+    LOUD = (
+        "injected crash",
+        "build fencing violation",
+        "dual-writer detected",
+        "generation conflict",
+    )
+
+    n_batches = rng.randint(3, 4)
+    bounds = lsn_cut_bounds(log, [i / n_batches for i in range(1, n_batches)])
+    frame_rows: list = []
+
+    def good(df):
+        rows = df.collect()
+        lsns_f = [r["commit_lsn"] for r in rows]
+        assert lsns_f == sorted(lsns_f)
+        frame_rows.extend(rows)
+
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        cond = (F.col("source.lsn") > F.lit(lo)) & (F.col("source.lsn") <= F.lit(hi))
+        batch = (o.filter(cond), l.filter(cond), x)
+        event = rng.choice(
+            ["plain", "plain", "crash", "restart", "remote_mid_commit"]
+        )
+        h = rng.randrange(2)
+        if event == "restart":
+            hosts[h] = mk_host()
+            event = "plain"
+
+        if event == "plain":
+            good(hosts[h].process(*batch, batch_id=i))
+        elif event == "crash":
+            # publish_file covers the r12 sidecar/scalar publishes —
+            # a crash between the bucketed writes and the sidecar (or
+            # between sidecar and pointer flip) must replay cleanly
+            prim = rng.choice(
+                ["commit_pointer", "carry_file", "remove_tree", "publish_file"]
+            )
+            calls = {"n": 0, "at": rng.randint(1, 2)}
+
+            def should(*_a, **_k):
+                calls["n"] += 1
+                return calls["n"] == calls["at"]
+
+            _crash_once(shared_backend, prim, should)
+            try:
+                good(hosts[h].process(*batch, batch_id=i))
+            except RuntimeError as e:
+                assert any(p in str(e) for p in LOUD), e
+                hosts[h] = mk_host()
+                good(hosts[h].process(*batch, batch_id=i))
+            else:
+                hosts[h] = mk_host()
+            # drop the instance-level wrapper (fired or not) so later
+            # ops fall back to the class method, uninjected
+            try:
+                delattr(shared_backend, prim)
+            except AttributeError:
+                pass
+        else:  # remote_mid_commit inside the victim's commit window
+            victim, remote = hosts[h], hosts[1 - h]
+            real_validate = shared_backend.validate_build
+            fired = {"done": False}
+
+            def hijack(path, owner, _remote=remote, _batch=batch, _i=i,
+                       _real=real_validate):
+                if not fired["done"]:
+                    fired["done"] = True
+                    good(_remote.process(*_batch, batch_id=_i))
+                return _real(path, owner)
+
+            monkeypatch.setattr(shared_backend, "validate_build", hijack)
+            try:
+                good(victim.process(*batch, batch_id=i))
+            except RuntimeError as e:
+                assert any(p in str(e) for p in LOUD), e
+            finally:
+                monkeypatch.setattr(
+                    shared_backend, "validate_build", real_validate
+                )
+            hosts[h] = mk_host()
+
+    exp_pairs = sorted(exp_touched)
+    got_frame_pairs = [(r["order_key"], r["commit_lsn"]) for r in frame_rows]
+    assert len(got_frame_pairs) == len(set(got_frame_pairs)), got_frame_pairs
+    assert set(got_frame_pairs) <= set(exp_pairs)
+    assert set(sink_pairs) == set(exp_pairs), (
+        sorted(set(exp_pairs) - set(sink_pairs)),
+        sorted(set(sink_pairs) - set(exp_pairs)),
+    )
+
+    tail = TxLog()
+    tail._lsn, tail._next_tx = 900000, 9000
+    tail.tx(lambda t: t.insert_order(90001), lambda t: t.insert_line(990001, 90001))
+    fresh = mk_host()
+    d = fresh.process(*_dfs(spark, tail), batch_id=99).collect()
+    assert len(d) == 1 and d[0]["id"] == 90001
