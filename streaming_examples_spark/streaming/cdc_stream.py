@@ -331,9 +331,20 @@ class TxDenormBatchProcessor:
 
     def _load(self, name: str) -> DataFrame | None:
         path = self._frame_path(name)
-        if os.path.exists(path):
-            return self.spark.read.parquet(path)
-        return None
+        if not os.path.exists(path):
+            return None
+        # a PARTITIONED write of zero rows leaves only _SUCCESS in the
+        # dir (plain zero-row frames still write schema-bearing empty
+        # part files, so this never triggers for them): such a dir is
+        # a known-empty frame, not a read error — reachable via legacy
+        # adoption of a pre-r11 store whose bucketed frame was emptied
+        # (no parts → not in the adopted enumeration → lands here)
+        if not any(
+            n.endswith(".parquet") or n.startswith("part-")
+            for n in os.listdir(path)
+        ) and not any(n.startswith("_bucket=") for n in os.listdir(path)):
+            return None
+        return self.spark.read.parquet(path)
 
     def _read_tx_hwm(self) -> int | None:
         """The committed emitted-commit-LSN high-watermark: a scalar
@@ -390,11 +401,18 @@ class TxDenormBatchProcessor:
         dir is the writer's pre-commit private output — no carried
         (manifest-only) entries can exist in it yet. Empty when the
         write produced no rows (zero-row frame → only ``_SUCCESS``,
-        schema non-inferable)."""
+        schema non-inferable). Only that exact failure maps to empty —
+        anything else re-raises: mapping a real read error to [] would
+        silently drop this frame's written parts from the committed
+        enumeration (state loss at the next carry)."""
+        from pyspark.errors import AnalysisException
+
         try:
             files = self.spark.read.parquet(path).inputFiles()
-        except Exception:
-            return []
+        except AnalysisException as e:
+            if "UNABLE_TO_INFER_SCHEMA" in str(e) or "infer schema" in str(e):
+                return []
+            raise
         parts = {
             m.group(1)
             for f in files
@@ -421,14 +439,17 @@ class TxDenormBatchProcessor:
         1. the committed POINTER (a GET) names this version, so its
            dir exists — a probe that says otherwise IS a stale
            listing: raise.
-        2. every committed tx-store version physically contains ALL
-           SIX frame dirs (``_store_all`` writes the four plain frames
-           unconditionally and a zero-row bucketed write still creates
-           its dir), so a root listing missing any of
-           ``_LEGACY_FRAME_DIRS`` is stale — this catches the
-           stale-PARTIAL listing a crashed-then-retried build can
-           freeze (the lag double keeps the OLDEST snapshot, which may
-           be the crashed attempt's half-written frame set): raise.
+        2. every committed tx-store version physically contains BOTH
+           bucketed frame dirs (a zero-row partitioned write still
+           creates its dir), so a root listing missing ``order_state``
+           or ``line_state`` is stale — this catches the stale-PARTIAL
+           listing a crashed-then-retried build can freeze (the lag
+           double keeps the OLDEST snapshot, which may be the crashed
+           attempt's half-written frame set). Only the bucketed frames
+           need the witness: PLAIN frames never read through this
+           enumeration (``read_state`` resolves them via ``_load``'s
+           direct GET), and requiring all six would wedge a
+           legitimately-sparse migrated legacy store forever: raise.
         3. every frame dir the root listing names must itself probe
            present (manifest-GET fence first, then the LIST probe) —
            a miss is a stale per-dir view: raise.
@@ -462,7 +483,9 @@ class TxDenormBatchProcessor:
                 "listing horizon; state was NOT silently loaded as empty."
             )
         listing = self.backend.list_dir(root)
-        missing = [f for f in _LEGACY_FRAME_DIRS if f not in listing]
+        missing = [
+            f for f in ("order_state", "line_state") if f not in listing
+        ]
         if missing:
             raise StateAdoptionError(
                 f"adopting pre-r11 tx state at {self.state_dir}: the "
@@ -564,11 +587,15 @@ class TxDenormBatchProcessor:
         frames, _exact = self._parts_enumeration(cur)
         if name not in frames:
             return self._load(name)
-        # v1 superset contract: absent parts resolve to no locations
-        # below (read_locations is empty-safe) — no dir probe needed
+        # a bucketed frame enumerated with ZERO parts is known-empty
+        # (a partitioned write of zero rows creates no part dirs —
+        # only _SUCCESS — so the dir is not Spark-readable): None, not
+        # a _load that would trip schema inference on the empty dir
         parts = list(frames[name])
         if not parts:
-            return self._load(name)
+            return None
+        # v1 superset contract: absent parts resolve to no locations
+        # below (read_locations is empty-safe) — no dir probe needed
         locs: list[str] = []
         for part in parts:
             locs.extend(self.backend.read_locations(os.path.join(path, part)))

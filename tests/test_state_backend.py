@@ -1610,3 +1610,61 @@ def test_composed_dual_host_lag_crash_tx_soak(
     fresh = mk_host()
     d = fresh.process(*_dfs(spark, tail), batch_id=99).collect()
     assert len(d) == 1 and d[0]["id"] == 90001
+
+
+def test_bucketed_frame_emptied_by_deletes_roundtrip(spark, tmp_path):
+    """A touched bucket whose EVERY key is deleted writes no part dirs
+    (partitionBy of zero rows leaves only _SUCCESS): the format-2
+    sidecar records the frame with zero parts, reads return None
+    instead of tripping schema inference on the empty dir, the next
+    batch carries nothing for it, and sidecar-less adoption of the
+    same shape degrades identically."""
+    import json as _json
+
+    state = str(tmp_path / "state")
+    proc = TxDenormBatchProcessor(spark, state, n_buckets=1)
+    log = TxLog()
+    c1 = log.tx(lambda t: t.insert_order(30000),
+                lambda t: t.insert_line(300001, 30000))
+    c2 = log.tx(lambda t: t.delete_line(300001),
+                lambda t: t.delete_order(30000))
+    c3 = log.tx(lambda t: t.insert_order(30009),
+                lambda t: t.insert_line(300091, 30009))
+    o, l, x = _dfs(spark, log)
+
+    def batch(lo, hi):
+        cond = (F.col("source.lsn") > lo) & (F.col("source.lsn") <= hi)
+        return o.filter(cond), l.filter(cond), x
+
+    assert proc.process(*batch(-1, c1), batch_id=0).count() == 1
+    assert proc.process(*batch(c1, c2), batch_id=1).count() == 1
+
+    v = proc._current_version()
+    raw = proc.backend.read_file(os.path.join(state, f"v{v}", "_parts.json"))
+    frames = _json.loads(raw)["frames"]
+    # line_state emptied → exact sidecar records it with ZERO parts;
+    # order_state keeps the delete marker → one part remains
+    assert frames["line_state"] == []
+    assert len(frames["order_state"]) == 1
+
+    assert proc.read_state("line_state") is None
+    assert proc._load_buckets("line_state", [0]) is None
+    # the marker is still readable through both paths
+    assert proc.read_state("order_state").count() == 1
+
+    # adoption of the same shape (pre-r11 store): the empty bucketed
+    # frame is absent from the adopted enumeration and reads as None
+    _strip_sidecar(state, v)
+    adopted = TxDenormBatchProcessor(spark, state, n_buckets=1)
+    assert adopted.read_state("line_state") is None
+    assert adopted.read_state("order_state").count() == 1
+
+    # the next batch commits cleanly over the empty frame (carry loop
+    # iterates zero parts) and the new sidecar is exact again
+    d = adopted.process(*batch(c2, c3), batch_id=2).collect()
+    assert len(d) == 1 and d[0]["id"] == 30009
+    raw2 = adopted.backend.read_file(
+        os.path.join(state, f"v{adopted._current_version()}", "_parts.json")
+    )
+    frames2 = _json.loads(raw2)["frames"]
+    assert len(frames2["line_state"]) == 1
