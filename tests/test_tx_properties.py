@@ -240,3 +240,99 @@ def test_judge_r10_falsifying_example_seed13_cut08(spark, tmp_path_factory):
     test_cross_batch_line_delete_of_deleted_order_reemits_tombstone."""
     check_history(spark, tmp_path_factory.mktemp("state-seed13"),
                   _random_log(13), [0.8])
+
+
+def _gc_safe_horizons(log: TxLog, bounds) -> list:
+    """Per-batch MAXIMALLY aggressive SAFE GC horizon: exactly the
+    processor guard's floor — the min LSN over everything in flight at
+    that batch (this batch's events, events of arrived-but-unemitted
+    txs carried in, unapplied END commit LSNs). 'Emitted by batch i'
+    replicates the emission barrier: the commit-ordered PREFIX of txs
+    whose every event arrived by batch i's upper bound — a complete tx
+    held behind an incomplete lower-commit tx is still in flight, and
+    a horizon past its events would (rightly) be refused."""
+    commit_of: dict[int, int] = {}
+    for t in log.tx_events:
+        if t["status"] == "END":
+            txid, lsn = t["id"].split(":")
+            commit_of[int(txid)] = int(lsn)
+    last_event = {}
+    first_event = {}
+    for e in log.events:
+        tx = int(e["source"]["txId"])
+        lsn = e["source"]["lsn"]
+        last_event[tx] = max(last_event.get(tx, -1), lsn)
+        first_event[tx] = min(first_event.get(tx, 2**62), lsn)
+    by_commit = sorted(commit_of.items(), key=lambda kv: kv[1])
+
+    horizons = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        # barrier-true emitted set at batch START (state carried in):
+        # the prefix of commit-ordered txs fully arrived by `lo`
+        emitted_hwm = -1
+        for tx, c in by_commit:
+            if last_event.get(tx, -1) <= lo:
+                emitted_hwm = c
+            else:
+                break
+        pool = [
+            lsn
+            for e in log.events
+            for lsn in [e["source"]["lsn"]]
+            if lsn <= hi
+            and commit_of[int(e["source"]["txId"])] > emitted_hwm
+        ]
+        pool += [c for c in commit_of.values() if c > emitted_hwm]
+        horizons.append(min(pool) if pool else None)
+    return horizons
+
+
+def check_history_gc_equivalence(spark, state_base, log, cut_fracs,
+                                 **proc_kwargs):
+    """Run the SAME multi-batch replay twice — full marker retention
+    vs the maximally aggressive safe advancing horizon — and assert
+    byte-equal emissions per batch. Proves the GC dial is a pure
+    state-size knob at every safe setting, not just the fixed-log
+    schedule the stream test pins; the guard must ACCEPT the exact
+    floor (boundary case horizon == oldest in-flight LSN)."""
+    o, l, x = (
+        log.order_events_df(spark),
+        log.line_events_df(spark),
+        log.tx_events_df(spark),
+    )
+    bounds = lsn_cut_bounds(log, cut_fracs)
+    horizons = _gc_safe_horizons(log, bounds)
+
+    feed = {"lsn": None}
+    retain = TxDenormBatchProcessor(
+        spark, str(state_base) + "-retain", **proc_kwargs
+    )
+    gc = TxDenormBatchProcessor(
+        spark, str(state_base) + "-gc",
+        order_delete_gc_horizon_lsn=lambda: feed["lsn"], **proc_kwargs
+    )
+    key = lambda r: (r["order_key"], r["commit_lsn"])  # noqa: E731
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        cond = (F.col("source.lsn") > F.lit(lo)) & (F.col("source.lsn") <= F.lit(hi))
+        batch = (o.filter(cond), l.filter(cond), x)
+        r_rows = retain.process(*batch, batch_id=i).collect()
+        feed["lsn"] = horizons[i]
+        g_rows = gc.process(*batch, batch_id=i).collect()
+        assert sorted(map(str, sorted(g_rows, key=key))) == sorted(
+            map(str, sorted(r_rows, key=key))
+        ), f"batch {i}: GC arm diverged (horizon {horizons[i]})"
+
+
+@pytest.mark.slow
+@settings(max_examples=3, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), cut_frac=st.floats(0.1, 0.9))
+def test_random_histories_gc_horizon_equivalence(
+    spark, tmp_path_factory, seed, cut_frac
+):
+    """Marker GC at the maximally aggressive SAFE horizon is
+    emission-equal to full retention over random interleaved
+    histories — and the guard accepts the exact floor."""
+    check_history_gc_equivalence(
+        spark, tmp_path_factory.mktemp(f"gc-{seed}"),
+        _random_log(seed), [cut_frac], n_buckets=8,
+    )
