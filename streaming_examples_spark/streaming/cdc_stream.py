@@ -339,10 +339,11 @@ class TxDenormBatchProcessor:
         # a known-empty frame, not a read error — reachable via legacy
         # adoption of a pre-r11 store whose bucketed frame was emptied
         # (no parts → not in the adopted enumeration → lands here)
+        names = os.listdir(path)
         if not any(
-            n.endswith(".parquet") or n.startswith("part-")
-            for n in os.listdir(path)
-        ) and not any(n.startswith("_bucket=") for n in os.listdir(path)):
+            n.endswith(".parquet") or n.startswith(("part-", "_bucket="))
+            for n in names
+        ):
             return None
         return self.spark.read.parquet(path)
 

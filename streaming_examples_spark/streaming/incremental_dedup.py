@@ -1421,11 +1421,17 @@ class IncrementalNearDup:
             os.path.join(root, f"v{cur}", "_consumed.json")
         )
         if raw is None:
-            return
+            return  # pre-manifest store: the documented r10 degrade
         try:
             manifest = json.loads(raw)
         except ValueError:
-            return  # unreadable manifest: degrade to blind removal
+            return  # torn/corrupt manifest: degrade to blind removal
+        # NOTE (r12 contract change): a NON-absence read error (e.g.
+        # PermissionError — read_file maps only FileNotFoundError to
+        # None) now PROPAGATES instead of degrading: aborting the GC
+        # retains the superseded dir, and the fold retries at the next
+        # pass — strictly safer than the pre-r12 blind removal, which
+        # could delete a remote host's unconsumed appends.
         if manifest.get("superseded_epoch") != stray_epoch:
             return
         self._fold_stragglers(

@@ -90,8 +90,10 @@ def run_soak(
             n_events = len(log_obj.events)
             # exhaustive 2-batch cuts: one per distinct event boundary
             fracs = sorted({i / (n_events - 1) for i in range(n_events)})
+            completed = True
             for f in fracs:
                 if time.time() - t0 > budget_sec:
+                    completed = False
                     break
                 state = os.path.join(root, f"s{seed}-f{f:.4f}")
                 try:
@@ -108,6 +110,7 @@ def run_soak(
             rng = random.Random(seed * 7919 + 17)
             for _ in range(three_batch_samples):
                 if time.time() - t0 > budget_sec:
+                    completed = False
                     break
                 c1 = rng.uniform(0.1, 0.45)
                 c2 = rng.uniform(0.55, 0.9)
@@ -123,13 +126,23 @@ def run_soak(
                 _release()
                 runs += 1
                 three_batch += 1
-            seeds_done += 1
-            last_seed = seed
-            log(
-                f"[soak] seed {seed} done: {len(fracs)} exhaustive cuts + "
-                f"{three_batch_samples} 3-batch splits "
-                f"({runs} runs, {time.time() - t0:.0f}s)",
-            )
+            if completed:
+                # a budget-truncated seed must NOT count as covered:
+                # the summary's seed window is recorded per round as
+                # accrued coverage, and an untested tail would never
+                # be revisited (r12 self-review finding)
+                seeds_done += 1
+                last_seed = seed
+                log(
+                    f"[soak] seed {seed} done: {len(fracs)} exhaustive cuts "
+                    f"+ {three_batch_samples} 3-batch splits "
+                    f"({runs} runs, {time.time() - t0:.0f}s)",
+                )
+            else:
+                log(
+                    f"[soak] seed {seed} TRUNCATED by budget "
+                    f"(not counted; {runs} total runs)",
+                )
             seed += seed_stride
     finally:
         shutil.rmtree(root, ignore_errors=True)
