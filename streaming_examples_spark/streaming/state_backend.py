@@ -510,7 +510,17 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
       exclusive create of ``_pointer/gen-<g+1>`` (if-match on the
       previous generation; a concurrent committer loses with an error
       instead of last-writer-wins). ``read_pointer`` resolves the
-      highest generation object.
+      latest generation WITHOUT trusting the prefix listing: a
+      ``_latest`` hint object (PUT after every successful create,
+      BEFORE superseded-generation cleanup) plus forward exact-key
+      GET probes recover the true latest even when the LIST serves a
+      stale view — see ``_gen_candidates`` for the invariant. A store
+      written only by pre-hint code (no ``_latest`` object) resolves
+      from the listing alone, exactly as before; its first commit
+      under this code publishes the hint. Adopting such a store on a
+      stale-LIST backend is therefore a one-commit window — close it
+      by running ``tools/publish_pointer_hint.py`` from a host with a
+      fresh listing before cutover.
     - **synchronous prefix delete** — ``remove_tree`` is DEFERRED: a
       file still referenced from the committed version's manifests
       survives (deleting it would destroy carried state — the POSIX
@@ -526,6 +536,10 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
     content."""
 
     MANIFEST = "_carry.json"
+    #: hint object inside ``_pointer/`` naming the highest generation a
+    #: successful commit has published — the GET that frees generation
+    #: resolution from the prefix listing (see ``_gen_candidates``)
+    LATEST = "_latest"
     layout_id = "manifest"
 
     # -- manifest helpers -------------------------------------------------
@@ -570,7 +584,16 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
         per generation (callers may ignore it)."""
         gen_dir = os.path.join(state_dir, "_pointer")
         os.makedirs(gen_dir, exist_ok=True)
-        prev = self._generations(gen_dir)
+        # resolve the next generation from CANDIDATES (listing ∪ hint ∪
+        # forward GET probes), not the raw listing: under list-after-
+        # write lag a stale listing can miss recent generations, and if
+        # the colliding name was already reclaimed by a superseder's
+        # cleanup, the old listing-only nxt would EXCLUSIVE-CREATE an
+        # already-spent generation number — a silently lost commit
+        # (readers resolve a higher gen, this writer thinks it won).
+        # The r10/r11 LIST-gated state-load bugs were the read-side
+        # twins of exactly this class.
+        prev = self._gen_candidates(gen_dir)
         nxt = (prev[-1][0] + 1) if prev else 1
         target = os.path.join(gen_dir, f"gen-{nxt:012d}")
         try:
@@ -590,6 +613,14 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
             os.fsync(dirfd)
         finally:
             os.close(dirfd)
+        # ORDER MATTERS: publish the hint BEFORE deleting superseded
+        # generations. The resolution invariant — "a deleted generation
+        # always has a visible hint ≥ its superseder" — is what lets a
+        # reader whose listing is stale recover via the hint GET; a
+        # crash in between leaves extra undeleted gens (harmless, the
+        # next commit's cleanup reclaims them), never a deleted gen
+        # with a stale hint.
+        self._publish_hint(gen_dir, nxt)
         # superseded generations: plain object deletes, best-effort
         for g, name in prev:
             try:
@@ -598,11 +629,40 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
                 pass
         return nxt
 
-    @staticmethod
-    def _generations(gen_dir: str) -> list[tuple[int, str]]:
+    # -- generation resolution (LIST-free by design) ----------------------
+    def _read_hint(self, gen_dir: str) -> int:
+        raw = self.read_file(os.path.join(gen_dir, self.LATEST))
+        if raw is None:
+            return 0
+        try:
+            return int(raw.decode().strip())
+        except ValueError:
+            # publish_file is an atomic PUT on every store this
+            # protocol targets; unreadable bytes here mean the store
+            # broke that contract — degrading silently to the listing
+            # would be the r10 bug class, so fail loud instead
+            raise RuntimeError(
+                f"corrupt pointer hint {gen_dir}/{self.LATEST}: "
+                f"{raw!r} is not a generation number"
+            )
+
+    def _publish_hint(self, gen_dir: str, gen: int) -> None:
+        # monotonic: a delayed writer must never move the hint
+        # backwards — readers rely on "the generation object at the
+        # current hint value always exists", which only holds if every
+        # deletion happened under a visible hint ≥ its superseder
+        if self._read_hint(gen_dir) >= gen:
+            return
+        self.publish_file(os.path.join(gen_dir, self.LATEST), str(gen).encode())
+
+    def _generations(self, gen_dir: str) -> list[tuple[int, str]]:
+        """Generation objects visible to the prefix LISTING — possibly
+        stale under list-after-write lag (the eventual-consistency
+        double lags this through ``_physical_listing``). Never used
+        alone for resolution; see ``_gen_candidates``."""
         out = []
         try:
-            names = os.listdir(gen_dir)
+            names = self._physical_listing(gen_dir)
         except FileNotFoundError:
             return []
         for name in names:
@@ -612,6 +672,38 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
                 except ValueError:
                     pass
         return sorted(out)
+
+    def _gen_candidates(self, gen_dir: str) -> list[tuple[int, str]]:
+        """The generations that MAY be latest: (possibly stale)
+        listing ∪ the ``_latest`` hint ∪ forward exact-key GET probes
+        from the highest of those. Correctness argument:
+
+        - With a hint: cleanup only ever deletes a generation after a
+          hint ≥ its superseder is published (commit order: create →
+          hint → delete; the hint write is monotonic), so the
+          generation at the current hint value exists, and every
+          LIVE generation above it is reachable by dense +1 probes
+          (creates are dense: nxt = max-observed + 1, collisions fail
+          loud). Exact-key GETs are read-your-writes fresh — the
+          listing's staleness cannot hide the latest.
+        - Without a hint (store written only by pre-hint code): the
+          listing is the only source, exactly the legacy behavior;
+          its freshness is the documented adoption requirement
+          (tools/publish_pointer_hint.py closes it one-time).
+        """
+        cands = dict(self._generations(gen_dir))
+        hint = self._read_hint(gen_dir)
+        if hint:
+            cands.setdefault(hint, f"gen-{hint:012d}")
+        g = max(cands) if cands else 0
+        while True:
+            name = f"gen-{g + 1:012d}"
+            if os.path.exists(os.path.join(gen_dir, name)):  # exact-key GET
+                g += 1
+                cands[g] = name
+            else:
+                break
+        return sorted(cands.items())
 
     def read_pointer(self, state_dir: str) -> int:
         # Walk generations newest-first, SKIPPING torn ones: a crash
@@ -630,8 +722,28 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
         # then (commit_pointer numbers above ALL observed names), so
         # no generation is ever won twice.
         gen_dir = os.path.join(state_dir, "_pointer")
+        last_top, stalled = -1, 0
         while True:
-            gens = self._generations(gen_dir)
+            gens = self._gen_candidates(gen_dir)
+            top = gens[-1][0] if gens else 0
+            if top > last_top:
+                last_top, stalled = top, 0
+            else:
+                # a retry that observes no higher candidate than the
+                # one whose object it just found deleted is only
+                # legitimate transiently (a superseder mid-publish);
+                # unbounded it means the store broke the PUT-visibility
+                # contract (e.g. a regressed hint AND a stale listing
+                # hiding the live generation) — fail loud, never spin
+                # or silently return a stale/zero pointer
+                stalled += 1
+                if stalled > 100:
+                    raise RuntimeError(
+                        f"pointer resolution stalled in {gen_dir}: "
+                        f"candidate gen-{top} repeatedly deleted with no "
+                        "higher generation visible via hint, listing, or "
+                        "probes"
+                    )
             for _g, name in reversed(gens):
                 p = os.path.join(gen_dir, name)
                 try:
@@ -639,10 +751,13 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
                         return int(fh.read().strip())
                 except FileNotFoundError:
                     # superseded by a concurrent commit (the committer
-                    # deletes old gens after success): re-list — the
-                    # newer generation is there to be found. Falling
-                    # through to an older name instead could return a
-                    # stale (or worse, zero) pointer.
+                    # deletes old gens only AFTER publishing its hint):
+                    # re-resolve — the fresh hint GET names the newer
+                    # generation. Falling through to an older name
+                    # instead could return a stale (or worse, zero)
+                    # pointer. Terminates: each retry observes a
+                    # strictly higher hint than the one whose gen it
+                    # just found deleted.
                     break
                 except ValueError:
                     continue  # torn: treat as never-committed
@@ -692,13 +807,24 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
             pass
 
     def publish_file(self, path: str, data: bytes) -> None:
-        # a real object-store PUT is atomic per object, so the double
-        # writes directly — it cannot (and must not pretend to) produce
-        # the torn intermediate a conditional-put store never shows
-        with open(path, "wb") as fh:
+        # a real object-store PUT is atomic per object: a concurrent
+        # reader sees the old object, the new object, or absence —
+        # never truncated bytes. A direct local open(path, "wb")
+        # CANNOT emulate that (the truncate-then-write window shows a
+        # torn intermediate to a concurrent process — observable once
+        # the _latest pointer hint made published objects multi-
+        # writer-hot), so the double uses a unique temp + file-level
+        # os.replace, which is an EMULATION of the store's own PUT
+        # guarantee exactly like O_EXCL emulates its conditional put —
+        # not a protocol dependence on renames (directory renames stay
+        # forbidden and tripwired).
+        d, name = os.path.split(path)
+        tmp = os.path.join(d, f".{name}.put-{os.getpid()}")
+        with open(tmp, "wb") as fh:
             fh.write(data)
             fh.flush()
             os.fsync(fh.fileno())
+        os.replace(tmp, path)
 
     def dir_exists(self, path: str) -> bool:
         # Read-your-writes fencing: existence resolves through the
@@ -756,10 +882,16 @@ class LaggedManifestBackend(ManifestBackend):
     LIST-backed namespace reads) serve STALE views for ``lag_ops``
     subsequent backend operations after a mutation touches a prefix —
     the classic object-store list-after-write hazard. Direct object
-    GETs (manifest reads, pointer generation reads, file opens) stay
+    GETs (manifest reads, pointer generation/hint reads, file opens)
+    stay
     fresh: that is the read-your-writes guarantee real stores do give,
     and it is why the protocol's commit point is a pointer GET, never
-    a listing. Running the full crash/lifecycle suite under this
+    a listing. Since r12 the ``_pointer/`` prefix listing itself is
+    lagged too (``commit_pointer`` snaps it): generation resolution
+    no longer assumes a fresh LIST — it rides the ``_latest`` hint
+    object plus exact-key GET probes (``_gen_candidates``), with the
+    dual-writer lost-commit scenario and stale-listing reads pinned
+    by tests. Running the full crash/lifecycle suite under this
     double is what proves the GC's deferred-delete and carry
     enumeration never depend on a listing reflecting a write that
     just happened.
@@ -864,10 +996,13 @@ class LaggedManifestBackend(ManifestBackend):
         self._snap(d, os.path.dirname(d))
 
     def commit_pointer(self, state_dir: str, version: int) -> int:
-        # the pointer read path resolves generations by GET, so the
-        # commit itself is not lagged — but it still advances the op
-        # clock (it is an operation other prefixes' lag expires against)
-        self._ops += 1
+        # the generation CAS, hint PUT, and superseded-gen deletes all
+        # mutate _pointer/: freeze its listing like any other prefix.
+        # Since r12 the pointer LISTING is allowed to be stale —
+        # resolution rides the _latest hint + exact-key GET probes
+        # (_gen_candidates), and running every suite with this window
+        # open is what proves it.
+        self._snap(os.path.join(os.path.abspath(state_dir), "_pointer"))
         return super().commit_pointer(state_dir, version)
 
     # -- LIST-backed reads: serve the stale view while it lasts ----------

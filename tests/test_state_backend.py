@@ -239,13 +239,18 @@ def test_manifest_commit_is_conditional_put(tmp_path):
     a, b = ManifestBackend(), ManifestBackend()
     a.commit_pointer(state, 1)
     assert b.read_pointer(state) == 1
-    # simulate the race: b lists generations (its read of the current
-    # etag), a commits first, then b acts on the STALE listing — b's
-    # exclusive create of the same generation object must fail
+    # simulate the race: b resolves the generation candidates (its
+    # read of the current etag), a commits first, then b acts on the
+    # STALE resolution — b's exclusive create of the same generation
+    # object must fail. (Freeze the full _gen_candidates resolution:
+    # since r12 a stale LISTING alone is healed by the _latest hint +
+    # forward GET probes, which is a separate test; the genuinely
+    # simultaneous read-before-either-creates race is what the CAS
+    # alone must catch.)
     gen_dir = os.path.join(state, "_pointer")
-    stale = ManifestBackend._generations(gen_dir)
+    stale = b._gen_candidates(gen_dir)
     a.commit_pointer(state, 2)
-    b._generations = lambda _dir: stale  # freeze b's view at the stale read
+    b._gen_candidates = lambda _dir: stale  # freeze b's view at the stale read
     with pytest.raises(RuntimeError, match="conditional put"):
         b.commit_pointer(state, 3)
     assert a.read_pointer(state) == 2  # a's commit stands, untouched
@@ -347,8 +352,10 @@ def test_manifest_torn_generation_skipped_not_unlinked(tmp_path):
     with open(os.path.join(gen_dir, "gen-000000000003"), "w") as fh:
         fh.write("par")  # partial write
     assert be.read_pointer(state) == 7
-    # the read path left everything in place (no reader-side deletes)
+    # the read path left everything in place (no reader-side deletes);
+    # _latest is the r12 resolution hint, published by the commit
     assert sorted(os.listdir(gen_dir)) == [
+        "_latest",
         "gen-000000000001",
         "gen-000000000002",
         "gen-000000000003",
@@ -358,12 +365,187 @@ def test_manifest_torn_generation_skipped_not_unlinked(tmp_path):
     assert won == 4
     assert be.read_pointer(state) == 8
     # ...and its cleanup reclaimed the torn objects
-    assert sorted(os.listdir(gen_dir)) == ["gen-000000000004"]
+    assert sorted(os.listdir(gen_dir)) == ["_latest", "gen-000000000004"]
     # a torn object with no predecessor reads as "no commit yet"
     state2 = str(tmp_path / "state2")
     os.makedirs(os.path.join(state2, "_pointer"))
     open(os.path.join(state2, "_pointer", "gen-000000000001"), "w").close()
     assert be.read_pointer(state2) == 0
+
+
+# -- r12: generation resolution must not trust the _pointer/ LISTING.
+# The _latest hint object (PUT after every create, BEFORE superseded-
+# generation cleanup) + forward exact-key GET probes are the resolution
+# path; the prefix listing is only a hint. These tests run the lag
+# double with the pointer listing frozen STALE — the last implicit
+# correctness-bearing LIST in the protocol, retired here.
+
+
+def test_pointer_resolution_with_permanently_stale_listing(tmp_path):
+    """Commits through a lag window so wide the _pointer/ listing never
+    reflects ANY generation: every commit must still win the next dense
+    generation (no conditional-put false conflict, no silent reuse of a
+    reclaimed number), and read_pointer must resolve the latest version
+    via the _latest hint + probes alone."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    lag = LaggedManifestBackend(lag_ops=10_000)
+    gens = [lag.commit_pointer(state, v) for v in (11, 22, 33)]
+    assert gens == [1, 2, 3]  # dense wins despite the stale-empty LIST
+    # the stale view really is open (the probe below is the LIST path)
+    gen_dir = os.path.join(state, "_pointer")
+    assert lag._physical_listing(gen_dir) == []
+    # lagged reader resolves by hint+GET; a fresh handle agrees
+    assert lag.read_pointer(state) == 33
+    assert ManifestBackend().read_pointer(state) == 33
+
+
+def test_dual_writer_stale_pointer_listing_no_lost_commit(tmp_path):
+    """THE lost-commit scenario the hint exists for: host B's pointer
+    listing is stale (shows only gen-5) while host A has advanced to
+    gen-8 and cleanup reclaimed gens 5-7. Without the hint, B would
+    compute nxt=6 and its exclusive create of the RECLAIMED gen-6 name
+    would SUCCEED — a silently lost commit (readers resolve gen-8,
+    B thinks it won). With the hint GET, B must win gen-9 and its
+    version must become the one every reader resolves."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    a = ManifestBackend()
+    for v in range(1, 6):
+        a.commit_pointer(state, v)  # gen-5 is the live generation
+    b = LaggedManifestBackend(lag_ops=10_000)
+    gen_dir = os.path.join(state, "_pointer")
+    b.note_spark_write(gen_dir)  # freeze B's LIST view at {gen-5}
+    for v in range(6, 9):
+        a.commit_pointer(state, v)  # cleanup reclaims gens 5..7
+    assert [g for g, _ in b._generations(gen_dir)] == [5]  # stale view
+    won = b.commit_pointer(state, 99)
+    assert won == 9, "stale listing must not re-win a reclaimed generation"
+    assert ManifestBackend().read_pointer(state) == 99
+    assert b.read_pointer(state) == 99
+
+
+def test_crash_between_gen_create_and_hint_publish_heals(tmp_path):
+    """The hint is advisory: a crash after the exclusive create (the
+    commit point) but before the hint PUT leaves the hint one behind.
+    Resolution heals via the +1 forward probe (creates are dense above
+    the hint — nothing above it was ever cleanup-deleted, because
+    deletion only happens AFTER a hint >= the superseder is visible),
+    and the next successful commit re-publishes the hint."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    lag = LaggedManifestBackend(lag_ops=10_000)
+    lag.commit_pointer(state, 1)
+    lag.commit_pointer(state, 2)
+    gen_dir = os.path.join(state, "_pointer")
+    real_publish = LaggedManifestBackend.publish_file
+    crashed = []
+
+    def crash_on_hint(self, path, data):
+        if os.path.basename(path) == ManifestBackend.LATEST and not crashed:
+            crashed.append(path)
+            raise RuntimeError("injected crash before hint publish")
+        return real_publish(self, path, data)
+
+    lag.publish_file = crash_on_hint.__get__(lag)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lag.commit_pointer(state, 3)
+    # the generation object is durable => version 3 IS committed;
+    # the hint is stale at 2 and the listing is stale-empty
+    assert lag._read_hint(gen_dir) == 2
+    assert lag._physical_listing(gen_dir) == []
+    assert lag.read_pointer(state) == 3  # +1 probe past the stale hint
+    # next commit numbers above the crash-committed gen and heals the hint
+    assert lag.commit_pointer(state, 4) == 4
+    assert lag._read_hint(gen_dir) == 4
+    assert lag.read_pointer(state) == 4
+
+
+def test_hint_publish_is_monotonic_and_legacy_stores_still_resolve(tmp_path):
+    """(a) A delayed writer must never move the hint backwards — the
+    deletion invariant readers rely on assumes monotonicity. (b) A
+    store written only by pre-hint code (gens present, no _latest)
+    resolves from the listing exactly as before, and its first commit
+    under hint-aware code publishes the hint, closing the adoption
+    window for every later read."""
+    state = str(tmp_path / "state")
+    gen_dir = os.path.join(state, "_pointer")
+    os.makedirs(gen_dir)
+    # legacy layout: cleanup already ran (only the live gen remains)
+    with open(os.path.join(gen_dir, "gen-000000000003"), "w") as fh:
+        fh.write("30")
+    be = ManifestBackend()
+    assert be._read_hint(gen_dir) == 0  # genuinely hint-less
+    assert be.read_pointer(state) == 30  # legacy listing path
+    assert be.commit_pointer(state, 40) == 4  # numbers above legacy gens
+    assert be._read_hint(gen_dir) == 4  # hint published on first commit
+    # (a) the guard: a stale writer's lower hint write is a no-op
+    be._publish_hint(gen_dir, 2)
+    assert be._read_hint(gen_dir) == 4
+    # from here even a stale-listing reader resolves correctly
+    lag = LaggedManifestBackend(lag_ops=10_000)
+    lag.note_spark_write(gen_dir)
+    be.commit_pointer(state, 50)
+    assert [g for g, _ in lag._generations(gen_dir)] == [4]  # stale
+    assert lag.read_pointer(state) == 50
+
+
+def test_corrupt_pointer_hint_fails_loud_not_silent(tmp_path):
+    """publish_file is an atomic PUT on every targeted store, so
+    unreadable _latest bytes mean the store broke that contract.
+    Degrading silently to the (possibly stale) listing would be the
+    r10 silent-state-loss class — resolution must raise instead."""
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    be = ManifestBackend()
+    be.commit_pointer(state, 5)
+    gen_dir = os.path.join(state, "_pointer")
+    with open(os.path.join(gen_dir, "_latest"), "w") as fh:
+        fh.write("not-a-generation")
+    with pytest.raises(RuntimeError, match="corrupt pointer hint"):
+        be.read_pointer(state)
+    with pytest.raises(RuntimeError, match="corrupt pointer hint"):
+        be.commit_pointer(state, 6)
+
+
+def test_publish_pointer_hint_tool_closes_adoption_window(tmp_path):
+    """tools/publish_pointer_hint.py is the documented one-time
+    adoption step for pre-r12 manifest stores: run where the listing
+    is fresh, it publishes _latest so every LATER read resolves by GET
+    even under a stale pointer listing. POSIX-layout and empty dirs
+    are explicit no-ops."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from publish_pointer_hint import publish_hint
+
+    # pre-r12 store: live gen only (legacy cleanup ran), no hint
+    state = str(tmp_path / "state")
+    gen_dir = os.path.join(state, "_pointer")
+    os.makedirs(gen_dir)
+    with open(os.path.join(gen_dir, "gen-000000000007"), "w") as fh:
+        fh.write("70")
+    msg = publish_hint(state)
+    assert "published _latest = gen-7" in msg
+    # a reader whose pointer listing is frozen stale-empty now resolves
+    lag = LaggedManifestBackend(lag_ops=10_000)
+    lag.note_spark_write(gen_dir)
+    with open(os.path.join(gen_dir, "gen-000000000008"), "w") as fh:
+        fh.write("80")  # adversarial: a gen the stale listing never shows
+    ManifestBackend()._publish_hint(gen_dir, 8)
+    assert [g for g, _ in lag._generations(gen_dir)] == [7]  # stale LIST
+    assert lag.read_pointer(state) == 80
+    # idempotent + refuses regression
+    assert "no-op" in publish_hint(state)
+    # POSIX layout: explicit no-op
+    pstate = str(tmp_path / "posix")
+    os.makedirs(pstate)
+    LocalPosixBackend().commit_pointer(pstate, 3)
+    assert "POSIX layout" in publish_hint(pstate)
+    # nothing committed: explicit no-op
+    estate = str(tmp_path / "empty")
+    os.makedirs(os.path.join(estate, "_pointer"))
+    assert "nothing committed" in publish_hint(estate)
 
 
 def test_backends_exclude_writer_sidecars_from_logical_namespace(tmp_path):
