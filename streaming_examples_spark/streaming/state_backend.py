@@ -73,6 +73,27 @@ def _internal_name(name: str) -> bool:
     return name.startswith("_") and "=" not in name
 
 
+def _atomic_publish(path: str, data: bytes) -> None:
+    """Durable atomic single-object publish shared by both backends:
+    write a UNIQUE dot-prefixed temp (excluded from the logical
+    namespace by ``_internal_name``), fsync, then file-level
+    ``os.replace`` — a concurrent reader sees old bytes, new bytes, or
+    absence, never a truncation. The temp name carries pid AND a
+    random component: pid alone collides when two writer hosts are
+    containers that are each pid 1 (both would open the same temp, the
+    second truncating the first mid-write — exactly the torn
+    intermediate this helper exists to rule out)."""
+    import uuid
+
+    d, name = os.path.split(path)
+    tmp = os.path.join(d, f".{name}.put-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
 class StateStorageBackend:
     """Abstract storage primitives behind the versioned state commit.
 
@@ -478,12 +499,7 @@ class LocalPosixBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
             pass
 
     def publish_file(self, path: str, data: bytes) -> None:
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, path)
+        _atomic_publish(path, data)
 
     def dir_exists(self, path: str) -> bool:
         return os.path.isdir(path)
@@ -619,15 +635,61 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
         # reader whose listing is stale recover via the hint GET; a
         # crash in between leaves extra undeleted gens (harmless, the
         # next commit's cleanup reclaims them), never a deleted gen
-        # with a stale hint.
-        self._publish_hint(gen_dir, nxt)
-        # superseded generations: plain object deletes, best-effort
+        # with a stale hint. The exclusive create above was the COMMIT
+        # POINT: a failed hint PUT must not report a committed batch as
+        # failed (the caller would replay a batch whose state already
+        # landed) — the hint is advisory and the +1 probe heals it, so
+        # swallow the failure and skip ONLY the cleanup (deleting under
+        # a stale hint would break the invariant).
+        try:
+            self._publish_hint(gen_dir, nxt)
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"pointer hint publish failed in {gen_dir} after commit of "
+                f"gen-{nxt}; superseded-generation cleanup deferred to the "
+                "next successful commit",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return nxt
+        # superseded generations: plain object deletes, best-effort —
+        # plus any crash-orphaned publish temps old enough that no
+        # writer can still be mid-PUT on them
         for g, name in prev:
             try:
                 os.unlink(os.path.join(gen_dir, name))
             except OSError:
                 pass
+        self._reclaim_stale_put_temps(gen_dir)
         return nxt
+
+    @staticmethod
+    def _reclaim_stale_put_temps(dirpath: str, min_age_s: float = 60.0) -> None:
+        """Unlink ``.<name>.put-*`` temps a crash stranded between the
+        write and the rename. ``_pointer/`` is never remove_tree'd, so
+        without this sweep they would accumulate forever (hidden from
+        logical listings by the dot prefix). The age floor keeps a
+        concurrent writer's in-flight temp (lifetime: microseconds)
+        safe; deleting one anyway only fails that writer's advisory
+        hint PUT, which commit_pointer tolerates."""
+        import time as _time
+
+        now = _time.time()
+        try:
+            names = os.listdir(dirpath)
+        except FileNotFoundError:
+            return
+        for name in names:
+            if ".put-" not in name:
+                continue
+            full = os.path.join(dirpath, name)
+            try:
+                if now - os.path.getmtime(full) > min_age_s:
+                    os.unlink(full)
+            except OSError:
+                pass
 
     # -- generation resolution (LIST-free by design) ----------------------
     def _read_hint(self, gen_dir: str) -> int:
@@ -650,10 +712,29 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
         # monotonic: a delayed writer must never move the hint
         # backwards — readers rely on "the generation object at the
         # current hint value always exists", which only holds if every
-        # deletion happened under a visible hint ≥ its superseder
-        if self._read_hint(gen_dir) >= gen:
-            return
-        self.publish_file(os.path.join(gen_dir, self.LATEST), str(gen).encode())
+        # deletion happened under a visible hint ≥ its superseder. A
+        # bare read-check-write is NOT enough: a writer stalling
+        # between its check and its PUT regresses the hint past a
+        # superseder's cleanup, silently re-opening the reclaimed-
+        # generation reuse this whole mechanism exists to close (found
+        # by review with a live two-writer reproduction). Real stores
+        # give a conditional PUT (If-Match); the local emulation is an
+        # flock held across check+PUT — same standing as O_EXCL for
+        # the conditional create, auto-released on process death so a
+        # crash can never wedge later committers.
+        import fcntl
+
+        lock_path = os.path.join(gen_dir, ".hint.lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if self._read_hint(gen_dir) >= gen:
+                return
+            self.publish_file(
+                os.path.join(gen_dir, self.LATEST), str(gen).encode()
+            )
+        finally:
+            os.close(fd)  # closing releases the flock
 
     def _generations(self, gen_dir: str) -> list[tuple[int, str]]:
         """Generation objects visible to the prefix LISTING — possibly
@@ -818,13 +899,7 @@ class ManifestBackend(_ExclusiveCreateBuildMarkers, StateStorageBackend):
         # guarantee exactly like O_EXCL emulates its conditional put —
         # not a protocol dependence on renames (directory renames stay
         # forbidden and tripwired).
-        d, name = os.path.split(path)
-        tmp = os.path.join(d, f".{name}.put-{os.getpid()}")
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, path)
+        _atomic_publish(path, data)
 
     def dir_exists(self, path: str) -> bool:
         # Read-your-writes fencing: existence resolves through the

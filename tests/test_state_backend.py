@@ -353,8 +353,10 @@ def test_manifest_torn_generation_skipped_not_unlinked(tmp_path):
         fh.write("par")  # partial write
     assert be.read_pointer(state) == 7
     # the read path left everything in place (no reader-side deletes);
-    # _latest is the r12 resolution hint, published by the commit
+    # _latest is the r12 resolution hint (published by the commit) and
+    # .hint.lock its conditional-PUT emulation lock
     assert sorted(os.listdir(gen_dir)) == [
+        ".hint.lock",
         "_latest",
         "gen-000000000001",
         "gen-000000000002",
@@ -365,7 +367,11 @@ def test_manifest_torn_generation_skipped_not_unlinked(tmp_path):
     assert won == 4
     assert be.read_pointer(state) == 8
     # ...and its cleanup reclaimed the torn objects
-    assert sorted(os.listdir(gen_dir)) == ["_latest", "gen-000000000004"]
+    assert sorted(os.listdir(gen_dir)) == [
+        ".hint.lock",
+        "_latest",
+        "gen-000000000004",
+    ]
     # a torn object with no predecessor reads as "no commit yet"
     state2 = str(tmp_path / "state2")
     os.makedirs(os.path.join(state2, "_pointer"))
@@ -425,13 +431,16 @@ def test_dual_writer_stale_pointer_listing_no_lost_commit(tmp_path):
     assert b.read_pointer(state) == 99
 
 
-def test_crash_between_gen_create_and_hint_publish_heals(tmp_path):
-    """The hint is advisory: a crash after the exclusive create (the
-    commit point) but before the hint PUT leaves the hint one behind.
-    Resolution heals via the +1 forward probe (creates are dense above
-    the hint — nothing above it was ever cleanup-deleted, because
-    deletion only happens AFTER a hint >= the superseder is visible),
-    and the next successful commit re-publishes the hint."""
+def test_failed_hint_publish_does_not_fail_the_committed_batch(tmp_path):
+    """The exclusive create IS the commit point; the hint is advisory.
+    A hint-PUT failure right after the create must therefore NOT raise
+    out of commit_pointer — the caller would replay a batch whose
+    state transition already landed (duplicate application). Instead
+    the commit succeeds with a warning, the superseded-generation
+    cleanup is SKIPPED (deleting under a stale hint would break the
+    resolution invariant), resolution heals via the +1 forward probe,
+    and the next successful commit re-publishes the hint and reclaims.
+    """
     state = str(tmp_path / "state")
     os.makedirs(state)
     lag = LaggedManifestBackend(lag_ops=10_000)
@@ -444,21 +453,25 @@ def test_crash_between_gen_create_and_hint_publish_heals(tmp_path):
     def crash_on_hint(self, path, data):
         if os.path.basename(path) == ManifestBackend.LATEST and not crashed:
             crashed.append(path)
-            raise RuntimeError("injected crash before hint publish")
+            raise RuntimeError("injected hint-publish failure")
         return real_publish(self, path, data)
 
     lag.publish_file = crash_on_hint.__get__(lag)
-    with pytest.raises(RuntimeError, match="injected crash"):
-        lag.commit_pointer(state, 3)
-    # the generation object is durable => version 3 IS committed;
-    # the hint is stale at 2 and the listing is stale-empty
+    with pytest.warns(RuntimeWarning, match="hint publish failed"):
+        assert lag.commit_pointer(state, 3) == 3  # commit REPORTED won
+    assert crashed  # the injection really fired
+    # the hint is stale at 2, the listing stale-empty, gen-2 retained
+    # (cleanup skipped — the invariant "deleted ⇒ hint ≥ superseder")
     assert lag._read_hint(gen_dir) == 2
     assert lag._physical_listing(gen_dir) == []
+    assert os.path.exists(os.path.join(gen_dir, "gen-000000000002"))
     assert lag.read_pointer(state) == 3  # +1 probe past the stale hint
-    # next commit numbers above the crash-committed gen and heals the hint
+    # next commit numbers above the crash-committed gen, heals the
+    # hint, and its cleanup reclaims the retained gen-2
     assert lag.commit_pointer(state, 4) == 4
     assert lag._read_hint(gen_dir) == 4
     assert lag.read_pointer(state) == 4
+    assert not os.path.exists(os.path.join(gen_dir, "gen-000000000002"))
 
 
 def test_hint_publish_is_monotonic_and_legacy_stores_still_resolve(tmp_path):
@@ -488,6 +501,41 @@ def test_hint_publish_is_monotonic_and_legacy_stores_still_resolve(tmp_path):
     be.commit_pointer(state, 50)
     assert [g for g, _ in lag._generations(gen_dir)] == [4]  # stale
     assert lag.read_pointer(state) == 50
+
+
+def test_hint_guard_is_atomic_under_interleaved_writers(tmp_path):
+    """The monotonic guard must be check+PUT ATOMIC: a writer stalling
+    between reading the hint and writing its lower value must not
+    regress a hint a faster writer advanced past (review repro: hint
+    7 → 5 re-opened the reclaimed-generation reuse, because gens
+    between the regressed hint and the live one were already cleanup-
+    deleted and the +1 probe cannot cross the gap). The flock held
+    across check+PUT — the local emulation of a conditional PUT —
+    forces the interleave to serialize; final hint == max, always."""
+    import threading
+
+    state = str(tmp_path / "state")
+    gen_dir = os.path.join(state, "_pointer")
+    os.makedirs(gen_dir)
+    slow = ManifestBackend()
+    fast = ManifestBackend()
+    real_publish = ManifestBackend.publish_file
+
+    def slow_publish(self, path, data):
+        import time as _t
+
+        _t.sleep(0.3)  # stall INSIDE the critical section
+        return real_publish(self, path, data)
+
+    slow.publish_file = slow_publish.__get__(slow)
+    t = threading.Thread(target=lambda: slow._publish_hint(gen_dir, 5))
+    t.start()
+    import time as _t
+
+    _t.sleep(0.05)  # let the slow writer enter its check first
+    fast._publish_hint(gen_dir, 7)
+    t.join()
+    assert fast._read_hint(gen_dir) == 7, "hint regressed past a superseder"
 
 
 def test_corrupt_pointer_hint_fails_loud_not_silent(tmp_path):
