@@ -40,6 +40,7 @@ def pack_sequences(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every doc a (shard, seq_id, seq_offset) slot in a
     concat-and-chunk packing of ``capacity`` tokens per sequence.
@@ -50,8 +51,19 @@ def pack_sequences(
     A doc whose span crosses a boundary belongs to the sequence its
     first token lands in (standard concat-and-chunk: reader chunks the
     shard stream, docs may straddle cuts).
+
+    ``tokens_col`` — name of a precomputed token-count column; when
+    set, ``text_col`` is ignored and no tokenization runs here. Lets a
+    composed pipeline (``training_mix``) tokenize the corpus ONCE and
+    feed the narrow (id, tokens) frame to several consumers instead of
+    re-scanning the documents per consumer. Must equal the default
+    whitespace count (``size(split(text, ' '))``) for identical output.
     """
-    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_tokens = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
     shard = (md5_bucket(F.col(id_col)) % n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
@@ -72,15 +84,24 @@ def mixture_weights(
     alpha: float = 0.3,
     source_col: str = "source",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-source mixture statistics and temperature-smoothed sampling
     weights: p_s = token share, q_s = p_s^alpha / Σ p_s^alpha, and
     boost = q_s/p_s (the up/down-sampling factor a reader applies).
     alpha<1 lifts low-resource sources — the XLM-R / mT5 recipe.
+
+    ``tokens_col`` — precomputed token-count column (see
+    :func:`pack_sequences`); when set no tokenization runs here.
     """
+    tok = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.split(F.col(text_col), " "))
+    )
     per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+        F.sum(tok).cast("long").alias("n_tokens"),
     )
     # The totals live on the POST-AGG frame (one row per source —
     # dozens of rows at any corpus size). Two tiny aggs + broadcast

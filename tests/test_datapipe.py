@@ -540,6 +540,40 @@ def test_pack_sequences_layout(spark):
     assert all(r["n_tokens"] == n for r, n in [(got[1], 6), (got[2], 3), (got[3], 5), (got[4], 2)])
 
 
+def test_packing_tokens_col_matches_default_tokenization(spark):
+    """The r12 single-scan path: pack_sequences/mixture_weights fed a
+    precomputed whitespace token count (tokens_col=) must be
+    row-identical to tokenizing text themselves — the equivalence
+    training_mix's one-corpus-scan composition rests on."""
+    from pyspark.sql import functions as F
+
+    from streaming_examples_spark.operators.packing import (
+        mixture_weights,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b  c", "s1"),   # double space → empty token, counted by split
+            (2, "", "s1"),         # empty text → [""] → 1 token
+            (3, "x y z w v", "s2"),
+            (4, "lone", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    tok = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    base_pack = sorted(map(tuple, pack_sequences(docs, capacity=4, n_shards=2).collect()))
+    tok_pack = sorted(
+        map(tuple, pack_sequences(tok, capacity=4, n_shards=2, tokens_col="n_tokens").collect())
+    )
+    assert base_pack == tok_pack
+    base_w = sorted(map(tuple, mixture_weights(docs, alpha=0.3).collect()))
+    tok_w = sorted(map(tuple, mixture_weights(tok, alpha=0.3, tokens_col="n_tokens").collect()))
+    assert base_w == tok_w
+
+
 def test_mixture_weights_lift_low_resource(spark):
     from streaming_examples_spark.operators.packing import mixture_weights
 
