@@ -315,7 +315,12 @@ def q_changelog_to_upsert(spark, sf_dir):
 def _orders_as_envelopes(spark: SparkSession, sf_dir: str):
     """Each order = one committed transaction containing the order
     insert + all its line inserts. LSNs: order event o*1000, line
-    events o*1000+linenumber, commit o*1000+999."""
+    events o*1000+linenumber, commit o*1000+999.
+
+    Returns ``(order_env, line_env, tx_env, pinned)`` — ``pinned`` are
+    frames this builder persisted (the windowed line numbering); the
+    catalog entry must hand them to ``_sg_pinned`` so
+    ``catalog.release()`` unpersists them."""
     orders = t(spark, sf_dir, "orders")
     lineitem = t(spark, sf_dir, "lineitem")
 
@@ -364,7 +369,21 @@ def _orders_as_envelopes(spark: SparkSession, sf_dir: str):
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
-    numbered = lineitem.withColumn("_rn", F.row_number().over(w))
+    # persist: line_env is referenced by SEVERAL pipeline branches
+    # (completeness deltas, the touched union, the line version pool,
+    # carryover), and each branch would otherwise re-run this window's
+    # exchange+sort over the full lineitem scan — 3 evaluations in one
+    # cold execution (guide §2.4: share the exchange). Materializing
+    # the narrow numbered frame once measured warm 2.4 s → 2.0 s and
+    # first-run 16 s → 8-11 s at sf0.1, output identical. Returned to
+    # the caller as a pinned frame: q_tx_denorm_orders adds it to
+    # ``_sg_pinned`` so catalog.release() unpersists it
+    # deterministically (a localCheckpoint variant measured the same
+    # but frees only on GC, leaking past release()'s contract). (A
+    # window-free deterministic line id was tried first — xxhash64 over
+    # the full 6-column natural key — and measured 5× WORSE warm with
+    # huge variance; the window stays.)
+    numbered = lineitem.withColumn("_rn", F.row_number().over(w)).persist()
     line_env = numbered.select(
         F.lit(None)
         .cast(
@@ -417,7 +436,7 @@ def _orders_as_envelopes(spark: SparkSession, sf_dir: str):
             F.lit(0).cast("long").alias("ts_ms"),
         )
     )
-    return order_env, line_env, tx_env
+    return order_env, line_env, tx_env, (numbered,)
 
 
 @register(
@@ -438,7 +457,7 @@ def _orders_as_envelopes(spark: SparkSession, sf_dir: str):
 def q_tx_denorm_orders(spark, sf_dir):
     from streaming_examples_spark.operators.txjoin import tx_denormalize
 
-    order_env, line_env, tx_env = _orders_as_envelopes(spark, sf_dir)
+    order_env, line_env, tx_env, env_pinned = _orders_as_envelopes(spark, sf_dir)
     res = tx_denormalize(order_env, line_env, tx_env)
     out = res.emissions.select(
         "order_key",
@@ -454,5 +473,5 @@ def q_tx_denorm_orders(spark, sf_dir):
     # the batch pipeline persists its emit/touched gates; expose them so
     # catalog.release() can unpersist without a global clearCache()
     # (the streaming caller unpersists per batch via the same tuple)
-    out._sg_pinned = res.pinned
+    out._sg_pinned = res.pinned + env_pinned
     return out
