@@ -171,11 +171,21 @@ def text_profile(
     of normal-sized parquet (row groups ≲ maxPartitionBytes) scans
     wide and needs nothing here — leave None; a single-row-group file
     (the local test fixtures) plans ONE scan task and serializes the
-    whole profile, so pass the core count to round-robin the rows
-    first (one tiny shuffle ≪ the expression work it parallelizes).
+    whole profile, so pass the core count to spread the rows first
+    (one tiny shuffle ≪ the expression work it parallelizes).
+
+    The balance shuffle is keyed by HASH OF ``id_col``, not
+    round-robin: the repetition branch's two aggregations group by
+    (doc_id, shingle) and doc_id, and the final join is on doc_id —
+    all satisfied by hashpartitioning(doc_id), so the exploded
+    shingle rows (≈ k× the corpus tokens) never cross the network and
+    the whole profile runs off ONE exchange (guide §2.4; measured at
+    sf0.1: 6 exchanges → 2, warm 1.1 s → 0.65 s, output identical).
+    doc_id cardinality ≫ partitions, so the hash spreads as evenly as
+    round-robin for any non-degenerate corpus.
     """
     if balance_partitions:
-        docs = docs.repartition(balance_partitions)
+        docs = docs.repartition(balance_partitions, F.col(id_col))
     text = F.col(text_col)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
