@@ -151,8 +151,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """load_table + round-robin rebalance to the core count.
+def t_wide(
+    spark: SparkSession, sf_dir: str, name: str, key: str | None = None
+) -> DataFrame:
+    """load_table + rebalance to the core count.
 
     The test fixtures are single-row-group parquet files: the scan
     plans ONE task regardless of maxPartitionBytes (parquet can only
@@ -161,9 +163,23 @@ def t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     products — serializes on one core. One tiny shuffle of the raw
     rows buys full-core parallelism for everything after it.
 
+    ``key``: hash-partition the balance shuffle by this column instead
+    of round-robin. When the entry's downstream aggregations/joins are
+    keyed by it (doc_id/vec_id grain), they reuse THIS exchange's
+    partitioning instead of adding their own (guide §2.4 — two
+    operations keyed the same way share one exchange; measured r12:
+    dedup_groups 0.59 s → 0.30 s, multimodal_meta 2.5 s → 1.75 s,
+    curated_corpus 0.78 s → 0.52 s warm at sf0.1, outputs identical).
+    Row-id cardinality ≫ partitions, so the hash spreads like
+    round-robin for any non-degenerate input.
+
     At corpus scale the scan is already wide (row groups sized to
     maxPartitionBytes) and this shuffle would be a pure waste — use
     ``t`` there. Catalog entries wire this ONLY because they run on
     the fixtures; the operators themselves never repartition input.
     """
-    return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+    df = t(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    if key is not None:
+        return df.repartition(n, F.col(key))
+    return df.repartition(n)

@@ -180,7 +180,7 @@ def q_dedup_exact_norm(spark, sf_dir):
     survey_ref="training-data: MinHash+LSH near-dup (banded, exact-verify)",
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(t_wide(spark, sf_dir, "documents"), threshold=0.9)
+    return minhash_lsh_pairs(t_wide(spark, sf_dir, "documents", key="doc_id"), threshold=0.9)
 
 
 @register(
@@ -189,7 +189,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     survey_ref="training-data: duplicate clusters (LSH pairs → connected components → canonical doc)",
 )
 def q_dedup_groups(spark, sf_dir):
-    return dedup_groups(t_wide(spark, sf_dir, "documents"), threshold=0.9)
+    return dedup_groups(t_wide(spark, sf_dir, "documents", key="doc_id"), threshold=0.9)
 
 
 def _simhash_oracle(max_hamming: int, n_blocks: int = 6) -> str:
@@ -241,7 +241,7 @@ def _simhash_oracle(max_hamming: int, n_blocks: int = 6) -> str:
     survey_ref="training-data: SimHash near-dup (Hamming ≤ 8, block-join) — bit-exact oracle",
 )
 def q_dedup_simhash(spark, sf_dir):
-    return simhash_near_pairs(t_wide(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_near_pairs(t_wide(spark, sf_dir, "documents", key="doc_id"), max_hamming=8)
 
 
 def _lsh_bucket_sql(dim: int, n_planes: int, salt_base: int) -> str:
@@ -295,7 +295,7 @@ def _embedding_near_dup_oracle(
     survey_ref="training-data: embedding-cosine near-dup (LSH-table blocked bucket join)",
 )
 def q_embedding_near_dup(spark, sf_dir):
-    return embedding_near_dup_lsh(t_wide(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_near_dup_lsh(t_wide(spark, sf_dir, "embeddings", key="vec_id"), threshold=0.4)
 
 
 _DECON_K = 5
@@ -330,7 +330,7 @@ _DECON_EVAL_CUT = int(0.05 * (1 << 16))  # eval set = md5 bucket < 5%
     survey_ref="training-data: eval-set decontamination (k-gram overlap, broadcast probe)",
 )
 def q_decontaminate_train(spark, sf_dir):
-    docs = t_wide(spark, sf_dir, "documents")
+    docs = t_wide(spark, sf_dir, "documents", key="doc_id")
     from streaming_examples_spark.operators.sampling import md5_bucket
 
     bkt = md5_bucket(F.col("doc_id"))
@@ -857,7 +857,7 @@ def _training_mix_oracle(
     survey_ref="training-data: full curation pipeline (quality ∩ dedup-canonical → split → quota), composed oracle",
 )
 def q_curated_corpus(spark, sf_dir):
-    return curated_corpus(t_wide(spark, sf_dir, "documents"), dedup_threshold=0.9, quota_k=50)
+    return curated_corpus(t_wide(spark, sf_dir, "documents", key="doc_id"), dedup_threshold=0.9, quota_k=50)
 
 
 @register(
@@ -869,7 +869,7 @@ def q_training_mix(spark, sf_dir):
     from streaming_examples_spark.operators.curation import training_mix
 
     return training_mix(
-        t_wide(spark, sf_dir, "documents"),
+        t_wide(spark, sf_dir, "documents", key="doc_id"),
         capacity=2048,
         n_shards=8,
         alpha=0.3,
@@ -1272,7 +1272,7 @@ def q_multimodal_meta(spark, sf_dir):
         with_video_payload,
     )
 
-    docs = t_wide(spark, sf_dir, "documents")
+    docs = t_wide(spark, sf_dir, "documents", key="doc_id")
     wp = with_binary_payload(docs)
     meta = payload_meta(wp)
 
