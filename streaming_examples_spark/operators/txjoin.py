@@ -252,6 +252,20 @@ def tx_denormalize(
         o_versions = o_versions.unionByName(order_state)
     if line_state is not None:
         l_versions = l_versions.unionByName(line_state)
+    # The version pools each feed TWO consumers per batch: the as-of
+    # join (emissions) and the state roll-forward — without a persist
+    # the whole upstream lineage (envelope normalization, LSN stamping,
+    # the emit-gate semi join, the state-store scan) runs once per
+    # consumer. Persisting the narrow version projections measured the
+    # flagship warm run 2.3 s → 1.5 s and the state-roll consumer
+    # 2.5 s → 1.3 s at sf0.1 (r12). Size is O(batch events + carried
+    # state) — the same order the state store itself materializes per
+    # batch; MEMORY_AND_DISK spills rather than OOMs. Gated on
+    # ``persist_ends`` so the giant-batch escape hatch (≥ ~10 M txs in
+    # one batch, see above) also skips this cache.
+    if persist_ends:
+        o_versions = o_versions.persist()
+        l_versions = l_versions.persist()
 
     # -- 2. touched (order, tx) pairs: the emission contract ------------
     # gate the union once (one semi join) instead of reusing the
@@ -456,5 +470,6 @@ def tx_denormalize(
         carryover_orders=o_carry,
         carryover_lines=l_carry,
         emitted_txs=emit_txs,
-        pinned=(emit_txs, touched) + ((ends_full,) if persist_ends else ()),
+        pinned=(emit_txs, touched)
+        + ((ends_full, o_versions, l_versions) if persist_ends else ()),
     )

@@ -597,7 +597,9 @@ def test_persist_ends_off_is_result_identical(spark):
     rows_off = sorted(tuple(r) for r in res_off.emissions.collect())
     assert rows_on == rows_off and len(rows_on) == 2
     # the unpinned variant must not leave the END frame in storage
-    assert len(res_off.pinned) == 2 and len(res_on.pinned) == 3
+    # r12: persist_ends also gates the version-pool persists, so the
+    # pinned tuple is (emit, touched) off vs (+ends, o/l versions) on
+    assert len(res_off.pinned) == 2 and len(res_on.pinned) == 5
     for res in (res_on, res_off):
         for f in res.pinned:
             f.unpersist()
