@@ -411,7 +411,7 @@ def _frozen_pq_books() -> list[list[list[float]]]:
 def q_ann_pq(spark, sf_dir):
     from streaming_examples_spark.operators.similarity import pq_ann_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_wide(spark, sf_dir, "embeddings", key="vec_id")
     return pq_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, books=_frozen_pq_books()
     )
@@ -517,7 +517,7 @@ def q_ann_ivf_pq(spark, sf_dir):
     from streaming_examples_spark.operators.similarity import ivf_pq_ann_topk
 
     cents, books = _frozen_ivf_pq()
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_wide(spark, sf_dir, "embeddings", key="vec_id")
     return ivf_pq_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4,
         centroids=cents, books=books,
@@ -642,7 +642,7 @@ def q_ann_topk(spark, sf_dir):
 def q_ann_ivf(spark, sf_dir):
     from streaming_examples_spark.operators.similarity import ivf_ann_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_wide(spark, sf_dir, "embeddings", key="vec_id")
     return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -927,7 +927,7 @@ def q_scrub_pii(spark, sf_dir):
     survey_ref="training-data: k-gram document frequency / boilerplate detection (TakeOrdered top-k)",
 )
 def q_ngram_doc_freq(spark, sf_dir):
-    return ngram_doc_freq(t(spark, sf_dir, "documents"), k=3, top=100)
+    return ngram_doc_freq(t_wide(spark, sf_dir, "documents", key="doc_id"), k=3, top=100)
 
 
 @register(
@@ -953,7 +953,7 @@ def q_ngram_doc_freq(spark, sf_dir):
     survey_ref="training-data: TF-IDF top terms (two aggs + broadcast vocab join)",
 )
 def q_tfidf_top_terms(spark, sf_dir):
-    return tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
+    return tfidf_top_terms(t_wide(spark, sf_dir, "documents", key="doc_id"), k=3)
 
 
 def _lang_id_oracle() -> str:

@@ -731,6 +731,16 @@ def ivf_pq_ann_topk(
                 F.array_sort(F.collect_list(F.struct("j", "c"))), lambda x: x["c"]
             ).alias("codes")
         )
+        # localCheckpoint: the inverted lists ARE the index artifact a
+        # production deployment materializes once and probes many times
+        # — and planting the literal-heavy encode subtree directly under
+        # the probe join measured 25× slower than the same subtree
+        # standalone (0.3 s → 7.5 s per execution at sf0.1, r12: the
+        # re-planned/codegen'd join-side tree evaluates the codebook
+        # literals per row on one task). Materialized it is m small ints
+        # + a cell id per vector — tiny at any corpus size; blocks free
+        # on GC.
+        .localCheckpoint(eager=False)
     )
 
     # query side: probe cells + per-(query, cell) ADC LUTs, driver-side
