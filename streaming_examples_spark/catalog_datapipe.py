@@ -1272,7 +1272,15 @@ def q_multimodal_meta(spark, sf_dir):
         with_video_payload,
     )
 
-    docs = t_wide(spark, sf_dir, "documents", key="doc_id")
+    # localCheckpoint: docs feeds FOUR decode branches (image, resize,
+    # frame, audio) and each would otherwise re-run the scan + balance
+    # shuffle + payload derivation per branch (union branches evaluate
+    # their lineage independently — guide §2.4). Materialized it is the
+    # narrow (doc_id, text, source) fixture frame; blocks free on GC.
+    # Measured r12 at sf0.1: warm 1.88 s → 1.66 s, rows identical.
+    docs = t_wide(spark, sf_dir, "documents", key="doc_id").localCheckpoint(
+        eager=False
+    )
     wp = with_binary_payload(docs)
     meta = payload_meta(wp)
 
