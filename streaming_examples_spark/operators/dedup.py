@@ -500,24 +500,40 @@ def simhash64(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     """
     features = word_shingles(F.lower(F.col(text_col)), 3)
     token_hash = lambda t: F.conv(F.substring(F.md5(t), 18, 15), 16, 10).cast("long")  # noqa: E731
-    hashes = F.transform(features, token_hash)
+    # Stage 1: shingle + hash, materialized behind a lazy checkpoint.
+    # Fusing the shingle subtree with the vote folds into ONE projection
+    # produced a codegen unit so large its first execution cost 8-13 s
+    # at sf0.1 (compile + interpreted fallback); split, each stage runs
+    # ≈1 s (r12). The stored rows are (doc_id, ~shingle-count longs).
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.transform(features, token_hash).alias("_h")
+    ).localCheckpoint(eager=False)
 
-    # for each bit j: popcount-style vote; build the bit terms and sum
-    def vote_fn(j: int):
-        def step(acc, h):
-            return acc + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return step
-
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote_fn(j)) for j in range(SIMHASH_BITS)]
-    sim = None
-    for j, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    # Stage 2: one fold accumulates the per-bit ±1 vote VECTOR (the
+    # former per-bit formulation built 60 independent aggregate folds,
+    # each re-walking the shingle array — a 60×-replicated expression
+    # tree that also dominated plan analysis). h & (1<<j) != 0 is the
+    # same predicate as (h >> j) & 1 == 1, votes and the packed hash
+    # are bit-identical.
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        F.col("_h"),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            masks,
+            acc,
+            lambda m, a: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(
