@@ -698,12 +698,13 @@ def _ann_lsh_oracle(k: int, dim: int = 64, n_planes: int = 4, n_tables: int = 8)
     survey_ref="training-data: LSH-bucketed ANN (scale path) — bit-exact oracle + recall pytest",
 )
 def q_ann_lsh(spark, sf_dir):
-    # measured: t_wide is a net loss here (0.9s vs 0.65s warm at
-    # sf0.01) — the hyperplane pass is cheap enough that the extra
-    # exchange on both the corpus and query branches outweighs the
-    # parallelism it buys; the gate's occasional multi-second first
-    # run is one-time whole-stage codegen, not scan serialization
-    emb = t(spark, sf_dir, "embeddings")
+    # keyed rebalance: an earlier sf0.01 reading had t_wide as a net
+    # loss (0.9 s vs 0.65 s — tiny input, exchange overhead dominated),
+    # but at the bench grain (sf0.1) the single-row-group scan
+    # serializes the 32-fold hyperplane pass on one core and the
+    # rebalance wins decisively: warm 1.0 s → 0.6 s, rows identical
+    # (r12 interleaved A/B).
+    emb = t_wide(spark, sf_dir, "embeddings", key="vec_id")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
