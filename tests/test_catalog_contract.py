@@ -154,3 +154,40 @@ def test_plan_cache_release_unpersists_pinned_frames():
     finally:
         del C._REGISTRY["_tmp_release_probe"]
         C._PLAN_CACHE.clear()
+
+
+def test_release_frees_localcheckpoint_blocks_promptly(spark):
+    """release() must free a dropped plan's localCheckpoint blocks NOW,
+    not at some future GC: orphaned blocks pile up in executor storage
+    for the life of the session and degrade later queries (measured
+    r12: the trailing entry of a sequential 7-entry sweep ran 4-12x
+    slower without deterministic cleanup — OPTIMIZATION_r12.md)."""
+    import time
+
+    from streaming_examples_spark import catalog as C
+
+    @C.register("_tmp_ckpt_probe", None)
+    def probe(s, sf_dir):
+        return s.range(100_000).selectExpr("id", "id * 2 as v").localCheckpoint(
+            eager=True
+        )
+
+    try:
+        fn = C._REGISTRY["_tmp_ckpt_probe"].fn
+        fn(spark, "/x").write.format("noop").mode("overwrite").save()
+
+        def stored_rdds():
+            return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+        assert stored_rdds() > 0, "checkpoint should hold blocks while cached"
+        assert C.release(spark, "_tmp_ckpt_probe", "/x") == 1
+        # the cleanup path is gc.collect() + JVM System.gc() feeding
+        # ContextCleaner's reference queue; the cleaner thread is
+        # asynchronous, so allow a short bounded settle
+        deadline = time.time() + 10
+        while stored_rdds() > 0 and time.time() < deadline:
+            time.sleep(0.2)
+        assert stored_rdds() == 0, "released plan's checkpoint blocks must free"
+    finally:
+        C._REGISTRY.pop("_tmp_ckpt_probe", None)
+        C.release(spark)
