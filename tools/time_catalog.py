@@ -31,9 +31,16 @@ def main() -> int:
     names = sys.argv[1:]
     if names == ["--all"]:
         names = sorted(cat)
-    spark = get_spark(
-        "time-catalog", extra_conf={"spark.ui.showConsoleProgress": "false"}
-    )
+    # Same heap pretouch as bench.py: the sandbox VM backs guest RAM
+    # lazily (~160 MB/s), so a fresh JVM's first ~2 min of runs swing
+    # up to 40x on identical input (sys-time dominated). Pre-faulting
+    # the heap at session creation keeps A/B readings outlier-free.
+    # SPARK_GRAFT_PRETOUCH=0 restores lazy allocation.
+    conf = {"spark.ui.showConsoleProgress": "false"}
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0":
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        conf["spark.driver.extraJavaOptions"] = f"-Xms{mem} -XX:+AlwaysPreTouch"
+    spark = get_spark("time-catalog", extra_conf=conf)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
