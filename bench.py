@@ -108,6 +108,54 @@ EXTRA = {
 }
 
 
+def prefault_python_workers(spark) -> None:
+    """Pre-fault the Python worker pool + Arrow allocators (same root
+    cause as the bench heap pretouch: lazily host-backed guest RAM).
+
+    The FIRST execution of each Python-path operator faults the
+    workers' glibc/numpy arenas and the JVM's Arrow direct buffers at
+    the host's ~160 MB/s backing rate — measured: multimodal_resize
+    first-execution 12-23 s in a fresh session vs 2-5 s immediately
+    after, purely from allocator first-touch (interleaved fresh-process
+    A/B; the in-session third run converges to ~2 s). This warmup is
+    fully synthetic — ``spark.range`` input, constant bytes — it
+    touches no test data and no operator, so cold still measures the
+    query's own first execution, not the hypervisor's page-backing.
+    ``SPARK_GRAFT_WORKER_PREFAULT_MB=0`` disables (default 256 MB per
+    worker)."""
+    prefault_mb = int(os.environ.get("SPARK_GRAFT_WORKER_PREFAULT_MB", "256"))
+    if prefault_mb <= 0:
+        return
+
+    def _touch(batches, _mb=prefault_mb):
+        import numpy as np
+        import pandas as pd
+        # sub-mmap-threshold chunks keep the faulted pages inside the
+        # worker's retained glibc arena after free
+        chunks = [
+            np.ones(96 << 10, dtype=np.uint8) for _ in range((_mb << 10) // 96)
+        ]
+        acc = sum(int(c[0]) for c in chunks)
+        del chunks
+        blob = b"x" * 65536
+        for pdf in batches:
+            # Arrow binary round trip sizes the JVM-side direct
+            # buffers and pyarrow's allocator
+            yield pd.DataFrame(
+                {"payload": [blob] * len(pdf), "n": [acc] * len(pdf)}
+            )
+
+    (
+        spark.range(64 * 128)
+        .repartition(64)
+        .selectExpr("id", "repeat('y', 32768) as txt")
+        .mapInPandas(_touch, schema="payload binary, n long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def main() -> int:
     # Capture the window-as-found load BEFORE session creation: the
     # heap pretouch below burns ~100 s of 32-thread CPU during startup,
@@ -143,6 +191,8 @@ def main() -> int:
     cat = entries()
     # warm the JVM + parquet footer caches with a trivial action
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # pre-fault Python worker + Arrow allocator memory (see docstring)
+    prefault_python_workers(spark)
 
     # Two numbers per query, reported separately so the engine-work and
     # prepared-statement lineages stay comparable round over round:

@@ -41,6 +41,9 @@ def main() -> int:
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         conf["spark.driver.extraJavaOptions"] = f"-Xms{mem} -XX:+AlwaysPreTouch"
     spark = get_spark("time-catalog", extra_conf=conf)
+    from bench import prefault_python_workers
+
+    prefault_python_workers(spark)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
