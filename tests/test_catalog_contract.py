@@ -47,6 +47,18 @@ def test_bench_names_track_the_catalog():
     assert set(bench.EXTRA).isdisjoint(names)  # extras are non-catalog paths
 
 
+def test_worker_prefault_escape_hatch(monkeypatch):
+    """SPARK_GRAFT_WORKER_PREFAULT_MB=0 must disable the bench's
+    Python-worker prefault without touching the session at all (the
+    driver may run bench.py in constrained environments)."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_WORKER_PREFAULT_MB", "0")
+    # spark=None would raise on ANY attribute access — returning
+    # cleanly proves the disabled path never reaches the session
+    assert bench.prefault_python_workers(None) is None
+
+
 def test_entry_module_contract_shapes():
     import __spark_entry__ as E
 
