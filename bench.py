@@ -108,6 +108,27 @@ EXTRA = {
 }
 
 
+def pretouch_conf() -> dict:
+    """Session conf for the bench-harness JVM heap pretouch, shared by
+    bench.py and tools/time_catalog.py so the two cannot drift.
+
+    -Xms=-Xmx + AlwaysPreTouch commits AND faults the full heap at JVM
+    start; on this sandbox VM guest RAM is backed lazily by the host
+    (~160 MB/s), so without it the first ~2 min of query runs pay the
+    page-backing cost inside the timed regions (r12: identical warm
+    runs swung 0.5 → 22 s). NOTE the failure mode of default-on
+    pretouch: the JVM now commits the full 16 GiB up front, so on a
+    host with less free RAM the bench fails to launch where lazy
+    allocation worked — set SPARK_GRAFT_PRETOUCH=0 (restores lazy
+    allocation) or SPARK_GRAFT_DRIVER_MEM to something the host can
+    back."""
+    conf = {"spark.ui.showConsoleProgress": "false"}
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0":
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        conf["spark.driver.extraJavaOptions"] = f"-Xms{mem} -XX:+AlwaysPreTouch"
+    return conf
+
+
 def prefault_python_workers(spark) -> None:
     """Pre-fault the Python worker pool + Arrow allocators (same root
     cause as the bench heap pretouch: lazily host-backed guest RAM).
@@ -123,7 +144,12 @@ def prefault_python_workers(spark) -> None:
     query's own first execution, not the hypervisor's page-backing.
     ``SPARK_GRAFT_WORKER_PREFAULT_MB=0`` disables (default 256 MB per
     worker)."""
-    prefault_mb = int(os.environ.get("SPARK_GRAFT_WORKER_PREFAULT_MB", "256"))
+    try:
+        prefault_mb = int(os.environ.get("SPARK_GRAFT_WORKER_PREFAULT_MB", "256"))
+    except ValueError:
+        # a malformed value (e.g. "256m") must not crash the bench
+        # before any measurement; fall back to the default
+        prefault_mb = 256
     if prefault_mb <= 0:
         return
 
@@ -167,25 +193,12 @@ def main() -> int:
     # driver's retained-tail window in round 9 (BENCH_r09.json came back
     # "parsed": null) — the one JSON metrics line must survive verbatim.
     #
-    # Pre-fault the whole heap at JVM start (-Xms=-Xmx + AlwaysPreTouch):
-    # this sandbox VM's guest RAM is backed lazily by the host at
-    # ~160 MB/s, so a fresh JVM growing its heap on demand pays that
-    # backing cost INSIDE the first ~2 minutes of query runs — measured
-    # (r12, /proc/stat sampling): identical warm runs swung 0.5 → 22 s
-    # with up to 69 % of all 32 CPUs in SYS time during the slow ones,
-    # and task CPU inflated up to 140× on identical input; with
-    # pretouch, 40/40 runs were flat (0.4–1.2 s, sys ≈ 1 %). The ~100 s
-    # pretouch happens once at session creation — outside every timed
-    # region — and makes cold/min/warm lineages measure the engine, not
-    # the hypervisor's page-backing. SPARK_GRAFT_PRETOUCH=0 restores
-    # lazy allocation.
-    _bench_conf = {"spark.ui.showConsoleProgress": "false"}
-    if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0":
-        _mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-        _bench_conf["spark.driver.extraJavaOptions"] = (
-            f"-Xms{_mem} -XX:+AlwaysPreTouch"
-        )
-    spark = get_spark("bench", extra_conf=_bench_conf)
+    # Heap pretouch (see pretouch_conf docstring): faults the full heap
+    # once at session creation — outside every timed region — so the
+    # cold/min/warm lineages measure the engine, not the hypervisor's
+    # lazy page-backing (r12: up to 69 % of 32 CPUs in SYS time, task
+    # CPU inflated up to 140× on identical input without it).
+    spark = get_spark("bench", extra_conf=pretouch_conf())
     from streaming_examples_spark.catalog import release
 
     cat = entries()
@@ -297,25 +310,48 @@ def main() -> int:
             "the pre-r9 min-of-2 protocol, comparable round over round",
             "cold": "caches cleared, uncached construction + first execution",
             "spread": "max-min of the 3 steady-state runs per query",
+            "loaded_blind_window": "the loaded flag reflects pre-session "
+            "load only; external load starting during the ~3-min setup "
+            "(pretouch + prefault) shows in post_setup_1m but cannot be "
+            "distinguished there from the pretouch's own burn",
         },
         "sf": sf_val,
     }
     print(json.dumps(out))
-    # The driver retains only the TAIL of stdout; the full line above
-    # is longer than that window, so its head (the totals) was cut in
-    # BENCH_r10.json ("parsed": null). Emit a compact summary LAST so
-    # the retained tail always ends with one complete JSON object.
-    print(json.dumps({
+    print(json.dumps(compact_summary(out)))
+    return 0
+
+
+#: the driver retains only this many chars of stdout tail (measured
+#: from BENCH_r11/r12.json): the LAST JSON line must fit inside it
+DRIVER_TAIL_CHARS = 2000
+
+
+def compact_summary(out: dict) -> dict:
+    """The FINAL stdout line, sized to survive the driver's retained
+    tail (DRIVER_TAIL_CHARS): only whatever JSON object ends the tail
+    parses. For two rounds this compact line carried totals only,
+    which left PERF_rNN.json with per_query: {} / n_common: 0 — the
+    driver could not see a single per-query number (r12 verdict,
+    next-round item 1). Fix: fold the per-query warm dict (the
+    contract's "queries" key) and the round-comparable "queries_min"
+    into the final line. With 19 entries at 3-decimal floats it
+    measures ~1.25k chars — inside the tail with headroom; the cold
+    per-query dict stays in the detailed line above (adding it here
+    would leave <300 chars of slack). Keys are additions-only: every
+    key the pre-r13 compact line had is still present."""
+    return {
         "metric": out["metric"],
         "value": out["value"],
         "value_min": out["value_min"],
         "value_cold": out["value_cold"],
         "unit": "sec",
+        "queries": out["queries"],
+        "queries_min": out["queries_min"],
         "loadavg": out["loadavg"],
         "loaded": out["loaded"],
-        "sf": sf_val,
-    }))
-    return 0
+        "sf": out["sf"],
+    }
 
 
 if __name__ == "__main__":

@@ -31,23 +31,21 @@ def main() -> int:
     names = sys.argv[1:]
     if names == ["--all"]:
         names = sorted(cat)
-    # Same heap pretouch as bench.py: the sandbox VM backs guest RAM
-    # lazily (~160 MB/s), so a fresh JVM's first ~2 min of runs swing
-    # up to 40x on identical input (sys-time dominated). Pre-faulting
-    # the heap at session creation keeps A/B readings outlier-free.
-    # SPARK_GRAFT_PRETOUCH=0 restores lazy allocation.
-    conf = {"spark.ui.showConsoleProgress": "false"}
-    if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0":
-        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-        conf["spark.driver.extraJavaOptions"] = f"-Xms{mem} -XX:+AlwaysPreTouch"
-    spark = get_spark("time-catalog", extra_conf=conf)
-    from bench import prefault_python_workers
+    # Capture the window-as-found load BEFORE session creation: the
+    # heap pretouch burns ~100 s of 32-thread CPU during startup, which
+    # would inflate a post-setup reading and mislabel an idle window as
+    # loaded (the exact artifact bench.py's load_found/post_setup split
+    # fixed). pretouch_conf is shared with bench.py so the two harness
+    # entrypoints cannot drift.
+    load0 = os.getloadavg()[0]
+    from bench import prefault_python_workers, pretouch_conf
 
+    spark = get_spark("time-catalog", extra_conf=pretouch_conf())
     prefault_python_workers(spark)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
-    load0 = os.getloadavg()[0]
+    load_post_setup = os.getloadavg()[0]
     for name in names:
         spark.sparkContext.setJobDescription(f"time:{name}")
         e = cat[name]
@@ -71,6 +69,7 @@ def main() -> int:
                 "queries_cold": cold,
                 "total_warm": round(sum(warm.values()), 3),
                 "loadavg_start": round(load0, 2),
+                "loadavg_post_setup": round(load_post_setup, 2),
                 "loadavg_end": round(os.getloadavg()[0], 2),
                 "sf_dir": SF_DIR,
             }
