@@ -223,7 +223,30 @@ def q_cdc_flatten_events(spark, sf_dir):
 )
 def q_cdc_dedup(spark, sf_dir):
     env = synth_user_envelope(spark, sf_dir)
-    redelivered = env.unionByName(env)  # simulate at-least-once duplication
+    # Project the envelope to the fields this query emits BEFORE the
+    # dedup shuffle (guide §2.3 "project before the exchange"): the
+    # full 12-field source struct does not prune through the dedup
+    # aggregate's first(source) — r13 before-plan shuffled it whole;
+    # only source.table (dedup key) and source.lsn (output) are used.
+    narrow = env.select(
+        "before",
+        "after",
+        F.struct(
+            F.col("source.table").alias("table"),
+            F.col("source.lsn").alias("lsn"),
+        ).alias("source"),
+        "op",
+    )
+    # Simulate at-least-once duplication by replicating each envelope
+    # in place (explode) instead of unioning the subtree with itself:
+    # union branches evaluate their lineage independently (guide §2.4),
+    # so env ∪ env ran the events scan + the lag-window shuffle + sort
+    # TWICE. Same redelivered multiset — every envelope exactly twice —
+    # and dropDuplicates makes the two forms result-identical (the
+    # duplicate pairs are bit-identical rows).
+    redelivered = narrow.withColumn(
+        "__redelivery", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("__redelivery")
     deduped = dedup_cdc(redelivered)
     return deduped.select(
         F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
