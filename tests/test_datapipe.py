@@ -608,6 +608,22 @@ def test_approx_quantiles_within_sketch_tolerance(spark, tables):
             assert abs(a[col] - e[col]) / e[col] < 0.01, (flag, col, a[col], e[col])
 
 
+def test_bucketed_quantiles_row_identical_to_window_form(spark, tables):
+    """numeric_quantiles picks its rank strategy by estimated input
+    size (window form at bench scale, bucket-decomposed rank at 100 TB
+    scale). Passing n_buckets forces the bucketed strategy; both must
+    produce bit-identical rows — the rank decomposition proof in the
+    docstring, pinned on real data including a degenerate n_buckets
+    that leaves some buckets empty."""
+    from streaming_examples_spark.operators.analytics import numeric_quantiles
+
+    li = tables["lineitem"]
+    base = sorted(map(tuple, numeric_quantiles(li).collect()))
+    for nb in (3, 64):
+        forced = sorted(map(tuple, numeric_quantiles(li, n_buckets=nb).collect()))
+        assert forced == base, f"n_buckets={nb} diverged"
+
+
 def test_pq_ann_beats_random_and_is_deterministic(spark, tables):
     from streaming_examples_spark.operators.similarity import (
         brute_force_topk,
