@@ -1264,6 +1264,32 @@ def _mm_align(df, kind: str):
     ),
 )
 def q_multimodal_meta(spark, sf_dir):
+    from streaming_examples_spark.operators.multimodal import decode_meta_fused
+
+    # ONE fused Arrow pass over (doc_id, text) replaces the r12 form's
+    # FIVE mapInPandas stages (image decode, resize, resize re-decode,
+    # frame demux, audio decode) plus four Catalyst payload assemblies
+    # and the 4-way union (guide §4.2/§4.5): the text bytes cross the
+    # JVM→Python boundary once and every decoder runs on them in the
+    # worker. Row-identity with the branch union is pinned by
+    # test_fused_multimodal_matches_branch_union and by the oracle
+    # hash; rounding stays in Catalyst (same F.round the branches ran).
+    docs = t_wide(spark, sf_dir, "documents", key="doc_id")
+    fused = decode_meta_fused(docs, widen=False)
+    cols = []
+    for name, typ in _MM_COLS:
+        if name in ("band_mean", "duration_ms", "rms"):
+            cols.append(F.round(F.col(name), 4).cast(typ).alias(name))
+        else:
+            cols.append(F.col(name).cast(typ).alias(name))
+    return fused.select(*cols)
+
+
+def _mm_quartet_branches(spark, sf_dir):
+    """The pre-r13 four-branch construction of ``multimodal_meta`` —
+    kept as the equivalence REFERENCE for the fused pass (each branch
+    runs its own Arrow stage; `test_fused_multimodal_matches_branch_
+    union` asserts row-identity against :func:`q_multimodal_meta`)."""
     from streaming_examples_spark.operators.multimodal import (
         decode_and_featurize,
         decode_audio,

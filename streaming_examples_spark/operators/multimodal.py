@@ -662,6 +662,218 @@ def decode_audio(docs_with_audio: DataFrame, *, widen: bool | None = None) -> Da
     )
 
 
+#: unified output grain of :func:`decode_meta_fused`: one row per
+#: (doc, band) for image/resize, per sampled frame, per doc for audio,
+#: discriminated by `kind`; doubles UNROUNDED (the caller rounds in
+#: Catalyst so engine rounding semantics stay in one place)
+MM_FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("prefix_hex", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bands", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_mean", T.DoubleType()),
+        T.StructField("band_max", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def decode_meta_fused(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    resize_to: tuple[int, int] = (8, 8),
+    widen: bool | None = None,
+) -> DataFrame:
+    """The whole multimodal quartet — image decode, resize re-decode,
+    video frame demux, audio decode — in ONE Arrow pass (guide §4.2,
+    §4.5). The branch form ran FIVE mapInPandas stages over the same
+    documents (image decode, resize, resize re-decode, frame demux,
+    audio decode), each paying its own Catalyst payload assembly
+    (hex/unhex over megabytes of text) and its own JVM→Python crossing
+    of the payload bytes; here the text bytes cross once and every
+    decoder runs on them while they are hot in the worker.
+
+    Per-row logic mirrors :func:`decode_and_featurize`,
+    :func:`resize_payloads`, :func:`sample_frames` and
+    :func:`decode_audio` over payloads built exactly as
+    :func:`with_binary_payload` / :func:`with_video_payload` /
+    :func:`with_audio_payload` assemble them in Catalyst (slicing the
+    same UTF-8 text bytes under the same headers) — equivalence is
+    pinned by ``test_fused_multimodal_matches_branch_union`` and by the
+    DuckDB oracle hash of the ``multimodal_meta`` entry. Invalid-source
+    semantics follow the branch form: image rows only for valid SIMG
+    (always, by construction), resize rows only when the source has
+    pixels, frame rows only when a plane exists, audio rows for every
+    doc. ``band_mean``/``duration_ms``/``rms`` come back unrounded;
+    round in Catalyst like the branch form did."""
+    import hashlib
+
+    import numpy as np
+
+    tw, th = resize_to
+    ys_for: dict = {}
+    xs_for: dict = {}
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in MM_FUSED_SCHEMA.fields}
+
+            def emit(doc_id, kind, **kw):
+                for f in MM_FUSED_SCHEMA.fields:
+                    if f.name == "doc_id":
+                        rows["doc_id"].append(doc_id)
+                    elif f.name == "kind":
+                        rows["kind"].append(kind)
+                    else:
+                        rows[f.name].append(kw.get(f.name))
+
+            def band_rows(arr, n_bands, per_band):
+                # identical arithmetic to decode_and_featurize: exact
+                # integer sums, ONE IEEE division per band
+                if per_band:
+                    means = [
+                        int(arr[b::n_bands].sum(dtype=np.int64)) / per_band
+                        for b in range(n_bands)
+                    ]
+                    maxes = [int(arr[b::n_bands].max()) for b in range(n_bands)]
+                else:
+                    means = [None] * n_bands
+                    maxes = [None] * n_bands
+                return means, maxes, int(arr.sum(dtype=np.int64))
+
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    # branch-form semantics: a NULL text nulls every
+                    # payload (concat with NULL), the decoders emit
+                    # invalid / skip, and every branch filters — zero
+                    # rows for the doc
+                    continue
+                doc_id = int(doc_id)
+                tb = text.encode("utf-8")
+                n = len(tb)
+
+                # ---- image: with_binary_payload + decode_and_featurize
+                w = doc_id % 9 + 8
+                b = doc_id % 3 + 1
+                h = min(n // (w * b), 65535)
+                pix = tb[: w * h * b]
+                payload = (
+                    SIMG_MAGIC
+                    + b"\x01"
+                    + struct.pack(">H", w)
+                    + bytes([b])
+                    + struct.pack(">H", h)
+                    + pix
+                )
+                arr = np.frombuffer(pix, dtype=np.uint8)
+                means, maxes, checksum = band_rows(arr, b, w * h)
+                n_bytes = len(payload)
+                prefix_hex = payload[:8].hex()
+                for band in range(b):
+                    emit(
+                        doc_id, "image",
+                        n_bytes=n_bytes, prefix_hex=prefix_hex,
+                        width=w, height=h, n_bands=b, band=band,
+                        band_mean=means[band], band_max=maxes[band],
+                        checksum=checksum,
+                    )
+
+                # ---- resize re-decode: resize_payloads(8×8) → decode
+                if w * h > 0:
+                    src = arr.reshape(h, w, b)
+                    ys = ys_for.get(h)
+                    if ys is None:
+                        ys = ys_for[h] = (np.arange(th) * h) // th
+                    xs = xs_for.get(w)
+                    if xs is None:
+                        xs = xs_for[w] = (np.arange(tw) * w) // tw
+                    rz = np.ascontiguousarray(src[ys][:, xs]).reshape(-1)
+                    rmeans, rmaxes, rchecksum = band_rows(rz, b, tw * th)
+                    for band in range(b):
+                        emit(
+                            doc_id, "resize",
+                            width=tw, height=th, n_bands=b, band=band,
+                            band_mean=rmeans[band], band_max=rmaxes[band],
+                            checksum=rchecksum,
+                        )
+
+                # ---- frames: with_video_payload + sample_frames +
+                #      md5(lower(hex(frame)))
+                vw = doc_id % 5 + 4
+                vb = doc_id % 2 + 1
+                nf = doc_id % 4 + 2
+                iv = (doc_id % 3 + 1) * 40
+                fh = min(n // (vw * vb * nf), 65535)
+                plane = vw * fh * vb
+                if plane > 0:
+                    simg_header = (
+                        SIMG_MAGIC
+                        + b"\x01"
+                        + struct.pack(">H", vw)
+                        + bytes([vb])
+                        + struct.pack(">H", fh)
+                    )
+                    k = min(n_frames, nf)
+                    for i in range(k):
+                        fi = (i * nf) // k
+                        frame = simg_header + tb[fi * plane : (fi + 1) * plane]
+                        emit(
+                            doc_id, "frame",
+                            frame_idx=fi, frame_ts_ms=fi * iv,
+                            frame_md5=hashlib.md5(
+                                frame.hex().encode()
+                            ).hexdigest(),
+                        )
+
+                # ---- audio: with_audio_payload + decode_audio
+                rate = (8000, 16000, 44100)[doc_id % 3]
+                ns = min(n // 2, 65535)
+                if ns == 0:
+                    emit(
+                        doc_id, "audio",
+                        sample_rate_hz=rate, n_samples=0,
+                        duration_ms=0.0, zero_crossings=0,
+                    )
+                else:
+                    s = np.frombuffer(tb[: 2 * ns], dtype=">i2").astype(np.int64)
+                    emit(
+                        doc_id, "audio",
+                        sample_rate_hz=rate, n_samples=ns,
+                        duration_ms=ns * 1000.0 / rate,
+                        rms=float(np.sqrt((s * s).sum() / ns)),
+                        peak=int(np.abs(s).max()),
+                        zero_crossings=int(
+                            (np.signbit(s[1:]) != np.signbit(s[:-1])).sum()
+                        ),
+                    )
+            yield pd.DataFrame(rows)
+
+    return _arrow_map(
+        docs.select(id_col, text_col),
+        fused,
+        MM_FUSED_SCHEMA,
+        widen=widen,
+        payload_col=text_col,
+    )
+
+
 def payload_meta(docs_with_payload: DataFrame) -> DataFrame:
     """Pure-SQL metadata over binary payloads (no decode): byte length
     + prefix hex — pushdown-friendly filtering before any decode."""

@@ -608,6 +608,40 @@ def test_approx_quantiles_within_sketch_tolerance(spark, tables):
             assert abs(a[col] - e[col]) / e[col] < 0.01, (flag, col, a[col], e[col])
 
 
+def test_fused_multimodal_matches_branch_union(spark):
+    """The r13 fused single-Arrow-pass multimodal_meta must be
+    row-identical to the pre-r13 four-branch union (kept as
+    _mm_quartet_branches): every per-band stat, frame md5, audio
+    feature, and null pattern — the equivalence proof the fusion's
+    oracle-hash gate rides on, pinned at test scale."""
+    import math
+    import os
+
+    from streaming_examples_spark.catalog import entries, release
+    from streaming_examples_spark.catalog_datapipe import _mm_quartet_branches
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+    def canon(df):
+        rows = []
+        for r in df.collect():
+            rows.append(
+                tuple(
+                    None if isinstance(v, float) and math.isnan(v) else v
+                    for v in r
+                )
+            )
+        return sorted(rows, key=lambda x: tuple(str(v) for v in x))
+
+    try:
+        fused = entries()["multimodal_meta"].fn(spark, sf_dir)
+        ref = _mm_quartet_branches(spark, sf_dir)
+        assert fused.columns == ref.columns
+        assert canon(fused) == canon(ref)
+    finally:
+        release(spark, "multimodal_meta", sf_dir)
+
+
 def test_bucketed_quantiles_row_identical_to_window_form(spark, tables):
     """numeric_quantiles picks its rank strategy by estimated input
     size (window form at bench scale, bucket-decomposed rank at 100 TB

@@ -248,10 +248,11 @@ def test_incremental_dedup_compacted_store_elides_probe_sort(spark, tables, tmp_
 
 
 def test_multimodal_meta_union_plan_shape(spark):
-    """The fused multimodal entry is a four-branch union of Arrow
-    stages over the same widened documents scan: all four decoders must
-    appear, nothing may degenerate to a cartesian product, and the
-    image branch's meta join must stay an equi-join."""
+    """The multimodal entry runs the whole quartet as ONE fused Arrow
+    stage (r13; the r12 branch union ran five MapInPandas stages over
+    the same documents). A second MapInPandas reappearing in this plan
+    means the fusion regressed; row-equivalence with the branch form is
+    pinned by test_fused_multimodal_matches_branch_union."""
     import os
 
     from streaming_examples_spark.catalog import entries, release
@@ -259,10 +260,13 @@ def test_multimodal_meta_union_plan_shape(spark):
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     df = entries()["multimodal_meta"].fn(spark, sf_dir)
     try:
+        import re
+
         plan = formatted_plan(df)
         assert not has_cartesian(df)
-        # decode, resize→re-decode (two stages), frames, audio
-        assert plan.count("MapInPandas") >= 5
+        # formatted plans list each node twice (tree + detail section):
+        # count the numbered detail headers, i.e. actual plan nodes
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     finally:
         release(spark, "multimodal_meta", sf_dir)
 
